@@ -1,0 +1,69 @@
+"""Crawl configuration.
+
+Mirrors the reference's DSL option surface (DEFAULT_OPTS,
+lib/cloud-crawler/dsl_front_end.rb:32-79) where the knob still makes
+sense for a corpus-backed Spark crawl. User hooks that the reference
+ships as serialized Ruby blocks (dsl_core.rb:172-197) are plain Python
+callables here — `spark-submit --py-files` distributes code, so no
+source-string gymnastics are needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+
+@dataclass
+class CrawlConfig:
+    """Options for one crawl. Defaults follow the reference defaults.
+
+    Reference knobs kept (dsl_front_end.rb:32-79):
+      depth_limit, redirect_limit, keep_redirects, obey_robots_txt,
+      skip_query_strings, inside_domain, outside_domain,
+      skip_link_patterns (skip_links_like), discard_page, job_limit,
+      batch_size (MAX_BATCH_SIZE, batch_job.rb:46), delay (politeness).
+    Dropped (meaningless without live HTTP / Redis): user_agent, proxy,
+      cookies, accept_cookies, read_timeout, verbose, save_batch,
+      auto_increment, checkpoint (always on via the store).
+    """
+
+    # ---- link gating (visit_link? chain, dsl_core.rb:216-230) ----
+    depth_limit: Optional[int] = None          # None = unlimited (ref default false)
+    obey_robots_txt: bool = True               # dsl_front_end.rb:42
+    skip_query_strings: bool = False           # dsl_front_end.rb:53-54
+    inside_domain: bool = True                 # follow same-host links (dsl_front_end.rb:62-65)
+    outside_domain: bool = False               # follow off-host links
+    skip_link_patterns: Sequence[str] = field(default_factory=tuple)  # skip_links_like
+
+    # ---- redirects (http.rb) ----
+    redirect_limit: int = 5                    # REDIRECT_LIMIT, http.rb:35
+    keep_redirects: bool = True                # keep every hop page (crawl_job semantics);
+                                               # False = keep only final page (batch_crawl default)
+
+    # ---- frontier discipline ----
+    batch_size: int = 1000                     # per-round global fetch cap (MAX_BATCH_SIZE)
+    job_limit: int = 10_000                    # max pending frontier rows before deferral
+    host_budget: Optional[int] = None          # per-host fetches per round (politeness);
+                                               # None = unlimited within batch_size
+    max_rounds: int = 1000                     # driver-loop safety bound
+
+    # ---- projections ----
+    discard_page: bool = False                 # drop html body from crawled output (page.rb:155-157)
+
+    # ---- user hooks (DSL equivalents) ----
+    # focus_crawl: given the exploded links DataFrame (columns include
+    # href, path, host), return a filtered DataFrame. (dsl_front_end.rb:200-204)
+    focus_filter: Optional[Callable] = None
+    # on_every_page: called once per round with the crawled DataFrame.
+    page_hook: Optional[Callable] = None
+
+    # ---- scale knobs (ours, not the reference's) ----
+    n_host_buckets: int = 64                   # frontier partitioning: bucket(host)
+    salt_buckets: int = 8                      # hot-host salting fan-out for budget top-k
+    use_bloom: bool = False                    # probe partitioned Bloom before exact anti-join
+    bloom_bits_per_key: int = 10
+    bloom_num_hashes: int = 7                  # reference uses 7 (redis_url_bloomfilter.rb:47)
+
+    def effective_depth_limit(self) -> int:
+        return self.depth_limit if self.depth_limit is not None else 1 << 30

@@ -1,0 +1,157 @@
+"""URL canonicalization and link absolutization.
+
+URL identity is THE identity function of the crawl. The canonical form
+implemented here is the union of:
+
+* the reference's ``key_for`` (redis_page_store.rb:34-36,
+  redis_url_bloomfilter.rb:74-76): lowercase the whole URL, rewrite the
+  ``https`` scheme to ``http``, squash whitespace runs to single spaces
+  (verified by spec/redis_url_bloomfilter_spec.rb:42-44, 85-88);
+* the reference's seed-side ``normalize_link`` (driver.rb:115-119):
+  empty path becomes ``/``;
+* the reference's link-side ``to_absolute`` (page.rb:232-244): strip
+  the fragment, resolve relative hrefs against ``<base href>`` or the
+  page URL (spec/page_spec.rb:149-202);
+* the extended rules required at 10^10-frontier scale: strip default
+  ports (``:80``/``:443``), sort query parameters.
+
+Note: the reference's ``gsub("https", "http")`` replaces the substring
+anywhere in the URL (lossy). We restrict the rewrite to the scheme —
+the only behavior its specs exercise — so paths containing the literal
+string "https" survive.
+
+Both a pure-Python implementation (property tests, driver-side use) and
+Arrow-batched pandas UDF wrappers (executor hot path) are provided.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def strip_fragment(url: str) -> str:
+    """Drop everything from '#' on (page.rb:232 strips the fragment so
+    that ``<a href="#top">`` resolves to the page URL itself,
+    spec/page_spec.rb:149-155)."""
+    i = url.find("#")
+    return url if i < 0 else url[:i]
+
+
+def to_absolute(href: str, page_url: str, base_href: str | None = None) -> str | None:
+    """Absolutize one extracted href against the page (or its <base>).
+
+    Mirrors Page#to_absolute (page.rb:232-244): fragment strip, decode/
+    re-encode, merge against <base href> if present else the page URL,
+    empty path -> '/'. Returns None for empty/unresolvable hrefs.
+    """
+    if href is None:
+        return None
+    href = strip_fragment(href.strip())
+    if href == "":
+        # pure-fragment link resolves to the page itself (spec/page_spec.rb:149-155)
+        href = ""
+    base = base_href if base_href else page_url
+    try:
+        # decode-then-encode round trip (page.rb:236-237) — normalizes
+        # stray encodings without double-encoding.
+        href = quote(unquote(href), safe=":/?&=%~#+!$,;'@()*[]")
+        absu = urljoin(base, href)
+        parts = urlsplit(absu)
+    except ValueError:
+        return None
+    if parts.scheme not in ("http", "https"):
+        return None
+    path = parts.path or "/"
+    return urlunsplit((parts.scheme, parts.netloc, path, parts.query, ""))
+
+
+def canonicalize(url: str) -> str | None:
+    """Canonical URL: whole-URL lowercase + https->http (reference
+    key_for) + whitespace squash + fragment strip + default-port strip +
+    sorted query params + empty path -> '/'."""
+    if url is None:
+        return None
+    u = " ".join(url.split())  # \s+ -> ' ' then strip (key_for gsub(/\s+/,' '))
+    if not u:
+        return None
+    u = u.lower()  # reference lowercases the WHOLE url (lossy, intentional)
+    u = strip_fragment(u)
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return None
+    scheme = "http" if parts.scheme in ("http", "https") else parts.scheme
+    host = parts.hostname or ""
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(parts.scheme, ""):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    query = parts.query
+    if query:
+        pairs = sorted(p for p in query.split("&") if p)
+        query = "&".join(pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of(url: str) -> str | None:
+    try:
+        return (urlsplit(url).hostname or "").lower() or None
+    except ValueError:
+        return None
+
+
+def path_of(url: str) -> str:
+    try:
+        p = urlsplit(url)
+    except ValueError:
+        return "/"
+    path = p.path or "/"
+    if p.query:
+        path = f"{path}?{p.query}"
+    return path
+
+
+# ---------------------------------------------------------------- UDFs
+# Arrow-batched: one Python call per batch, vectorized over pandas
+# Series (input_hint forbids per-row Python UDFs).
+
+
+@pandas_udf(T.StringType())
+def canon_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize, na_action="ignore")
+
+
+@pandas_udf(T.StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(host_of, na_action="ignore")
+
+
+@pandas_udf(T.StringType())
+def path_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(path_of, na_action="ignore")
+
+
+@pandas_udf(T.StringType())
+def absolutize_udf(hrefs: pd.Series, page_urls: pd.Series, base_hrefs: pd.Series) -> pd.Series:
+    out = [
+        to_absolute(h, p, b if isinstance(b, str) and b else None)
+        if isinstance(h, str) and isinstance(p, str)
+        else None
+        for h, p, b in zip(hrefs, page_urls, base_hrefs)
+    ]
+    return pd.Series(out, dtype="object")
+
+
+def with_canon(df, url_col: str = "url", out_col: str = "canon_url"):
+    """Attach canon_url + host columns to a DataFrame of URLs."""
+    return df.withColumn(out_col, canon_udf(F.col(url_col))).withColumn(
+        "host", host_udf(F.col(out_col))
+    )

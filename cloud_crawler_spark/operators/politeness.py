@@ -1,0 +1,102 @@
+"""Per-host politeness budgets and round slicing — skew-proof top-k.
+
+Reference semantics being re-expressed:
+* batch slicing: `batched_jobs.slice!(0, batch_size)` — at most
+  `batch_size` jobs processed per slice (batch_job.rb:283-312, :46);
+* job-limit backpressure: over-limit jobs are checkpointed and
+  recovered later, never lost (batch_job.rb:229-268,
+  spec/batch_job_spec.rb:162-259);
+* per-job `sleep(delay)` politeness (batch_job.rb:181) becomes a
+  per-host fetch budget per round.
+
+Selection order is the deterministic crawl order: (priority DESC,
+depth, parent_rank, link_pos) — never partition/task order.
+
+Skew: one hot host (90% of the frontier) would make a plain
+`Window.partitionBy(host)` rank a straggler. `select_budget` therefore
+runs a TWO-STAGE top-k: stage 1 ranks within (host, salt) — salt =
+pmod(url_hash, salt_buckets) — keeping at most `budget` per salted
+group; stage 2 re-ranks the ≤ budget*salt_buckets survivors per host.
+Semantics are identical to a single per-host top-k (any row in the true
+per-host top-`budget` is in its salt group's top-`budget`), but the
+heavy window is spread over salt_buckets× more partitions. AQE handles
+join skew; this handles *window* skew, which AQE does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def order_cols():
+    """Deterministic crawl-order sort keys (O1)."""
+    return [
+        F.col("priority").desc(),
+        F.col("depth").asc(),
+        F.col("parent_rank").asc(),
+        F.col("link_pos").asc(),
+    ]
+
+
+def select_budget(
+    frontier: DataFrame,
+    host_budget: int | None,
+    batch_size: int | None,
+    salt_buckets: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Split pending frontier rows into (selected, deferred).
+
+    host_budget: max fetches per host per round (None = unlimited).
+    batch_size:  global max fetches per round (None = unlimited).
+    Deferred rows keep all columns and re-compete next round in the
+    same deterministic order — the no-loss guarantee the reference's
+    checkpoint specs assert.
+    """
+    if host_budget is None and batch_size is None:
+        # no budgets: everything pending is selected, nothing deferred —
+        # skip the windows AND the deferred anti-join entirely
+        empty = frontier.sparkSession.createDataFrame([], frontier.schema)
+        return frontier, empty
+
+    df = frontier
+    selected = df
+
+    if host_budget is not None:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64("canon_url"), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols())
+        stage1 = (
+            salted.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= host_budget)
+            .drop("_r1")
+        )
+        w2 = Window.partitionBy("host").orderBy(*order_cols())
+        selected = (
+            stage1.withColumn("_r2", F.row_number().over(w2))
+            .where(F.col("_r2") <= host_budget)
+            .drop("_r2", "_salt")
+        )
+
+    if batch_size is not None:
+        # global cap: per-host winners compete on the same order keys.
+        # Two-stage again: top batch_size per host-bucket, then global.
+        wb = Window.partitionBy(F.pmod(F.xxhash64("host"), F.lit(64))).orderBy(
+            *order_cols()
+        )
+        pre = (
+            selected.withColumn("_rb", F.row_number().over(wb))
+            .where(F.col("_rb") <= batch_size)
+            .drop("_rb")
+        )
+        wg = Window.partitionBy().orderBy(*order_cols())
+        selected = (
+            pre.withColumn("_rg", F.row_number().over(wg))
+            .where(F.col("_rg") <= batch_size)
+            .drop("_rg")
+        )
+
+    deferred = frontier.join(
+        selected.select("canon_url"), on="canon_url", how="left_anti"
+    )
+    return selected, deferred

@@ -1,0 +1,71 @@
+"""Deterministic global ranking without a single-partition window.
+
+The crawl-order contract (reference: qless `Ordered` reserver,
+driver.rb:95 — BFS by depth, discovery order within depth) requires a
+total order `(depth, parent_rank, link_pos)` materialized as a dense
+global rank. A naive `row_number().over(Window.orderBy(...))` collapses
+to ONE partition — a non-starter at 10^10 rows.
+
+`with_global_rank` computes the same rank scalably:
+  1. range-repartition + sort within partitions on the order keys
+     (a total order across partitions, same mechanism as df.sort),
+  2. count rows per partition (tiny driver-side collect, one Long per
+     partition),
+  3. rank = per-partition row_number (parallel window, partitioned by
+     the physical partition id) + broadcast prefix-sum offset.
+
+Ties never straddle partitions because callers pass a key tuple that is
+unique per row (enforced by including a final tiebreaker).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+SMALL_INPUT_ROWS = 100_000  # below this a 1-partition window is cheaper
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    start: int = 1,
+    num_partitions: int | None = None,
+    known_count: int | None = None,
+) -> DataFrame:
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if known_count is not None and known_count <= SMALL_INPUT_ROWS:
+        # small-input fast path: a single-partition window beats the
+        # range-repartition machinery (no sampling pass, no collect)
+        w = Window.orderBy(*order_cols)
+        return df.withColumn(
+            rank_col, (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
+        )
+    if df.isEmpty():
+        return df.withColumn(rank_col, F.lit(start).cast("long"))
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    parted = parted.withColumn("_pid", F.spark_partition_id())
+
+    # tiny: one row per partition
+    sizes = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, start
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    offset_expr = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.withColumn(
+            rank_col,
+            (F.row_number().over(w) - 1 + offset_expr[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )

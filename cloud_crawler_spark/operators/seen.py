@@ -1,0 +1,139 @@
+"""URL-seen set: exact anti-join plus a partitioned Bloom filter.
+
+Reference: RedisUrlBloomfilter (redis_url_bloomfilter.rb:32-112) — a
+single shared Redis bit array (500k bits, 7 hashes). A single shared
+filter cannot work at a 10^10-URL frontier; here the seen set is:
+
+* an exact, append-only `seen(canon_url, url_hash)` table — the ground
+  truth, probed with a LEFT ANTI join on `url_hash` (a cheap 8-byte
+  shuffle key instead of the full URL string);
+* a *partitioned* Bloom filter: one filter per host-bucket, built as a
+  binary column via applyInPandas over numpy bit arrays, probed with an
+  Arrow-batched UDF against the (broadcast) bucket->filter map. At
+  scale the Bloom probe pre-filters the anti-join so the shuffle only
+  carries potential duplicates; false positives are resolved by the
+  exact join, false negatives are impossible.
+
+Like the reference (whose Bloom is also approximate), the exact table
+remains the correctness oracle; the Bloom path is a scale optimization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType as _BooleanType
+
+HASH_SEED = 42  # fixed (reference pins seed 1364249661 for determinism)
+
+
+def with_url_hash(df: DataFrame, canon_col: str = "canon_url") -> DataFrame:
+    """64-bit URL identity hash (JVM-side xxhash64 — no Python)."""
+    h1 = F.xxhash64(F.col(canon_col))
+    h2 = F.xxhash64(F.col(canon_col), F.lit(HASH_SEED))
+    return df.withColumn("url_hash", h1).withColumn("url_hash2", h2)
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame | None, canon_col: str = "canon_url") -> DataFrame:
+    """Exact not-visited gate (F6/D2): LEFT ANTI on canon_url."""
+    if seen is None or len(seen.columns) == 0:
+        return candidates
+    return candidates.join(
+        seen.select(F.col(canon_col)).distinct(), on=canon_col, how="left_anti"
+    )
+
+
+# ------------------------------------------------------ partitioned Bloom
+
+
+def _bloom_params(n_items: int, bits_per_key: int):
+    m = max(64, int(n_items) * bits_per_key)
+    m = (m + 7) // 8 * 8  # byte-align
+    return m
+
+
+def build_bloom_filters(
+    seen: DataFrame,
+    n_buckets: int = 64,
+    bits_per_key: int = 10,
+    num_hashes: int = 7,
+    canon_col: str = "canon_url",
+) -> DataFrame:
+    """Build one Bloom filter per host-bucket.
+
+    Returns DataFrame(bucket INT, filter BINARY, n_items LONG, m_bits LONG).
+    Hash indexes use double hashing: idx_i = (h1 + i*h2) mod m, with
+    h1/h2 = xxhash64(canon_url[, seed]) computed JVM-side.
+    """
+    hashed = with_url_hash(seen.select(canon_col).distinct(), canon_col).withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+
+    def make_filter(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        m = _bloom_params(n, bits_per_key)
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        h1 = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = pdf["url_hash2"].to_numpy(dtype=np.int64).view(np.uint64)
+        for i in range(num_hashes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(bits, (idx // 8).astype(np.int64), (1 << (idx % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0]) if n else 0],
+                "filter": [bits.tobytes()],
+                "n_items": [n],
+                "m_bits": [m],
+            }
+        )
+
+    return hashed.groupBy("bucket").applyInPandas(
+        make_filter, "bucket int, filter binary, n_items long, m_bits long"
+    )
+
+
+def bloom_maybe_seen(
+    candidates: DataFrame,
+    filters: DataFrame,
+    n_buckets: int = 64,
+    num_hashes: int = 7,
+    canon_col: str = "canon_url",
+) -> DataFrame:
+    """Attach `maybe_seen` BOOLEAN via broadcast bucket->filter probe.
+
+    Rows with maybe_seen=false are DEFINITELY new (no false negatives)
+    and can skip the exact anti-join shuffle entirely.
+    """
+    fmap = {r["bucket"]: (r["filter"], r["m_bits"]) for r in filters.collect()}
+    bc = candidates.sparkSession.sparkContext.broadcast(fmap)
+
+    @pandas_udf(_BooleanType())
+    def probe(bucket: pd.Series, h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        local = bc.value
+        out = np.zeros(len(bucket), dtype=bool)
+        b = bucket.to_numpy()
+        h1 = h1s.to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = h2s.to_numpy(dtype=np.int64).view(np.uint64)
+        for bk in np.unique(b):
+            ent = local.get(int(bk))
+            if ent is None:
+                continue
+            blob, m = ent
+            bits = np.frombuffer(blob, dtype=np.uint8)
+            sel = b == bk
+            hit = np.ones(sel.sum(), dtype=bool)
+            for i in range(num_hashes):
+                idx = (h1[sel] + np.uint64(i) * h2[sel]) % np.uint64(m)
+                hit &= (bits[(idx // 8).astype(np.int64)] & (1 << (idx % 8)).astype(np.uint8)) != 0
+            out[sel] = hit
+        return pd.Series(out)
+
+    hashed = with_url_hash(candidates, canon_col).withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+    return hashed.withColumn(
+        "maybe_seen", probe(F.col("bucket"), F.col("url_hash"), F.col("url_hash2"))
+    ).drop("bucket", "url_hash2")

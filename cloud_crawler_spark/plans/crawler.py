@@ -1,0 +1,225 @@
+"""The iterative crawl driver — BFS rounds over the frontier table.
+
+Replaces the reference's qless/Redis job queue + worker fleet
+(driver.rb:214-226, worker.rb:27-38) with a driver `while` loop: each
+iteration is one Spark job (one round, plans/round.py), each committed
+round is a resumable snapshot (sources/store.py). BSP rounds make the
+reference's cross-worker races (its in-batch visited recheck,
+crawl_job.rb:89) structurally impossible while preserving its
+observable semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark.config import CrawlConfig
+from cloud_crawler_spark.functions.canon import with_canon
+from cloud_crawler_spark.operators import robots as robots_ops
+from cloud_crawler_spark.plans.round import run_round
+from cloud_crawler_spark.sources.corpus import Corpus
+from cloud_crawler_spark.sources.store import FRONTIER_SCHEMA, FrontierStore
+
+
+@dataclass
+class CrawlResult:
+    crawled: DataFrame
+    seen: DataFrame
+    frontier: DataFrame
+    lineage: DataFrame
+    rounds: int
+    stats: list = field(default_factory=list)
+
+
+def seed_frontier(spark: SparkSession, seeds: DataFrame) -> DataFrame:
+    """Seed rows -> round-0 frontier (S1/S2: normalize + canon; link_pos
+    = position in the seed list defines the deterministic seed order,
+    driver.rb:232-248)."""
+    if "priority" not in seeds.columns:
+        seeds = seeds.withColumn("priority", F.lit(0.0))
+    s = with_canon(seeds, "url").where(F.col("canon_url").isNotNull())
+    # first occurrence per canon_url, by seed-list position
+    # seed lists are driver-provided and small; a global window is fine here
+    s = s.withColumn(
+        "link_pos",
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
+    )
+    s = (
+        s.groupBy("canon_url")
+        .agg(F.min(F.struct("link_pos", "url", "host", "priority")).alias("f"))
+        .select(
+            "canon_url",
+            F.col("f.url").alias("url"),
+            F.col("f.host").alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("referer"),
+            F.col("f.priority").alias("priority"),
+            F.lit(0).alias("round_added"),
+            F.lit("pending").alias("status"),
+            F.lit(0).cast("long").alias("parent_rank"),
+            F.col("f.link_pos").cast("int").alias("link_pos"),
+        )
+    )
+    return s
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: Corpus,
+        config: CrawlConfig | None = None,
+        store: FrontierStore | None = None,
+    ):
+        self.spark = spark
+        self.corpus = corpus
+        self.config = config or CrawlConfig()
+        self.store = store
+        self.robots_rules = robots_ops.build_rules(spark, corpus.robots)
+
+    # ------------------------------------------------------------ run
+    def run(
+        self,
+        seeds: DataFrame,
+        initial_seen: DataFrame | None = None,
+        expand: bool = True,
+        dedup_gate: bool = True,
+    ) -> CrawlResult:
+        spark, cfg = self.spark, self.config
+        frontier = seed_frontier(spark, seeds)
+        seen = (
+            initial_seen.select("canon_url")
+            if initial_seen is not None
+            else spark.createDataFrame([], "canon_url string")
+        )
+        if self.store is not None:
+            self.store.commit_seed(frontier, seen)
+        return self._loop(frontier, seen, round_no=0, next_rank=1, expand=expand, dedup_gate=dedup_gate)
+
+    def resume(self) -> CrawlResult:
+        """Resume from the last committed snapshot (S9/checkpoint)."""
+        if self.store is None:
+            raise ValueError("resume requires a FrontierStore")
+        k = self.store.committed_round()
+        frontier = self.store.frontier(k)
+        seen = self.store.seen(k)
+        m = self.store.manifest()
+        next_rank = 1
+        for r in m["rounds"]:
+            next_rank = max(next_rank, int(r.get("next_rank", 1)))
+        return self._loop(frontier, seen, round_no=k + 1, next_rank=next_rank)
+
+    def _loop(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        round_no: int,
+        next_rank: int,
+        expand: bool = True,
+        dedup_gate: bool = True,
+    ) -> CrawlResult:
+        spark, cfg = self.spark, self.config
+        crawled_parts: list[DataFrame] = []
+        lineage_parts: list[DataFrame] = []
+        stats = []
+        rnd = round_no
+        seen = seen.cache()
+        seen_nonempty = not seen.isEmpty()
+        # one count up front; thereafter next_frontier's count feeds the
+        # loop condition — no extra emptiness probe per round
+        n_pending = frontier.where(F.col("status") == "pending").count()
+
+        while rnd < cfg.max_rounds and n_pending > 0:
+            res = run_round(
+                self.corpus, cfg, frontier, seen, self.robots_rules,
+                round_no=rnd, next_rank=next_rank,
+                expand=expand, dedup_gate=dedup_gate,
+                seen_nonempty=seen_nonempty,
+            )
+            # localCheckpoint (not cache): truncates the logical plan at
+            # the round boundary. Without it the iterative loop's plan
+            # nests a copy of every previous round — analysis time and
+            # driver heap grow exponentially with round count.
+            crawled = res.crawled.localCheckpoint(eager=True)
+            next_frontier = res.next_frontier.localCheckpoint(eager=True)
+            n_crawled = crawled.count()
+            n_pending = next_frontier.where(F.col("status") == "pending").count()
+
+            next_rank += res.n_selected
+            if self.store is not None:
+                self.store.commit_round(
+                    rnd, crawled, res.newly_seen, next_frontier, res.lineage,
+                    stats={"next_rank": next_rank, "crawled": n_crawled},
+                )
+            crawled_parts.append(crawled)
+            lineage_parts.append(res.lineage)
+            stats.append({"round": rnd, "selected": res.n_selected, "crawled": n_crawled})
+
+            seen = seen.unionByName(res.newly_seen).distinct().localCheckpoint(eager=True)
+            seen_nonempty = seen_nonempty or n_crawled > 0
+            frontier = next_frontier
+            rnd += 1
+            if not expand:
+                break  # curl mode: single pass over the fetch list
+
+        if crawled_parts:
+            crawled_all = crawled_parts[0]
+            for p in crawled_parts[1:]:
+                crawled_all = crawled_all.unionByName(p)
+        else:
+            crawled_all = spark.createDataFrame([], _empty_crawled_schema())
+        if lineage_parts:
+            lineage_all = lineage_parts[0]
+            for p in lineage_parts[1:]:
+                lineage_all = lineage_all.unionByName(p)
+        else:
+            from cloud_crawler_spark.sources.store import LINEAGE_SCHEMA
+
+            lineage_all = spark.createDataFrame([], LINEAGE_SCHEMA)
+
+        return CrawlResult(
+            crawled=crawled_all,
+            seen=seen,
+            frontier=frontier,
+            lineage=lineage_all,
+            rounds=rnd - round_no,
+            stats=stats,
+        )
+
+
+def _empty_crawled_schema() -> str:
+    return (
+        "url string, canon_url string, host string, code int, depth int, "
+        "referer string, redirect_to string, fetched boolean, hop int, "
+        "links array<string>, title string, text string, html binary, "
+        "round int, rank long, parent_rank long, link_pos int, priority double"
+    )
+
+
+# ------------------------------------------------------------ facade API
+
+
+def crawl(
+    spark: SparkSession,
+    corpus: Corpus,
+    seeds: DataFrame,
+    config: CrawlConfig | None = None,
+    store: FrontierStore | None = None,
+    initial_seen: DataFrame | None = None,
+) -> CrawlResult:
+    """CloudCrawler.crawl / batch_crawl equivalent (driver.rb:41-57)."""
+    return Crawler(spark, corpus, config, store).run(seeds, initial_seen)
+
+
+def curl(
+    spark: SparkSession,
+    corpus: Corpus,
+    urls: DataFrame,
+    config: CrawlConfig | None = None,
+) -> CrawlResult:
+    """BatchCurlJob equivalent (C5, batch_curl_job.rb:55-93): fetch a
+    list, no link expansion, no dedup gate."""
+    return Crawler(spark, corpus, config).run(urls, expand=False, dedup_gate=False)

@@ -1,0 +1,364 @@
+"""One crawl round as a single declarative DataFrame pipeline.
+
+A round re-expresses CrawlJob.perform / BatchCrawlJob.process_job
+(crawl_job.rb:66-107, batch_crawl_job.rb:75-137) as set operations:
+
+  pending frontier
+    -> politeness budget top-k (O2/O3, window rank, salted)
+    -> seen anti-join (F6/D2, optional Bloom pre-filter)
+    -> deterministic global rank (O1: priority desc, depth,
+       parent_rank, link_pos)
+    -> corpus fetch join (S4) + bounded redirect resolution (S5/O5/F7)
+    -> vectorized parse (P1-P5)
+    -> link explode + gate chain (F1/F2/F4/F5/F9 + robots F3 +
+       focus_crawl hook) + canonicalize
+    -> first-occurrence dedupe (D5) + anti-join seen/pending (D4)
+    -> (crawled, newly_seen, next_frontier, lineage)
+
+Everything except the two irreducible string/HTML UDF stages (canon,
+parse) is built-in pyspark.sql.functions — JVM-side, codegen-friendly,
+filter-pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark.config import CrawlConfig
+from cloud_crawler_spark.functions.canon import absolutize_udf, canon_udf, host_udf, path_udf
+from cloud_crawler_spark.functions.parse import with_parsed
+from cloud_crawler_spark.operators import robots as robots_ops
+from cloud_crawler_spark.operators.politeness import order_cols, select_budget
+from cloud_crawler_spark.operators.rank import with_global_rank
+from cloud_crawler_spark.operators.seen import anti_join_seen, bloom_maybe_seen, build_bloom_filters
+from cloud_crawler_spark.sources.corpus import Corpus
+
+CRAWLED_COLS = [
+    "url", "canon_url", "host", "code", "depth", "referer", "redirect_to",
+    "fetched", "links", "title", "text", "html", "round", "rank",
+    "parent_rank", "link_pos", "priority",
+]
+
+
+@dataclass
+class RoundResult:
+    crawled: DataFrame        # pages stored this round (incl. kept 301s & failures)
+    newly_seen: DataFrame     # canon_url marked visited this round
+    next_frontier: DataFrame  # pending rows for round k+1 (deferred + children)
+    lineage: DataFrame        # per-host-bucket counters
+    n_selected: int           # rows that consumed rank numbers
+
+
+def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig) -> DataFrame:
+    """Corpus-backed fetch with bounded redirect-chain resolution.
+
+    Returns one row per STORED page (reference keeps each redirect hop
+    when keep_redirects, else only the landing page), columns:
+    frontier cols + rank + url/canon_url (possibly rewritten by
+    redirects) + code, redirect_to, html, fetched.
+    """
+    pages = corpus.pages.select(
+        F.col("canon_url").alias("_p_canon"), F.col("html").alias("_p_html")
+    )
+    redirects = corpus.redirects.select(
+        F.col("canon_url").alias("_r_canon"), F.col("redirect_to").alias("_r_to")
+    )
+
+    # `current` rows still being resolved; hop 0 = the frontier row itself.
+    current = selected.withColumn("_orig_host", F.col("host"))
+    stored_parts: list[DataFrame] = []
+    # bounded-loop shortcut: with no redirect rows at all, the chain
+    # can't extend, so one hop suffices (keeps the plan shallow)
+    any_redirects = not corpus.redirects.isEmpty()
+
+    for hop in range(config.redirect_limit + 1):
+        j = current.join(
+            pages, current["canon_url"] == pages["_p_canon"], "left"
+        ).join(redirects, current["canon_url"] == redirects["_r_canon"], "left")
+
+        is_redirect = F.col("_r_to").isNotNull()
+        landed = j.where(~is_redirect).select(
+            *[F.col(c) for c in current.columns],
+            F.when(F.col("_p_html").isNotNull(), F.lit(200)).otherwise(F.lit(404)).alias("code"),
+            F.lit(None).cast("string").alias("redirect_to"),
+            F.col("_p_html").alias("html"),
+            F.col("_p_html").isNotNull().alias("fetched"),
+            F.lit(hop).alias("hop"),
+        )
+        stored_parts.append(landed)
+
+        hops = j.where(is_redirect)
+        if not any_redirects:
+            break
+        if hop == config.redirect_limit:
+            # chain too long: store the 301 itself as the terminal row
+            stored_parts.append(
+                hops.select(
+                    *[F.col(c) for c in current.columns],
+                    F.lit(301).alias("code"),
+                    F.col("_r_to").alias("redirect_to"),
+                    F.lit(None).cast("binary").alias("html"),
+                    F.lit(True).alias("fetched"),
+                    F.lit(hop).alias("hop"),
+                )
+            )
+            break
+        if config.keep_redirects:
+            stored_parts.append(
+                hops.select(
+                    *[F.col(c) for c in current.columns],
+                    F.lit(301).alias("code"),
+                    F.col("_r_to").alias("redirect_to"),
+                    F.lit(None).cast("binary").alias("html"),
+                    F.lit(True).alias("fetched"),
+                    F.lit(hop).alias("hop"),
+                )
+            )
+        # resolve: follow same-host (or relative) redirects only
+        # (http.rb:245-247 allowed?; spec/crawl_job_spec.rb:106-113)
+        nxt = (
+            hops.withColumn(
+                "_next_url",
+                absolutize_udf(F.col("_r_to"), F.col("url"), F.lit(None).cast("string")),
+            )
+            .withColumn("_next_host", host_udf(F.col("_next_url")))
+            .where(F.col("_next_url").isNotNull() & (F.col("_next_host") == F.col("_orig_host")))
+        )
+        current = (
+            nxt.withColumn("url", F.col("_next_url"))
+            .withColumn("canon_url", canon_udf(F.col("_next_url")))
+            .withColumn("host", F.col("_next_host"))
+            .drop("_p_canon", "_p_html", "_r_canon", "_r_to", "_next_url", "_next_host")
+        ).cache()
+        if current.isEmpty():  # no chains left: stop extending the plan
+            break
+
+    out = stored_parts[0]
+    for part in stored_parts[1:]:
+        out = out.unionByName(part)
+    # a redirect chain may land on an already-seen/duplicate canon; keep
+    # first occurrence by crawl order within the round
+    return out.drop("_orig_host")
+
+
+def _expand_links(
+    crawled: DataFrame, corpus: Corpus, config: CrawlConfig, robots_rules: DataFrame
+) -> DataFrame:
+    """Extracted links -> gated, canonicalized child frontier rows."""
+    parents = crawled.where(
+        (F.col("code") == 200)
+        & F.col("fetched")
+        & (F.col("depth") < F.lit(config.effective_depth_limit()))  # F5 too_deep?
+    ).select(
+        F.col("url").alias("_page_url"),
+        F.col("host").alias("_page_host"),
+        F.col("depth").alias("_page_depth"),
+        F.col("rank").alias("_page_rank"),
+        "base_href",
+        F.explode("links").alias("_l"),
+    )
+    links = parents.select(
+        "_page_url", "_page_host", "_page_depth", "_page_rank",
+        F.col("_l.href").alias("href"),
+        F.col("_l.pos").alias("link_pos"),
+        "base_href",
+    )
+    # F9 empty / nil
+    links = links.where(F.col("href").isNotNull() & (F.length("href") > 0))
+    # absolutize (P4) then canonicalize
+    links = (
+        links.withColumn(
+            "abs_url", absolutize_udf(F.col("href"), F.col("_page_url"), F.col("base_href"))
+        )
+        .where(F.col("abs_url").isNotNull())
+        .withColumn("canon_url", canon_udf(F.col("abs_url")))
+        .where(F.col("canon_url").isNotNull())
+        .withColumn("host", host_udf(F.col("canon_url")))
+        .withColumn("path", path_udf(F.col("canon_url")))
+    )
+    # F4 in_domain? (dsl_core.rb:246-252)
+    same = F.col("host") == F.col("_page_host")
+    links = links.where(
+        F.when(same, F.lit(config.inside_domain)).otherwise(F.lit(config.outside_domain))
+    )
+    # F1 skip_links_like (path regex alternation, dsl_core.rb:277-279)
+    if config.skip_link_patterns:
+        pat = "|".join(f"(?:{p})" for p in config.skip_link_patterns)
+        links = links.where(~F.col("path").rlike(pat))
+    # F2 skip_query_strings (dsl_core.rb:269-271)
+    if config.skip_query_strings:
+        links = links.where(~F.col("path").contains("?"))
+    # F3 robots (broadcast rules; dsl_core.rb:237-241)
+    if config.obey_robots_txt and robots_rules is not None:
+        links = robots_ops.filter_allowed(links, robots_rules, "host", "path")
+    # focus_crawl hook (dsl_front_end.rb:200-204)
+    if config.focus_filter is not None:
+        links = config.focus_filter(links)
+
+    children = links.select(
+        F.col("canon_url"),
+        F.col("abs_url").alias("url"),
+        F.col("host"),
+        (F.col("_page_depth") + 1).cast("int").alias("depth"),
+        F.col("_page_url").alias("referer"),
+        F.lit(0.0).alias("priority"),
+        F.col("_page_rank").alias("parent_rank"),
+        F.col("link_pos").cast("int"),
+    )
+    # D5/D4: first-occurrence dedupe by crawl order within the round
+    w_first = F.struct(
+        F.col("parent_rank"), F.col("link_pos"), F.col("depth"),
+        F.col("url"), F.col("referer"), F.col("priority"), F.col("host"),
+    )
+    children = (
+        children.groupBy("canon_url")
+        .agg(F.min(w_first).alias("_first"))
+        .select(
+            "canon_url",
+            F.col("_first.url").alias("url"),
+            F.col("_first.host").alias("host"),
+            F.col("_first.depth").alias("depth"),
+            F.col("_first.referer").alias("referer"),
+            F.col("_first.priority").alias("priority"),
+            F.col("_first.parent_rank").alias("parent_rank"),
+            F.col("_first.link_pos").alias("link_pos"),
+        )
+    )
+    return children
+
+
+def run_round(
+    corpus: Corpus,
+    config: CrawlConfig,
+    frontier: DataFrame,
+    seen: DataFrame,
+    robots_rules: DataFrame,
+    round_no: int,
+    next_rank: int,
+    expand: bool = True,
+    dedup_gate: bool = True,
+    seen_nonempty: bool = True,
+) -> RoundResult:
+    """Execute round `round_no`. `expand=False` = curl mode (C5):
+    fetch-only, no link following; `dedup_gate=False` also skips the
+    seen anti-join (batch_curl_job.rb:55-93 has neither).
+    `seen_nonempty=False` (driver knows the seen set is empty) skips
+    the anti-join / bloom machinery for round 0."""
+    pending = frontier.where(F.col("status") == "pending")
+
+    selected, deferred = select_budget(
+        pending, config.host_budget, config.batch_size, config.salt_buckets
+    )
+    deferred = deferred.cache()
+
+    if dedup_gate and seen_nonempty:
+        if config.use_bloom:
+            filters = build_bloom_filters(
+                seen, config.n_host_buckets, config.bloom_bits_per_key, config.bloom_num_hashes
+            )
+            probed = bloom_maybe_seen(selected, filters, config.n_host_buckets, config.bloom_num_hashes)
+            definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen", "url_hash")
+            maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen", "url_hash")
+            selected = definitely_new.unionByName(anti_join_seen(maybe, seen))
+        else:
+            selected = anti_join_seen(selected, seen)
+
+    selected = selected.cache()
+    n_selected = selected.count()
+
+    # O1: deterministic global crawl rank
+    ranked = with_global_rank(
+        selected,
+        [F.col("priority").desc(), F.col("depth").asc(),
+         F.col("parent_rank").asc(), F.col("link_pos").asc()],
+        rank_col="rank",
+        start=next_rank,
+        known_count=n_selected,
+    )
+
+    fetched = _fetch(ranked, corpus, config)
+    parsed = with_parsed(fetched, "html").cache()
+
+    crawled = parsed.select(
+        "url", "canon_url", "host", "code", "depth", "referer", "redirect_to",
+        "fetched", "hop", F.col("links.href").alias("links"), "title",
+        F.col("page_text").alias("text"),
+        (F.lit(None).cast("binary") if config.discard_page else F.col("html")).alias("html"),
+        F.lit(round_no).alias("round"), "rank", "parent_rank", "link_pos", "priority",
+        "base_href",
+    )
+
+    if expand:
+        children = _expand_links(parsed, corpus, config, robots_rules)
+        # D2: drop children already seen, already stored this round, or
+        # already pending (first discovery wins across rounds)
+        gate = (
+            crawled.select("canon_url")
+            .unionByName(deferred.select("canon_url"))
+        )
+        if dedup_gate and seen is not None and seen_nonempty:
+            gate = gate.unionByName(seen.select("canon_url"))
+        # one pass for both the gating and the dedup accounting: left
+        # join a flag instead of (count, anti-join, count)
+        flagged = children.join(
+            gate.distinct().withColumn("_dup", F.lit(True)), "canon_url", "left"
+        ).cache()
+        counts = {
+            bool(r["dup"]): r["cnt"]
+            for r in flagged.groupBy(F.coalesce("_dup", F.lit(False)).alias("dup"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        n_deduped = counts.get(True, 0)
+        children = flagged.where(F.col("_dup").isNull()).select(
+            "canon_url", "url", "host", "depth", "referer", "priority",
+            F.lit(round_no + 1).alias("round_added"),
+            F.lit("pending").alias("status"),
+            "parent_rank", "link_pos",
+        )
+    else:
+        children = frontier.sparkSession.createDataFrame(
+            [], frontier.schema
+        )
+        n_deduped = 0
+
+    next_frontier = deferred.unionByName(children.select(*deferred.columns))
+
+    newly_seen = crawled.select("canon_url").distinct()
+
+    bucket = F.pmod(F.xxhash64("host"), F.lit(config.n_host_buckets)).cast("int")
+    lineage = (
+        crawled.withColumn("host_bucket", bucket)
+        .groupBy("host_bucket")
+        .agg(
+            F.count(F.when(F.col("fetched") & (F.col("code") < 400), 1)).alias("fetched"),
+            F.count(F.when(~F.col("fetched") | (F.col("code") >= 400), 1)).alias("failed"),
+        )
+        .join(
+            deferred.withColumn("host_bucket", bucket)
+            .groupBy("host_bucket")
+            .agg(F.count("*").alias("deferred")),
+            "host_bucket",
+            "full_outer",
+        )
+        .select(
+            F.lit(round_no).alias("round"),
+            "host_bucket",
+            F.coalesce("fetched", F.lit(0)).alias("fetched"),
+            F.lit(n_deduped).cast("long").alias("deduped"),
+            F.coalesce("deferred", F.lit(0)).alias("deferred"),
+            F.coalesce("failed", F.lit(0)).alias("failed"),
+        )
+    )
+
+    crawled_out = crawled.drop("base_href")
+    return RoundResult(
+        crawled=crawled_out,
+        newly_seen=newly_seen,
+        next_frontier=next_frontier,
+        lineage=lineage,
+        n_selected=n_selected,
+    )

@@ -1,0 +1,86 @@
+"""The web corpus: Common-Crawl-style `pages` table + redirects + robots.
+
+Input shape is fixed by the BASELINE.json input_hint:
+    pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+plus two small side tables mirroring the reference's FakeWeb test
+harness (spec/fakeweb_helper.rb:27-93):
+    redirects(url STRING, redirect_to STRING, code INT)
+    robots(host STRING, body STRING)
+
+"Fetching" a URL is an equi-join of the frontier against `pages` on
+`canon_url` (SURVEY.md §2.7) — the corpus-backed replacement for live
+HTTP mandated by the north rule. The corpus is canonicalized ONCE at
+load (`prepare_corpus`) so every round's fetch join is a plain
+hash/sort-merge join on a precomputed key; at cluster scale this table
+would be bucketed by `canon_url` so the join is co-located.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cloud_crawler_spark.functions.canon import with_canon
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+REDIRECTS_SCHEMA = "url string, redirect_to string, code int"
+ROBOTS_SCHEMA = "host string, body string"
+SEEDS_SCHEMA = "url string, priority double"
+
+
+@dataclass
+class Corpus:
+    """Prepared corpus: pages keyed by canon_url, redirect map, robots."""
+
+    pages: DataFrame          # canon_url, host, url, warc_ts, html, text, lang
+    redirects: DataFrame      # canon_url, redirect_to, code
+    robots: DataFrame | None  # host, body
+
+
+def prepare_corpus(
+    pages: DataFrame,
+    redirects: DataFrame | None = None,
+    robots: DataFrame | None = None,
+) -> Corpus:
+    spark = pages.sparkSession
+    p = (
+        with_canon(pages, "url")
+        .select("canon_url", "host", "url", "warc_ts", "html", "text", "lang")
+        .dropDuplicates(["canon_url"])  # one fetchable body per canonical URL
+        .cache()  # probed by every round's fetch join — keep canon'd form hot
+    )
+    if redirects is None:
+        redirects = spark.createDataFrame([], REDIRECTS_SCHEMA)
+    r = with_canon(redirects, "url").select("canon_url", "redirect_to", "code").cache()
+    return Corpus(pages=p, redirects=r, robots=robots)
+
+
+def load_corpus(spark: SparkSession, directory: str) -> Corpus:
+    """Load a corpus directory of parquet files (pages.parquet required,
+    redirects.parquet / robots.parquet optional)."""
+    import os
+
+    pages = spark.read.parquet(f"{directory}/pages.parquet")
+    redirects = (
+        spark.read.parquet(f"{directory}/redirects.parquet")
+        if os.path.exists(f"{directory}/redirects.parquet")
+        else None
+    )
+    robots = (
+        spark.read.parquet(f"{directory}/robots.parquet")
+        if os.path.exists(f"{directory}/robots.parquet")
+        else None
+    )
+    return prepare_corpus(pages, redirects, robots)

@@ -1,0 +1,176 @@
+"""Deterministic synthetic web generator (seed-derived, no wall clock).
+
+Produces `pages` tables of exactly the mandated input shape
+(url, warc_ts, html, binary, text, lang) at any scale, entirely from
+hash arithmetic — generated DISTRIBUTEDLY via spark.range, so a
+100M-page corpus never touches the driver. Used by tests (FakePage-
+style fixture graphs, spec/fakeweb_helper.rb:27-93), by `entry()`, and
+by the bench harness (sf-scaled corpora for the N-vs-4N scaling runs).
+
+Link structure: page i on host h links to k pseudo-random pages, biased
+to the same host, where k and the targets derive from xxhash64-style
+mixing of (seed, i) — no Python RNG state, so any row can be generated
+independently on any executor.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EPOCH = "2013-04-01 00:00:00"  # fixed epoch; warc_ts = epoch + row index sec
+
+
+def _host_expr(page_id, n_hosts: int, hot_host_frac: float):
+    """Host assignment; `hot_host_frac` of pages land on host0 (skew)."""
+    h = F.pmod(F.xxhash64(F.lit(7), page_id), F.lit(10_000)) / 10_000.0
+    bucket = F.pmod(F.xxhash64(F.lit(11), page_id), F.lit(max(n_hosts - 1, 1))) + 1
+    return F.when(h < hot_host_frac, F.lit(0)).otherwise(bucket)
+
+
+def synth_pages(
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 100,
+    links_per_page: int = 8,
+    hot_host_frac: float = 0.0,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Generate pages(url, warc_ts, html, text, lang) distributedly.
+
+    html embeds `links_per_page` <a href> links to other synthetic
+    pages (same-host bias 3:1); text is the deterministic extracted-
+    text golden for that html (title + para words).
+    """
+    parts = partitions or spark.sparkContext.defaultParallelism
+    ids = spark.range(0, n_pages, 1, parts).withColumnRenamed("id", "pid")
+    ids = ids.withColumn("hostid", _host_expr(F.col("pid"), n_hosts, hot_host_frac))
+    url = F.concat(
+        F.lit("http://host"), F.col("hostid").cast("string"),
+        F.lit(".example.com/p"), F.col("pid").cast("string"),
+    )
+
+    # deterministic link targets: j-th link of page i
+    link_exprs = []
+    for j in range(links_per_page):
+        tgt = F.pmod(F.xxhash64(F.lit(seed), F.col("pid"), F.lit(j)), F.lit(n_pages))
+        same_host = F.pmod(F.xxhash64(F.lit(seed + 1), F.col("pid"), F.lit(j)), F.lit(4)) < 3
+        tgt_host = F.when(same_host, F.col("hostid")).otherwise(
+            _host_expr(tgt, n_hosts, hot_host_frac)
+        )
+        link_exprs.append(
+            F.concat(
+                F.lit("http://host"), tgt_host.cast("string"),
+                F.lit(".example.com/p"), tgt.cast("string"),
+            )
+        )
+    links_arr = F.array(*link_exprs)
+
+    title = F.concat(
+        F.lit("Page "), F.col("pid").cast("string"),
+        F.lit(" on host "), F.col("hostid").cast("string"),
+    )
+    # body words: 12 deterministic tokens from a small vocabulary
+    vocab = F.array(*[F.lit(w) for w in (
+        "spark", "crawl", "frontier", "bloom", "politeness", "robots",
+        "shuffle", "broadcast", "parquet", "iceberg", "arrow", "catalyst",
+    )])
+    word_exprs = [
+        F.element_at(vocab, (F.pmod(F.xxhash64(F.lit(seed + 2), F.col("pid"), F.lit(j)), F.lit(12)) + 1).cast("int"))
+        for j in range(12)
+    ]
+    para = F.concat_ws(" ", *word_exprs)
+
+    anchors = F.concat_ws(
+        "",
+        F.transform(links_arr, lambda u: F.concat(F.lit('<a href="'), u, F.lit('">x</a>'))),
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title></head><body><p>"),
+        para, F.lit("</p>"), anchors, F.lit("</body></html>"),
+    )
+    # golden text = Nokogiri-style concatenation of text nodes:
+    # title + para + one "x" per link, then strip (our parse semantics)
+    golden = F.concat(title, para, F.lit("x" * links_per_page))
+
+    return ids.select(
+        url.alias("url"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit(_EPOCH).cast("timestamp")) + F.col("pid")
+        ).alias("warc_ts"),
+        F.encode(html_str, "utf-8").alias("html"),
+        golden.alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def synth_seeds(spark: SparkSession, n_seeds: int, n_hosts: int = 100, hot_host_frac: float = 0.0) -> DataFrame:
+    ids = spark.range(0, n_seeds).withColumnRenamed("id", "pid")
+    ids = ids.withColumn("hostid", _host_expr(F.col("pid"), n_hosts, hot_host_frac))
+    return ids.select(
+        F.concat(
+            F.lit("http://host"), F.col("hostid").cast("string"),
+            F.lit(".example.com/p"), F.col("pid").cast("string"),
+        ).alias("url"),
+        F.lit(0.0).alias("priority"),
+    )
+
+
+# ---------------------------------------------------------- FakePage-style
+# Tiny hand-built fixture graphs for the pytest re-expressions of the
+# reference specs. Row-level construction is fine here (4-200 rows).
+
+
+def fake_page_html(
+    name: str,
+    links: list[str] | None = None,
+    hrefs: list[str] | None = None,
+    base: str | None = None,
+    body_extra: str = "",
+    host: str = "www.example.com",
+) -> str:
+    """Build a FakePage-equivalent HTML body
+    (spec/fakeweb_helper.rb:27-66): named same-host links + raw hrefs."""
+    all_hrefs = [f"http://{host}/{l}" for l in (links or [])] + list(hrefs or [])
+    anchors = "".join(f'<a href="{h}">link {i}</a> ' for i, h in enumerate(all_hrefs))
+    base_tag = f'<base href="{base}" />' if base else ""
+    return (
+        f"<html><head>{base_tag}<title>page {name}</title></head>"
+        f"<body>{anchors}{body_extra}</body></html>"
+    )
+
+
+def fixture_corpus_rows(graph: dict) -> tuple[list, list, list]:
+    """graph: {name: {links:[names], hrefs:[urls], base:str, body:str}}.
+
+    Returns (pages_rows, redirects_rows, robots_rows) ready for
+    spark.createDataFrame against the corpus schemas.
+    """
+    ts0 = _dt.datetime(2013, 4, 1)
+    pages, redirects, robots = [], [], []
+    for i, (name, spec) in enumerate(graph.items()):
+        host = spec.get("host", "www.example.com")
+        url = spec.get("url", f"http://{host}/{name}")
+        if "redirect_to" in spec:
+            redirects.append((url, spec["redirect_to"], 301))
+            html = spec.get("body", "") or ""
+        else:
+            html = spec.get("body") or fake_page_html(
+                name,
+                links=spec.get("links"),
+                hrefs=spec.get("hrefs"),
+                base=spec.get("base"),
+                host=host,
+            )
+        if "robots_body" in spec:
+            robots.append((host, spec["robots_body"]))
+            continue
+        from cloud_crawler_spark.functions.parse import extract_text_py
+
+        pages.append(
+            (url, ts0 + _dt.timedelta(seconds=i), html.encode(), extract_text_py(html), "en")
+        )
+    return pages, redirects, robots
