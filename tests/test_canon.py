@@ -1,0 +1,93 @@
+"""URL canonicalization goldens — re-expression of the reference specs:
+spec/redis_url_bloomfilter_spec.rb:42-44,85-88 (https->http + lowercase),
+spec/page_spec.rb:149-202 (to_absolute matrix), driver.rb:115-119
+(empty path -> '/'). Pure Python — no Spark session needed."""
+
+from cloud_crawler_spark.functions.canon import (
+    canonicalize,
+    host_of,
+    path_of,
+    to_absolute,
+)
+
+
+class TestCanonicalize:
+    def test_https_to_http_and_lowercase(self):
+        # spec/redis_url_bloomfilter_spec.rb:42-44
+        assert canonicalize("https://www.google.com") == "http://www.google.com/"
+        assert canonicalize("https://WWW.Google.COM/") == "http://www.google.com/"
+
+    def test_cross_scheme_identity(self):
+        # visit https, look up http -> same key (spec :85-88)
+        assert canonicalize("https://www.example.com/a") == canonicalize(
+            "http://www.example.com/a"
+        )
+
+    def test_whitespace_squash(self):
+        # key_for gsub(/\s+/, ' ')
+        assert canonicalize("http://x.com/a  b\tc") == canonicalize("http://x.com/a b c")
+
+    def test_empty_path_becomes_slash(self):
+        # driver.rb:115-119 normalize_link
+        assert canonicalize("http://www.example.com") == "http://www.example.com/"
+
+    def test_fragment_stripped(self):
+        assert canonicalize("http://x.com/p#frag") == "http://x.com/p"
+        assert canonicalize("http://x.com/#top") == "http://x.com/"
+
+    def test_default_port_stripped(self):
+        assert canonicalize("http://x.com:80/p") == "http://x.com/p"
+        assert canonicalize("https://x.com:443/p") == "http://x.com/p"
+        assert canonicalize("http://x.com:8080/p") == "http://x.com:8080/p"
+
+    def test_query_params_sorted(self):
+        assert canonicalize("http://x.com/p?b=2&a=1") == "http://x.com/p?a=1&b=2"
+
+    def test_query_string_identity_preserved(self):
+        # spec/crawl_job_spec.rb:133-142: '1?foo=1' != '1'
+        assert canonicalize("http://x.com/1?foo=1") != canonicalize("http://x.com/1")
+
+    def test_none_and_empty(self):
+        assert canonicalize(None) is None
+        assert canonicalize("   ") is None
+
+
+class TestToAbsolute:
+    URL = "http://www.example.com/dir/page.html"
+
+    def test_identity_absolute(self):
+        # spec/page_spec.rb:164-170
+        assert to_absolute("http://other.com/x", self.URL) == "http://other.com/x"
+
+    def test_relative(self):
+        assert to_absolute("other.html", self.URL) == "http://www.example.com/dir/other.html"
+
+    def test_root_relative(self):
+        assert to_absolute("/root.html", self.URL) == "http://www.example.com/root.html"
+
+    def test_dotdot(self):
+        assert to_absolute("../up.html", self.URL) == "http://www.example.com/up.html"
+
+    def test_anchor_resolves_to_page(self):
+        # spec/page_spec.rb:149-155: '#top' -> the page URL, not %23
+        assert to_absolute("#top", self.URL) == self.URL
+
+    def test_base_href_wins(self):
+        # spec/page_spec.rb:186-202 + page.rb:217-225
+        assert (
+            to_absolute("x.html", self.URL, "http://base.example.com/bdir/")
+            == "http://base.example.com/bdir/x.html"
+        )
+
+    def test_empty_path_gets_slash(self):
+        assert to_absolute("http://www.example.com", self.URL) == "http://www.example.com/"
+
+    def test_non_http_scheme_rejected(self):
+        assert to_absolute("mailto:x@y.com", self.URL) is None
+        assert to_absolute("javascript:void(0)", self.URL) is None
+
+
+def test_host_and_path_helpers():
+    assert host_of("http://WWW.Example.com/p") == "www.example.com"
+    assert path_of("http://x.com/a/b?q=1") == "/a/b?q=1"
+    assert path_of("http://x.com") == "/"
