@@ -76,10 +76,14 @@ def build_bloom_filters(
         n = len(pdf)
         m = _bloom_params(n, bits_per_key)
         bits = np.zeros(m // 8, dtype=np.uint8)
-        h1 = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        # probe base = h2 (independent of the bucket id, which is h1 mod
+        # n_buckets — using h1 as base would constrain positions to a
+        # 1/n_buckets slice); step forced odd so it is coprime with the
+        # byte-aligned (even) m and the probe sequence doesn't degenerate
         h2 = pdf["url_hash2"].to_numpy(dtype=np.int64).view(np.uint64)
+        step = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64) | np.uint64(1)
         for i in range(num_hashes):
-            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            idx = (h2 + np.uint64(i) * step) % np.uint64(m)
             np.bitwise_or.at(bits, (idx // 8).astype(np.int64), (1 << (idx % 8)).astype(np.uint8))
         return pd.DataFrame(
             {
@@ -115,8 +119,8 @@ def bloom_maybe_seen(
         local = bc.value
         out = np.zeros(len(bucket), dtype=bool)
         b = bucket.to_numpy()
-        h1 = h1s.to_numpy(dtype=np.int64).view(np.uint64)
         h2 = h2s.to_numpy(dtype=np.int64).view(np.uint64)
+        step = h1s.to_numpy(dtype=np.int64).view(np.uint64) | np.uint64(1)
         for bk in np.unique(b):
             ent = local.get(int(bk))
             if ent is None:
@@ -126,7 +130,7 @@ def bloom_maybe_seen(
             sel = b == bk
             hit = np.ones(sel.sum(), dtype=bool)
             for i in range(num_hashes):
-                idx = (h1[sel] + np.uint64(i) * h2[sel]) % np.uint64(m)
+                idx = (h2[sel] + np.uint64(i) * step[sel]) % np.uint64(m)
                 hit &= (bits[(idx // 8).astype(np.int64)] & (1 << (idx % 8)).astype(np.uint8)) != 0
             out[sel] = hit
         return pd.Series(out)

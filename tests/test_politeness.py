@@ -1,0 +1,113 @@
+"""Politeness budgets, round slicing, deferred-row recovery, skew.
+Re-expresses batch slicing / job-limit semantics
+(spec/batch_job_spec.rb:115-259, FIXTURES.md scenarios 12 & 15)."""
+
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark import CrawlConfig, crawl
+from cloud_crawler_spark.operators.politeness import select_budget
+
+from tests.helpers import crawled_names, make_corpus, make_seeds
+
+FRONTIER_SCHEMA = (
+    "canon_url string, url string, host string, depth int, referer string, "
+    "priority double, round_added int, status string, parent_rank long, link_pos int"
+)
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+def _row(i, host="a.com", priority=0.0, depth=0):
+    u = f"http://{host}/p{i}"
+    return (u, u, host, depth, None, priority, 0, "pending", 0, i)
+
+
+def test_budget_selects_top_k_per_host(spark):
+    rows = [_row(i, "a.com") for i in range(10)] + [_row(i, "b.com") for i in range(3)]
+    selected, deferred = select_budget(_frontier(spark, rows), host_budget=4, batch_size=None)
+    sel = selected.groupBy("host").count().collect()
+    counts = {r["host"]: r["count"] for r in sel}
+    assert counts == {"a.com": 4, "b.com": 3}
+    assert deferred.count() == 6
+    # deterministic: lowest link_pos win
+    a_sel = {r["link_pos"] for r in selected.where("host='a.com'").collect()}
+    assert a_sel == {0, 1, 2, 3}
+
+
+def test_budget_priority_wins_over_position(spark):
+    rows = [_row(0, priority=0.0), _row(1, priority=5.0), _row(2, priority=1.0)]
+    selected, _ = select_budget(_frontier(spark, rows), host_budget=2, batch_size=None)
+    sel = {r["link_pos"] for r in selected.collect()}
+    assert sel == {1, 2}  # highest priority first
+
+
+def test_global_batch_cap(spark):
+    rows = [_row(i, f"h{i % 5}.com") for i in range(20)]
+    selected, deferred = select_budget(_frontier(spark, rows), host_budget=None, batch_size=7)
+    assert selected.count() == 7
+    assert deferred.count() == 13
+
+
+def test_salting_matches_unsalted_semantics(spark):
+    """Two-stage salted top-k == plain per-host top-k (hot-host skew,
+    FIXTURES.md scenario 15: 90% of rows on one host)."""
+    rows = [_row(i, "hot.com", priority=float(i % 7)) for i in range(180)] + [
+        _row(i, f"cold{i % 4}.com") for i in range(20)
+    ]
+    f = _frontier(spark, rows)
+    for salt in (1, 8):
+        sel, _ = select_budget(f, host_budget=5, batch_size=None, salt_buckets=salt)
+        got = sorted(
+            (r["host"], r["priority"], r["link_pos"]) for r in sel.collect()
+        )
+        if salt == 1:
+            want = got
+    assert got == want
+    hot = [g for g in got if g[0] == "hot.com"]
+    assert len(hot) == 5
+    assert all(p == 6.0 for _, p, _ in hot)  # top priority class wins
+
+
+def test_deferred_rows_recovered_in_later_rounds(spark):
+    """No-loss guarantee (spec/batch_job_spec.rb:226-259): deferred rows
+    are crawled in later rounds in rank order."""
+    graph = {str(i): {} for i in range(9)}
+    graph["0"] = {"links": [str(i) for i in range(1, 9)]}
+    corpus = make_corpus(spark, graph)
+    seeds = make_seeds(spark, ["http://www.example.com/0"])
+    cfg = CrawlConfig(host_budget=3)
+    res = crawl(spark, corpus, seeds, cfg)
+    # all 9 eventually crawled despite 3/host/round
+    assert crawled_names(res) == {str(i) for i in range(9)}
+    assert res.rounds >= 3
+    # every round obeyed the budget
+    per_round = res.crawled.groupBy("round").count().collect()
+    assert all(r["count"] <= 3 for r in per_round)
+    # deferred counted in lineage
+    assert res.lineage.agg(F.sum("deferred")).first()[0] > 0
+
+
+def test_fanout_tree_with_batch_cap(spark):
+    """FIXTURES.md scenario 12 (child_spawning_batch_job_spec.rb:28-37):
+    3-ary tree to depth 3 = 40 nodes/seed; batch_size=10 forces
+    multi-round slicing; every node still crawled exactly once."""
+    def children(name, d):
+        return [f"{name}{c}" for c in "abc"] if d < 3 else []
+
+    graph, todo = {}, [("n", 0)]
+    while todo:
+        name, d = todo.pop()
+        graph[name] = {"links": children(name, d)}
+        todo += [(c, d + 1) for c in children(name, d)]
+    corpus = make_corpus(spark, graph)
+    res = crawl(
+        spark, corpus, make_seeds(spark, ["http://www.example.com/n"]),
+        CrawlConfig(batch_size=10),
+    )
+    assert res.crawled.count() == 40  # 1 + 3 + 9 + 27
+    assert res.crawled.select("canon_url").distinct().count() == 40
+    per_round = res.crawled.groupBy("round").count().collect()
+    assert all(r["count"] <= 10 for r in per_round)
+    assert res.rounds >= 4
