@@ -1,0 +1,119 @@
+"""Multimodal columns: images/audio/video as opaque BINARY + typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, partitioning,
+mapInPandas batch shapes, UDF signatures. The actual media decode is
+STUBBED (image/audio libraries are not present in this environment):
+`decode_stub=True` produces deterministic fake features derived from
+the bytes (so tests pin exact values); `decode_stub=False` raises
+NotImplementedError at the decode site, marking exactly where a real
+decoder (PIL / torchaudio / pyav) plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),        # image | audio | video
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),      # nullable typed metadata
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes int, sha1 string, feature array<float>"
+)
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
+
+
+def _fake_feature(data: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake embedding: bytes -> sha1 -> fixed-dim floats."""
+    h = hashlib.sha1(data or b"").digest()
+    arr = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (arr % 1000 / 1000.0).astype(np.float32).tolist()
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction over media bytes.
+
+    Batch shape: the iterator yields pandas DataFrames of whole Arrow
+    record batches; each batch is processed vectorized. At cluster
+    scale, partition the media table by bucket(media_id) so batches are
+    size-balanced and decode parallelism is even.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/pyav — plug in here"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["bytes"].map(lambda b: len(b) if b is not None else 0),
+                    "sha1": pdf["bytes"].map(
+                        lambda b: hashlib.sha1(b or b"").hexdigest()
+                    ),
+                    "feature": pdf["bytes"].map(lambda b: _fake_feature(b, dim)),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(gen, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4,
+                  decode_stub: bool = True) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame.
+
+    The stub slices the raw bytes at fixed offsets (deterministic); a
+    real implementation decodes the container and samples keyframes.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real frame decode requires pyav")
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                data = data or b""
+                for i in range(min(max_frames, max(len(data) // every_n_bytes, 1))):
+                    rows.append(
+                        (mid, i, data[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+
+    return media.where(F.col("kind") == "video").mapInPandas(gen, FRAME_SCHEMA)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (no wall clock, no RNG)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = (f"media-{i}-".encode() * (i % 7 + 1))[: 32 + i]
+        rows.append(
+            (
+                i, kind, payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 if kind == "image" else None,
+                48 if kind == "image" else None,
+                1000 * (i % 9) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,239 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All of these are built from built-in DataFrame ops (JVM-side) so they
+survive 100 TB inputs: hashing via md5/xxhash64, per-document work via
+higher-order array functions, candidate generation via equi-joins on
+hash buckets (shuffle on a short key, never a cross join).
+
+Hash choice: md5 (not xxhash64) wherever an external SQL oracle must
+reproduce the value — md5 is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def norm_tokens(col):
+    """Lowercased whitespace tokens, empties removed, first-occurrence
+    set semantics via array_distinct (order-preserving)."""
+    return F.array_distinct(F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != ""))
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate collapse: keep the min-id representative per
+    identical text (hash-groupBy; the md5 key keeps the shuffle narrow
+    — 32 bytes instead of the document body)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "text_hash", "n_copies")
+    )
+
+
+# ------------------------------------------------------------ MinHash/LSH
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 8) -> DataFrame:
+    """k-permutation MinHash over the token set.
+
+    hash_i(tok) = md5(i || ':' || tok); signature_i = min over tokens.
+    String min == lexicographic min of the hex digest — deterministic
+    and reproducible in any engine with md5 (the DuckDB oracle).
+    """
+    toks = norm_tokens(F.col(text_col))
+
+    # NB: a two-parameter lambda would make F.transform pass the array
+    # INDEX as the second arg — use a factory to close over i safely
+    def _hasher(i: int):
+        return lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))
+
+    sigs = [
+        F.array_min(F.transform(toks, _hasher(i))).alias(f"mh{i}") for i in range(k)
+    ]
+    return df.select(F.col(id_col), *sigs)
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 8, bands: int = 4) -> DataFrame:
+    """MinHash-LSH banding: signature split into `bands` bands of k/bands
+    rows; docs sharing any band bucket become a candidate pair.
+
+    Candidate generation is a self equi-join on (band_id, band_key) —
+    a shuffle on a 2-col key. Returns (doc_a, doc_b, band_id) distinct
+    pairs with doc_a < doc_b.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signature(df, text_col, id_col, k)
+    band_cols = [
+        F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    a = stacked.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
+    b = stacked.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "band_id")
+        .distinct()
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 8, bands: int = 4, threshold: float = 0.8) -> DataFrame:
+    """Candidate pairs verified by true token-set Jaccard >= threshold."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k, bands).select("doc_a", "doc_b").distinct()
+    toks = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("toks"))
+    j = (
+        pairs.join(toks.withColumnRenamed(id_col, "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed(id_col, "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+        .withColumn("jaccard", _jaccard(F.col("toks_a"), F.col("toks_b")))
+    )
+    return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def _jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+
+def char_shingles(col, n: int = 3):
+    """Distinct character n-gram shingles of a string column — built-in
+    sequence+transform+substr, no UDF."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0))),
+            lambda i: col.substr(i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_consecutive(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Character n-gram shingle Jaccard between consecutive doc ids."""
+    grams = df.select(F.col(id_col), char_shingles(F.col(text_col), n).alias("g"))
+    a = grams.select(F.col(id_col).alias("doc_a"), F.col("g").alias("g_a"))
+    b = grams.select((F.col(id_col) - 1).alias("doc_a"), F.col("g").alias("g_b"),
+                     F.col(id_col).alias("doc_b"))
+    return a.join(b, "doc_a").select(
+        "doc_a", "doc_b",
+        F.round(_jaccard(F.col("g_a"), F.col("g_b")), 6).alias("ngram_jaccard"),
+    )
+
+
+def token_jaccard_consecutive(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Token-set Jaccard between consecutive doc ids (a cheap, fully
+    SQL-expressible near-dup screen used as the oracle-checked slice of
+    the n-gram/Jaccard machinery)."""
+    toks = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("toks"))
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select((F.col(id_col) - 1).alias("doc_a"), F.col("toks").alias("toks_b"),
+                    F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "doc_a")
+        .select("doc_a", "doc_b",
+                F.round(_jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------ SimHash
+
+
+def simhash16(col):
+    """16-bit SimHash over the token set, reproducible in ANSI SQL.
+
+    Bit j weight = sum over distinct tokens of +-1 depending on the
+    j-th hex char of md5(token) (>= '8' => +1). Bit set iff weight > 0.
+    """
+    toks = norm_tokens(col)
+
+    def _bit_weight(j: int):
+        # factory, not a default-arg lambda: F.aggregate's merge fn must
+        # take exactly (acc, element)
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), j + 1, 1).isin(*"89abcdef"), 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(16):
+        w = F.aggregate(toks, F.lit(0), _bit_weight(j))
+        bits.append(F.when(w > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup: bucket by simhash value (exact match) plus
+    verify Hamming distance for half-key collisions."""
+    sh = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    # two half-keys: near-dups within hamming<=2 share at least one half
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
+                  (F.col("simhash") % 256).alias("half"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
+                  (F.col("simhash") % 256).alias("half"))
+    lo = a.join(b, "half").where(F.col("doc_a") < F.col("doc_b"))
+    a2 = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
+                   (F.col("simhash") / 256).cast("int").alias("half"))
+    b2 = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
+                   (F.col("simhash") / 256).cast("int").alias("half"))
+    hi = a2.join(b2, "half").where(F.col("doc_a") < F.col("doc_b"))
+    cand = lo.unionByName(hi).select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(hamming <= max_hamming).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )
+
+
+# ------------------------------------------------------------ embeddings
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float/double> columns —
+    built-in zip_with/aggregate, no Python."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                        threshold: float = 0.95, max_id: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Test-scale path: bounded
+    self-join; scale path: pre-bucket by sign-LSH (see similarity.py)."""
+    base = df if max_id is None else df.where(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine(
+        F.transform("va", lambda x: x.cast("double")),
+        F.transform("vb", lambda x: x.cast("double")),
+    )
+    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
+    )

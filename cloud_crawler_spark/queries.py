@@ -1,0 +1,664 @@
+"""The driver-contract query registry: queries() + oracle_sql().
+
+Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL
+string DuckDB runs on the same parquet tables (views: region nation
+customer supplier part orders lineitem events documents embeddings).
+Column names/aliases match EXACTLY between the two sides; integer
+outputs are cast to BIGINT on both sides; doubles are rounded so
+cross-engine float drift cannot flip the value hash.
+
+Coverage maps to SURVEY.md §2 (crawl operators re-expressed over the
+TPC-H-ish tables where SQL-expressible) plus the training-data
+pipeline operators (dedup/minhash/simhash/jaccard/ANN/text-analysis).
+Non-SQL-expressible ops (LSH-ANN recall path, multimodal mapInPandas,
+the full crawl driver loop) ship without an oracle -> rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark.functions import text as TX
+from cloud_crawler_spark.operators import dedup as DD
+from cloud_crawler_spark.operators import similarity as SIM
+
+_Q: dict = {}
+_ORACLE: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        _Q[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ======================================================================
+# 1. Crawl-semantic operators over the TPC-H-ish tables
+# ======================================================================
+
+
+@_register(
+    "q_word_count",
+    """
+    SELECT token, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_word_count(spark, sf_dir):
+    """A2 word count (examples/word_count.rb:57-75): explode+count."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "q_seen_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_seen_anti_join(spark, sf_dir):
+    """F6/D2 not-visited gate as LEFT ANTI join (customers w/o orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_register(
+    "q_depth_gate",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity < 10
+    """,
+)
+def q_depth_gate(spark, sf_dir):
+    """F5 too_deep? as a pushed-down filter."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@_register(
+    "q_domain_gate",
+    """
+    SELECT n.n_name, count(*)::BIGINT AS n_colocated
+    FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_domain_gate(spark, sf_dir):
+    """F4 in_domain? as host-equality join (same-nation pairs)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_colocated"))
+    )
+
+
+@_register(
+    "q_politeness_topk",
+    """
+    SELECT o_custkey, o_orderkey, host_rank FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS host_rank
+      FROM orders)
+    WHERE host_rank <= 3
+    """,
+)
+def q_politeness_topk(spark, sf_dir):
+    """O2 per-host budget as window top-k (top-3 orders per customer)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "host_rank")
+    )
+
+
+@_register(
+    "q_error_report",
+    """
+    SELECT event_id, user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q_error_report(spark, sf_dir):
+    """A4 404-report analog: collect error events."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select("event_id", "user_id")
+    )
+
+
+@_register(
+    "q_lineage_counts",
+    """
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_lineage_counts(spark, sf_dir):
+    """A1 shared counters as groupBy aggregation."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@_register(
+    "q_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    """Windowed rollup (tumbling hour) — streaming-agg shape in batch."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "q_url_canon",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             replace(replace(lower('HTTPS://Host' || (doc_id % 7) || '.Example.COM:443/P' || doc_id
+                                   || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END),
+                             'https://', 'http://'),
+                     ':443/', '/'),
+             '#.*$', '') AS canon_url
+    FROM documents
+    """,
+)
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization parity on a constructed URL family: the
+    pandas-UDF canon must equal an independent SQL formulation
+    (https->http, lowercase, default-port and fragment strip)."""
+    from cloud_crawler_spark.functions.canon import canon_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://Host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/P"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", canon_udf(url).alias("canon_url"))
+
+
+# ======================================================================
+# 2. Deduplication / similarity (training-data pipeline)
+# ======================================================================
+
+
+@_register(
+    "q_dedup_exact",
+    """
+    SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS text_hash,
+           count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_K = 4
+_MH_SQL_COLS = ",\n".join(
+    f"""list_min(list_transform(toks, t -> md5('{i}:' || t))) AS mh{i}"""
+    for i in range(_MINHASH_K)
+)
+
+
+@_register(
+    "q_minhash_sig",
+    f"""
+    SELECT doc_id, {_MH_SQL_COLS}
+    FROM (SELECT doc_id,
+                 list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                           t -> t <> '')) AS toks
+          FROM documents)
+    """,
+)
+def q_minhash_sig(spark, sf_dir):
+    return DD.minhash_signature(_t(spark, sf_dir, "documents"), k=_MINHASH_K)
+
+
+@_register(
+    "q_lsh_pairs",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, {_MH_SQL_COLS}
+      FROM (SELECT doc_id,
+                   list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             t -> t <> '')) AS toks
+            FROM documents)),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_id::BIGINT AS band_id
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_pairs(spark, sf_dir):
+    pairs = DD.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=_MINHASH_K, bands=2
+    )
+    return pairs.select("doc_a", "doc_b", F.col("band_id").cast("long").alias("band_id"))
+
+
+@_register(
+    "q_token_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                               t -> t <> '')) AS toks
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, b.toks))
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_token_jaccard(spark, sf_dir):
+    return DD.token_jaccard_consecutive(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct([substr(text, i, 3)
+                            for i in range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.g, b.g))
+                 / len(list_distinct(list_concat(a.g, b.g))), 6) AS ngram_jaccard
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_consecutive(_t(spark, sf_dir, "documents"), n=3)
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"""(CASE WHEN list_sum(list_transform(toks,
+         t -> CASE WHEN substr(md5(t), {j + 1}, 1) IN
+              ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+         THEN {1 << j} ELSE 0 END)"""
+    for j in range(16)
+)
+
+
+@_register(
+    "q_simhash",
+    f"""
+    SELECT doc_id, ({_SIMHASH_BITS_SQL})::BIGINT AS simhash
+    FROM (SELECT doc_id,
+                 list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                           t -> t <> '')) AS toks
+          FROM documents)
+    """,
+)
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", DD.simhash16(F.col("text")).cast("long").alias("simhash"))
+
+
+@_register(
+    "q_embed_neardup",
+    """
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+    FROM a x JOIN a y ON x.vec_id < y.vec_id
+    WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.3
+    """,
+)
+def q_embed_neardup(spark, sf_dir):
+    return DD.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, max_id=100
+    )
+
+
+@_register(
+    "q_knn_brute",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      FROM q JOIN c ON q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, knn_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+      FROM scored)
+    WHERE knn_rank <= 5
+    """,
+)
+def q_knn_brute(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = SIM.brute_force_knn(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("knn_rank").cast("int"))
+
+
+# rows-only (no SQL oracle): approximate ANN path
+@_register("q_knn_lsh", None)
+def q_knn_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return SIM.lsh_knn(emb, queries, k=5, n_planes=6)
+
+
+# ======================================================================
+# 3. Text analysis
+# ======================================================================
+
+
+@_register(
+    "q_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@_register(
+    "q_quality_score",
+    """
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_meas,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::BIGINT AS n_punct,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+               t -> list_contains(['the','and','of','to','in','is','that','it','for','was'], t)))::BIGINT
+             AS n_stopwords,
+           round(length(text) / greatest(
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')), 1), 4)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats[0].cast("long").alias("n_chars_meas"),
+        feats[1].cast("long").alias("n_tokens"),
+        feats[2].cast("long").alias("n_punct"),
+        feats[3].cast("long").alias("n_stopwords"),
+        feats[4],
+    )
+
+
+_LANG_HITS_SQL = {
+    lang: (
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], t)))"
+    )
+    for lang, words in TX.STOPWORDS.items()
+}
+
+
+@_register(
+    "q_lang_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_LANG_HITS_SQL['en']} AS h_en,
+             {_LANG_HITS_SQL['de']} AS h_de,
+             {_LANG_HITS_SQL['fr']} AS h_fr,
+             {_LANG_HITS_SQL['es']} AS h_es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM h
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_register(
+    "q_fingerprint",
+    """
+    SELECT doc_id,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+             AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ======================================================================
+# 4. Classic relational coverage (agg/join/sort pipelines)
+# ======================================================================
+
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    """,
+)
+def q03_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@_register(
+    "q05_local_supplier_volume",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q05_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# ======================================================================
+# 5. End-to-end crawl with a recursive-CTE oracle
+# ======================================================================
+
+_CRAWL_DEPTH = 5
+
+
+def _synthetic_web_from_documents(spark, sf_dir):
+    """Corpus of exactly the input_hint shape derived from `documents`:
+    page i links to (3i+1) mod N and (7i+3) mod N on one host."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    l1 = (F.col("doc_id") * 3 + 1) % n
+    l2 = (F.col("doc_id") * 7 + 3) % n
+    html = F.concat(
+        F.lit('<html><body><a href="/p'), l1.cast("string"),
+        F.lit('">a</a><a href="/p'), l2.cast("string"),
+        F.lit('">b</a></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://ex.com/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2013-04-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit("ab").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return pages
+
+
+@_register(
+    "q_crawl_bfs",
+    f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+    reach(id, depth) AS (
+      SELECT 0::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH})
+    SELECT 'http://ex.com/p' || id AS canon_url, min(depth)::BIGINT AS depth
+    FROM reach GROUP BY id
+    """,
+)
+def q_crawl_bfs(spark, sf_dir):
+    """THE flagship: full BFS crawl (frontier rounds, seen set, parse,
+    gates) against an arithmetic link graph; the oracle is a recursive
+    CTE computing min-depth reachability — crawl first-discovery depth
+    must equal BFS depth for every reached URL."""
+    from cloud_crawler_spark import CrawlConfig, crawl
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    seeds = spark.createDataFrame([("http://ex.com/p0", 0.0)], "url string, priority double")
+    res = crawl(spark, corpus, seeds, CrawlConfig(depth_limit=_CRAWL_DEPTH))
+    return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
+
+
+# rows-only: multimodal plumbing (mapInPandas feature extraction)
+@_register("q_multimodal_features", None)
+def q_multimodal_features(spark, sf_dir):
+    from cloud_crawler_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("bytes"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return extract_features(media, decode_stub=True)
+
+
+# ----------------------------------------------------------------------
+
+
+def queries():
+    return dict(_Q)
+
+
+def oracle_sql():
+    return dict(_ORACLE)
