@@ -54,49 +54,46 @@ def select_budget(
     """
     if host_budget is None and batch_size is None:
         # no budgets: everything pending is selected, nothing deferred —
-        # skip the windows AND the deferred anti-join entirely
+        # skip the windows entirely
         empty = frontier.sparkSession.createDataFrame([], frontier.schema)
         return frontier, empty
 
-    df = frontier
-    selected = df
+    cols = frontier.columns
+    deferred_parts = []
+    selected = frontier
 
     if host_budget is not None:
-        salted = df.withColumn(
+        salted = selected.withColumn(
             "_salt", F.pmod(F.xxhash64("canon_url"), F.lit(salt_buckets))
         )
         w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols())
-        stage1 = (
-            salted.withColumn("_r1", F.row_number().over(w1))
-            .where(F.col("_r1") <= host_budget)
-            .drop("_r1")
-        )
+        stage1 = salted.withColumn("_r1", F.row_number().over(w1))
+        deferred_parts.append(stage1.where(F.col("_r1") > host_budget).select(*cols))
         w2 = Window.partitionBy("host").orderBy(*order_cols())
-        selected = (
-            stage1.withColumn("_r2", F.row_number().over(w2))
-            .where(F.col("_r2") <= host_budget)
-            .drop("_r2", "_salt")
+        stage2 = (
+            stage1.where(F.col("_r1") <= host_budget)
+            .withColumn("_r2", F.row_number().over(w2))
         )
+        deferred_parts.append(stage2.where(F.col("_r2") > host_budget).select(*cols))
+        selected = stage2.where(F.col("_r2") <= host_budget).select(*cols)
 
     if batch_size is not None:
-        # global cap: per-host winners compete on the same order keys.
-        # Two-stage again: top batch_size per host-bucket, then global.
+        # global cap: two-stage again — top batch_size per host-bucket,
+        # then a single bounded global window
         wb = Window.partitionBy(F.pmod(F.xxhash64("host"), F.lit(64))).orderBy(
             *order_cols()
         )
-        pre = (
-            selected.withColumn("_rb", F.row_number().over(wb))
-            .where(F.col("_rb") <= batch_size)
-            .drop("_rb")
-        )
+        b1 = selected.withColumn("_rb", F.row_number().over(wb))
+        deferred_parts.append(b1.where(F.col("_rb") > batch_size).select(*cols))
         wg = Window.partitionBy().orderBy(*order_cols())
-        selected = (
-            pre.withColumn("_rg", F.row_number().over(wg))
-            .where(F.col("_rg") <= batch_size)
-            .drop("_rg")
+        b2 = (
+            b1.where(F.col("_rb") <= batch_size)
+            .withColumn("_rg", F.row_number().over(wg))
         )
+        deferred_parts.append(b2.where(F.col("_rg") > batch_size).select(*cols))
+        selected = b2.where(F.col("_rg") <= batch_size).select(*cols)
 
-    deferred = frontier.join(
-        selected.select("canon_url"), on="canon_url", how="left_anti"
-    )
+    deferred = deferred_parts[0]
+    for p in deferred_parts[1:]:
+        deferred = deferred.unionByName(p)
     return selected, deferred

@@ -41,8 +41,9 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame | None, canon_col: str
     """Exact not-visited gate (F6/D2): LEFT ANTI on canon_url."""
     if seen is None or len(seen.columns) == 0:
         return candidates
+    # anti-join semantics don't need a distinct build side
     return candidates.join(
-        seen.select(F.col(canon_col)).distinct(), on=canon_col, how="left_anti"
+        seen.select(F.col(canon_col)), on=canon_col, how="left_anti"
     )
 
 

@@ -78,7 +78,9 @@ class Crawler:
         self.corpus = corpus
         self.config = config or CrawlConfig()
         self.store = store
-        self.robots_rules = robots_ops.build_rules(spark, corpus.robots)
+        rules = robots_ops.build_rules(spark, corpus.robots)
+        # None when empty => the per-round robots gate is skipped outright
+        self.robots_rules = None if rules.isEmpty() else rules.cache()
 
     # ------------------------------------------------------------ run
     def run(
@@ -143,22 +145,37 @@ class Crawler:
             # the round boundary. Without it the iterative loop's plan
             # nests a copy of every previous round — analysis time and
             # driver heap grow exponentially with round count.
+            import os as _os, time as _time
+            _dbg = _os.environ.get("SPARK_CRAWL_DEBUG") == "1"
+            _t = _time.time()
             crawled = res.crawled.localCheckpoint(eager=True)
+            if _dbg:
+                print(f"  [round {rnd}] ckpt crawled: {_time.time()-_t:.2f}s", flush=True); _t=_time.time()
             next_frontier = res.next_frontier.localCheckpoint(eager=True)
+            if _dbg:
+                print(f"  [round {rnd}] ckpt frontier: {_time.time()-_t:.2f}s", flush=True); _t=_time.time()
             n_crawled = crawled.count()
             n_pending = next_frontier.where(F.col("status") == "pending").count()
+            if _dbg:
+                print(f"  [round {rnd}] counts: {_time.time()-_t:.2f}s", flush=True)
+            # derive newly_seen from the CHECKPOINTED crawled — deriving
+            # it from res.crawled would recompute the round pipeline
+            newly_seen = crawled.select("canon_url").distinct()
 
             next_rank += res.n_selected
             if self.store is not None:
                 self.store.commit_round(
-                    rnd, crawled, res.newly_seen, next_frontier, res.lineage,
+                    rnd, crawled, newly_seen, next_frontier, res.lineage,
                     stats={"next_rank": next_rank, "crawled": n_crawled},
                 )
             crawled_parts.append(crawled)
             lineage_parts.append(res.lineage)
             stats.append({"round": rnd, "selected": res.n_selected, "crawled": n_crawled})
 
-            seen = seen.unionByName(res.newly_seen).distinct().localCheckpoint(eager=True)
+            # no distinct needed across rounds: `seen` stays
+            # duplicate-free by construction (a seen URL is never
+            # crawled again, and newly_seen is distinct within its round)
+            seen = seen.unionByName(newly_seen).localCheckpoint(eager=True)
             seen_nonempty = seen_nonempty or n_crawled > 0
             frontier = next_frontier
             rnd += 1

@@ -22,6 +22,8 @@ filter-pushdown-friendly.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -71,8 +73,9 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig) -> DataFram
     current = selected.withColumn("_orig_host", F.col("host"))
     stored_parts: list[DataFrame] = []
     # bounded-loop shortcut: with no redirect rows at all, the chain
-    # can't extend, so one hop suffices (keeps the plan shallow)
-    any_redirects = not corpus.redirects.isEmpty()
+    # can't extend, so one hop suffices (keeps the plan shallow);
+    # computed once per crawl (Corpus caches it), not per round
+    any_redirects = corpus.has_redirects()
 
     for hop in range(config.redirect_limit + 1):
         j = current.join(
@@ -247,6 +250,16 @@ def run_round(
     seen anti-join (batch_curl_job.rb:55-93 has neither).
     `seen_nonempty=False` (driver knows the seen set is empty) skips
     the anti-join / bloom machinery for round 0."""
+    dbg = os.environ.get("SPARK_CRAWL_DEBUG") == "1"
+    t0 = time.time()
+
+    def _tick(label):
+        nonlocal t0
+        if dbg:
+            now = time.time()
+            print(f"  [round {round_no}] {label}: {now - t0:.2f}s", flush=True)
+            t0 = now
+
     pending = frontier.where(F.col("status") == "pending")
 
     selected, deferred = select_budget(
@@ -268,6 +281,7 @@ def run_round(
 
     selected = selected.cache()
     n_selected = selected.count()
+    _tick(f"select+gate n={n_selected}")
 
     # O1: deterministic global crawl rank
     ranked = with_global_rank(
@@ -281,6 +295,9 @@ def run_round(
 
     fetched = _fetch(ranked, corpus, config)
     parsed = with_parsed(fetched, "html").cache()
+    if dbg:
+        parsed.count()
+        _tick("fetch+parse")
 
     crawled = parsed.select(
         "url", "canon_url", "host", "code", "depth", "referer", "redirect_to",
@@ -302,9 +319,12 @@ def run_round(
         if dedup_gate and seen is not None and seen_nonempty:
             gate = gate.unionByName(seen.select("canon_url"))
         # one pass for both the gating and the dedup accounting: left
-        # join a flag instead of (count, anti-join, count)
+        # join a flag instead of (count, anti-join, count). The gate
+        # union may hold duplicate keys — dropDuplicates on the (small)
+        # gate side, NOT a full distinct of children
         flagged = children.join(
-            gate.distinct().withColumn("_dup", F.lit(True)), "canon_url", "left"
+            gate.dropDuplicates(["canon_url"]).withColumn("_dup", F.lit(True)),
+            "canon_url", "left",
         ).cache()
         counts = {
             bool(r["dup"]): r["cnt"]
@@ -312,6 +332,7 @@ def run_round(
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
+        _tick(f"expand+gate children={sum(counts.values())}")
         n_deduped = counts.get(True, 0)
         children = flagged.where(F.col("_dup").isNull()).select(
             "canon_url", "url", "host", "depth", "referer", "priority",

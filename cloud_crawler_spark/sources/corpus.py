@@ -47,6 +47,12 @@ class Corpus:
     pages: DataFrame          # canon_url, host, url, warc_ts, html, text, lang
     redirects: DataFrame      # canon_url, redirect_to, code
     robots: DataFrame | None  # host, body
+    _has_redirects: bool | None = None
+
+    def has_redirects(self) -> bool:
+        if self._has_redirects is None:
+            self._has_redirects = not self.redirects.isEmpty()
+        return self._has_redirects
 
 
 def prepare_corpus(

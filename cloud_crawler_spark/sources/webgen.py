@@ -23,11 +23,33 @@ from pyspark.sql import functions as F
 _EPOCH = "2013-04-01 00:00:00"  # fixed epoch; warc_ts = epoch + row index sec
 
 
-def _host_expr(page_id, n_hosts: int, hot_host_frac: float):
-    """Host assignment; `hot_host_frac` of pages land on host0 (skew)."""
-    h = F.pmod(F.xxhash64(F.lit(7), page_id), F.lit(10_000)) / 10_000.0
-    bucket = F.pmod(F.xxhash64(F.lit(11), page_id), F.lit(max(n_hosts - 1, 1))) + 1
-    return F.when(h < hot_host_frac, F.lit(0)).otherwise(bucket)
+def _layout(n_pages: int, n_hosts: int, hot_host_frac: float):
+    """Closed-form host layout so any executor can both (a) compute the
+    host of page i and (b) enumerate the pages of a host — which makes
+    every generated same-host link RESOLVE to a real page.
+
+    Pages [0, hot) live on host 0 (the hot host, `hot_host_frac` of the
+    corpus); page i >= hot lives on host 1 + (i - hot) % (n_hosts - 1).
+    """
+    hot = int(n_pages * hot_host_frac)
+    cold_hosts = max(n_hosts - 1, 1)
+    return hot, cold_hosts
+
+
+def _host_expr(page_id, n_pages: int, n_hosts: int, hot_host_frac: float):
+    hot, cold_hosts = _layout(n_pages, n_hosts, hot_host_frac)
+    return F.when(page_id < hot, F.lit(0)).otherwise(
+        1 + F.pmod(page_id - hot, F.lit(cold_hosts))
+    )
+
+
+def _same_host_target(page_id, hostid, rnd, n_pages: int, n_hosts: int, hot_host_frac: float):
+    """A pseudo-random page id guaranteed to live on `hostid`."""
+    hot, cold_hosts = _layout(n_pages, n_hosts, hot_host_frac)
+    per_cold = max((n_pages - hot) // cold_hosts, 1)
+    on_hot = F.pmod(rnd, F.lit(max(hot, 1)))
+    on_cold = hot + (hostid - 1) + F.pmod(rnd, F.lit(per_cold)) * cold_hosts
+    return F.when(F.lit(hot) > 0, F.when(hostid == 0, on_hot).otherwise(on_cold)).otherwise(on_cold)
 
 
 def synth_pages(
@@ -47,19 +69,27 @@ def synth_pages(
     """
     parts = partitions or spark.sparkContext.defaultParallelism
     ids = spark.range(0, n_pages, 1, parts).withColumnRenamed("id", "pid")
-    ids = ids.withColumn("hostid", _host_expr(F.col("pid"), n_hosts, hot_host_frac))
+    ids = ids.withColumn(
+        "hostid", _host_expr(F.col("pid"), n_pages, n_hosts, hot_host_frac)
+    )
     url = F.concat(
         F.lit("http://host"), F.col("hostid").cast("string"),
         F.lit(".example.com/p"), F.col("pid").cast("string"),
     )
 
-    # deterministic link targets: j-th link of page i
+    # deterministic link targets: j-th link of page i; 3 of 4 links stay
+    # on the SAME host (picked from that host's page set so they
+    # resolve), 1 of 4 jumps to a uniform page on its actual host
     link_exprs = []
     for j in range(links_per_page):
-        tgt = F.pmod(F.xxhash64(F.lit(seed), F.col("pid"), F.lit(j)), F.lit(n_pages))
+        rnd = F.pmod(F.xxhash64(F.lit(seed), F.col("pid"), F.lit(j)), F.lit(n_pages))
         same_host = F.pmod(F.xxhash64(F.lit(seed + 1), F.col("pid"), F.lit(j)), F.lit(4)) < 3
+        tgt_same = _same_host_target(
+            F.col("pid"), F.col("hostid"), rnd, n_pages, n_hosts, hot_host_frac
+        )
+        tgt = F.when(same_host, tgt_same).otherwise(rnd)
         tgt_host = F.when(same_host, F.col("hostid")).otherwise(
-            _host_expr(tgt, n_hosts, hot_host_frac)
+            _host_expr(rnd, n_pages, n_hosts, hot_host_frac)
         )
         link_exprs.append(
             F.concat(
@@ -107,9 +137,15 @@ def synth_pages(
     )
 
 
-def synth_seeds(spark: SparkSession, n_seeds: int, n_hosts: int = 100, hot_host_frac: float = 0.0) -> DataFrame:
-    ids = spark.range(0, n_seeds).withColumnRenamed("id", "pid")
-    ids = ids.withColumn("hostid", _host_expr(F.col("pid"), n_hosts, hot_host_frac))
+def synth_seeds(spark: SparkSession, n_seeds: int, n_pages: int, n_hosts: int = 100,
+                hot_host_frac: float = 0.0) -> DataFrame:
+    """Seeds spread across the page space (stride keeps them off a
+    single host block)."""
+    stride = max(n_pages // max(n_seeds, 1), 1)
+    ids = spark.range(0, n_seeds).select((F.col("id") * stride).alias("pid"))
+    ids = ids.withColumn(
+        "hostid", _host_expr(F.col("pid"), n_pages, n_hosts, hot_host_frac)
+    )
     return ids.select(
         F.concat(
             F.lit("http://host"), F.col("hostid").cast("string"),

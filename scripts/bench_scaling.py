@@ -1,0 +1,86 @@
+"""N vs 4N scaling evidence (BASELINE.json criterion).
+
+No real multi-executor cluster exists in this sandbox, so the agreed
+protocol (BASELINE.md) is: run the IDENTICAL crawl job at local[8] and
+local[32] on the same deterministic input, report frontier URLs/sec at
+both, and efficiency = (rate_32 / rate_8) / 4. Each run is a separate
+subprocess (one JVM per master setting). Results land in
+BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [n_pages] [out_md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from bench import build_spark, crawl_bench
+
+cpus = int(sys.argv[1])
+n_pages = int(sys.argv[2])
+spark = build_spark(cpus, app=f"scaling_{{cpus}}")
+spark.sparkContext.setLogLevel("ERROR")
+sf = n_pages / 2_000_000
+stats = crawl_bench(spark, sf, cpus)
+print("SCALING_JSON " + json.dumps(stats))
+"""
+
+
+def run_at(cpus: int, n_pages: int) -> dict:
+    code = RUNNER.format(repo=REPO)
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-u", "-c", code, str(cpus), str(n_pages)],
+        capture_output=True, text=True, env=env, timeout=3000,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SCALING_JSON "):
+            return json.loads(line[len("SCALING_JSON "):])
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+    raise RuntimeError(f"no result from local[{cpus}] run")
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH", "BASELINE.md")
+
+    r8 = run_at(8, n_pages)
+    r32 = run_at(32, n_pages)
+    rate8, rate32 = r8["crawl_urls_per_sec"], r32["crawl_urls_per_sec"]
+    eff = round((rate32 / rate8) / 4, 3)
+
+    os.makedirs(os.path.dirname(out_md), exist_ok=True)
+    with open(out_md, "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured crawl throughput & scaling
+
+Protocol (per BASELINE.md): identical BFS crawl job (deterministic
+synthetic web, seed-derived, {n_pages:,} pages, 8 links/page, 20%
+hot-host skew, per-host politeness budgets, depth limit 3) at two
+local parallelism levels — the sandbox proxy for N vs 4N executors.
+
+| config | corpus pages | URLs processed | rounds | wall sec | URLs/sec |
+|---|---|---|---|---|---|
+| local[8]  (N)  | {n_pages:,} | {r8['crawl_urls_processed']:,} | {r8['crawl_rounds']} | {r8['crawl_sec']} | {rate8:,} |
+| local[32] (4N) | {n_pages:,} | {r32['crawl_urls_processed']:,} | {r32['crawl_rounds']} | {r32['crawl_sec']} | {rate32:,} |
+
+**Scaling efficiency (rate_4N / rate_N) / 4 = {eff}** (target >= 0.8)
+
+Caveats: local mode shares one JVM and one disk for shuffle; real
+multi-executor scaling additionally pays network shuffle but gains
+independent memory/IO lanes. The crawl's per-round driver barrier is
+the main serial fraction; it amortizes with round size (Gustafson
+scaling) — the hot-host budget + salting keeps round sizes balanced.
+""")
+    print(json.dumps({"rate8": rate8, "rate32": rate32, "efficiency": eff}))
+
+
+if __name__ == "__main__":
+    main()
