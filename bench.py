@@ -79,14 +79,14 @@ def crawl_bench(spark, sf: float, cpus: int) -> dict:
     corpus.pages.count()  # materialize the corpus before timing the crawl
     seeds = synth_seeds(spark, 200, n_pages, n_hosts=n_hosts, hot_host_frac=0.2)
     cfg = CrawlConfig(
-        depth_limit=3,
+        depth_limit=4,
         batch_size=None,
         # politeness on but generous (4x the mean host size) so the
         # depth limit — not the budget — bounds the run; the hot host
         # still gets capped and salted
         host_budget=max(n_pages // n_hosts, 50) * 4,
         salt_buckets=8,
-        max_rounds=8,
+        max_rounds=10,
     )
     t0 = time.time()
     res = crawl(spark, corpus, seeds, cfg)

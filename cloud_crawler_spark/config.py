@@ -59,6 +59,10 @@ class CrawlConfig:
     page_hook: Optional[Callable] = None
 
     # ---- scale knobs (ours, not the reference's) ----
+    broadcast_fetch_rows: int = 1_000_000      # rounds up to this many URLs broadcast
+                                               # the frontier slice into the corpus
+                                               # scan (no corpus shuffle); larger
+                                               # rounds use a shuffle join
     n_host_buckets: int = 64                   # frontier partitioning: bucket(host)
     salt_buckets: int = 8                      # hot-host salting fan-out for budget top-k
     use_bloom: bool = False                    # probe partitioned Bloom before exact anti-join

@@ -150,8 +150,56 @@ def absolutize_udf(hrefs: pd.Series, page_urls: pd.Series, base_hrefs: pd.Series
     return pd.Series(out, dtype="object")
 
 
+_RESOLVED_TYPE = T.StructType(
+    [
+        T.StructField("abs_url", T.StringType()),
+        T.StructField("canon_url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("path", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(_RESOLVED_TYPE)
+def resolve_link_udf(hrefs: pd.Series, page_urls: pd.Series, base_hrefs: pd.Series) -> pd.DataFrame:
+    """FUSED hot-path UDF: absolutize + canonicalize + host + path in a
+    single Arrow round trip (chaining four scalar UDFs would serialize
+    the batch through Python four times)."""
+    abs_urls, canons, hosts, paths = [], [], [], []
+    for h, p, b in zip(hrefs, page_urls, base_hrefs):
+        a = (
+            to_absolute(h, p, b if isinstance(b, str) and b else None)
+            if isinstance(h, str) and isinstance(p, str)
+            else None
+        )
+        c = canonicalize(a) if a else None
+        abs_urls.append(a)
+        canons.append(c)
+        hosts.append(host_of(c) if c else None)
+        paths.append(path_of(c) if c else None)
+    return pd.DataFrame(
+        {"abs_url": abs_urls, "canon_url": canons, "host": hosts, "path": paths}
+    )
+
+
+_CANON_TYPE = T.StructType(
+    [T.StructField("canon_url", T.StringType()), T.StructField("host", T.StringType())]
+)
+
+
+@pandas_udf(_CANON_TYPE)
+def canon_host_udf(urls: pd.Series) -> pd.DataFrame:
+    canons = urls.map(canonicalize, na_action="ignore")
+    hosts = canons.map(host_of, na_action="ignore")
+    return pd.DataFrame({"canon_url": canons, "host": hosts})
+
+
 def with_canon(df, url_col: str = "url", out_col: str = "canon_url"):
-    """Attach canon_url + host columns to a DataFrame of URLs."""
-    return df.withColumn(out_col, canon_udf(F.col(url_col))).withColumn(
-        "host", host_udf(F.col(out_col))
+    """Attach canon_url + host columns to a DataFrame of URLs (one fused
+    Arrow round trip)."""
+    return (
+        df.withColumn("_ch", canon_host_udf(F.col(url_col)))
+        .withColumn(out_col, F.col("_ch.canon_url"))
+        .withColumn("host", F.col("_ch.host"))
+        .drop("_ch")
     )

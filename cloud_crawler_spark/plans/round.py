@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cloud_crawler_spark.config import CrawlConfig
-from cloud_crawler_spark.functions.canon import absolutize_udf, canon_udf, host_udf, path_udf
+from cloud_crawler_spark.functions.canon import (
+    absolutize_udf,
+    canon_udf,
+    host_udf,
+    resolve_link_udf,
+)
 from cloud_crawler_spark.functions.parse import with_parsed
 from cloud_crawler_spark.operators import robots as robots_ops
 from cloud_crawler_spark.operators.politeness import order_cols, select_budget
@@ -54,7 +59,43 @@ class RoundResult:
     n_selected: int           # rows that consumed rank numbers
 
 
-def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig) -> DataFrame:
+def _lookup(current: DataFrame, pages: DataFrame, redirects: DataFrame,
+            broadcast_frontier: bool) -> DataFrame:
+    """One fetch lookup: current LEFT pages LEFT redirects on canon_url.
+
+    broadcast_frontier=True (the round's selected slice is small, which
+    the driver knows exactly): broadcast the FRONTIER side and stream
+    the big corpus from cache — zero corpus shuffle. Spark can't
+    broadcast the preserved side of a left-outer join, so the hit set
+    is an inner join (corpus streamed, frontier broadcast-probed) and
+    the 404 misses come from a cheap small-vs-small anti-join.
+    False (round bigger than the broadcast budget): plain shuffle join —
+    the right physical choice when millions of URLs fetch per round.
+    Redirects are a dim table: always broadcast.
+    """
+    if broadcast_frontier:
+        hits = pages.join(
+            F.broadcast(current), pages["_p_canon"] == current["canon_url"], "inner"
+        )
+        misses = (
+            current.join(
+                F.broadcast(hits.select(F.col("canon_url").alias("_hit"))),
+                F.col("canon_url") == F.col("_hit"),
+                "left_anti",
+            )
+            .withColumn("_p_canon", F.lit(None).cast("string"))
+            .withColumn("_p_html", F.lit(None).cast("binary"))
+        )
+        j = hits.unionByName(misses.select(*hits.columns))
+    else:
+        j = current.join(pages, current["canon_url"] == pages["_p_canon"], "left")
+    return j.join(
+        F.broadcast(redirects), j["canon_url"] == redirects["_r_canon"], "left"
+    )
+
+
+def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
+           broadcast_frontier: bool = False) -> DataFrame:
     """Corpus-backed fetch with bounded redirect-chain resolution.
 
     Returns one row per STORED page (reference keeps each redirect hop
@@ -78,9 +119,7 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig) -> DataFram
     any_redirects = corpus.has_redirects()
 
     for hop in range(config.redirect_limit + 1):
-        j = current.join(
-            pages, current["canon_url"] == pages["_p_canon"], "left"
-        ).join(redirects, current["canon_url"] == redirects["_r_canon"], "left")
+        j = _lookup(current, pages, redirects, broadcast_frontier)
 
         is_redirect = F.col("_r_to").isNotNull()
         landed = j.where(~is_redirect).select(
@@ -171,16 +210,17 @@ def _expand_links(
     )
     # F9 empty / nil
     links = links.where(F.col("href").isNotNull() & (F.length("href") > 0))
-    # absolutize (P4) then canonicalize
+    # absolutize (P4) + canonicalize + host + path in ONE fused UDF
     links = (
         links.withColumn(
-            "abs_url", absolutize_udf(F.col("href"), F.col("_page_url"), F.col("base_href"))
+            "_r", resolve_link_udf(F.col("href"), F.col("_page_url"), F.col("base_href"))
         )
-        .where(F.col("abs_url").isNotNull())
-        .withColumn("canon_url", canon_udf(F.col("abs_url")))
+        .withColumn("abs_url", F.col("_r.abs_url"))
+        .withColumn("canon_url", F.col("_r.canon_url"))
+        .withColumn("host", F.col("_r.host"))
+        .withColumn("path", F.col("_r.path"))
+        .drop("_r")
         .where(F.col("canon_url").isNotNull())
-        .withColumn("host", host_udf(F.col("canon_url")))
-        .withColumn("path", path_udf(F.col("canon_url")))
     )
     # F4 in_domain? (dsl_core.rb:246-252)
     same = F.col("host") == F.col("_page_host")
@@ -293,7 +333,11 @@ def run_round(
         known_count=n_selected,
     )
 
-    fetched = _fetch(ranked, corpus, config)
+    # fetch strategy: the driver knows the exact round size — small
+    # rounds broadcast the frontier slice (zero corpus shuffle), huge
+    # rounds fall back to a shuffle join
+    broadcast_frontier = n_selected <= config.broadcast_fetch_rows
+    fetched = _fetch(ranked, corpus, config, broadcast_frontier=broadcast_frontier)
     parsed = with_parsed(fetched, "html").cache()
     if dbg:
         parsed.count()
