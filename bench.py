@@ -62,31 +62,38 @@ def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench"):
     )
 
 
-def crawl_bench(spark, sf: float, cpus: int) -> dict:
+def crawl_bench(spark, sf: float, cpus: int, n_pages: int | None = None,
+                links_per_page: int = 8, body_words: int = 12,
+                n_seeds: int | None = None, depth_limit: int = 2,
+                max_rounds: int = 5) -> dict:
     """Flagship throughput: BFS crawl over a synthetic web of
     ~2M*sf pages with per-host politeness and hot-host skew."""
     from cloud_crawler_spark import CrawlConfig, crawl
     from cloud_crawler_spark.sources.corpus import prepare_corpus
     from cloud_crawler_spark.sources.webgen import synth_pages, synth_seeds
 
-    n_pages = max(int(2_000_000 * sf), 2000)
+    n_pages = n_pages or max(int(2_000_000 * sf), 2000)
     n_hosts = max(n_pages // 200, 16)
     pages = synth_pages(
-        spark, n_pages, n_hosts=n_hosts, links_per_page=8,
-        hot_host_frac=0.2, partitions=cpus * 2,
+        spark, n_pages, n_hosts=n_hosts, links_per_page=links_per_page,
+        hot_host_frac=0.2, partitions=cpus * 2, body_words=body_words,
     )
     corpus = prepare_corpus(pages)
     corpus.pages.count()  # materialize the corpus before timing the crawl
-    seeds = synth_seeds(spark, 200, n_pages, n_hosts=n_hosts, hot_host_frac=0.2)
+    # the 100TB shape: a WIDE frontier (many seeds) and few, large
+    # rounds — at 10^10 URLs each round carries millions of URLs, so
+    # the per-round driver barrier must amortize over big rounds, not
+    # be measured on a drip-feed tail
+    n_seeds = n_seeds or max(n_pages // 100, 500)
+    seeds = synth_seeds(spark, n_seeds, n_pages, n_hosts=n_hosts, hot_host_frac=0.2)
     cfg = CrawlConfig(
-        depth_limit=4,
+        depth_limit=depth_limit,
         batch_size=None,
-        # politeness on but generous (4x the mean host size) so the
-        # depth limit — not the budget — bounds the run; the hot host
-        # still gets capped and salted
+        # politeness: 4x the mean host size per round; the hot host
+        # (20% of the corpus) gets capped and salted every round
         host_budget=max(n_pages // n_hosts, 50) * 4,
         salt_buckets=8,
-        max_rounds=10,
+        max_rounds=max_rounds,
     )
     t0 = time.time()
     res = crawl(spark, corpus, seeds, cfg)

@@ -60,6 +60,7 @@ def synth_pages(
     hot_host_frac: float = 0.0,
     seed: int = 42,
     partitions: int | None = None,
+    body_words: int = 12,
 ) -> DataFrame:
     """Generate pages(url, warc_ts, html, text, lang) distributedly.
 
@@ -108,11 +109,18 @@ def synth_pages(
         "spark", "crawl", "frontier", "bloom", "politeness", "robots",
         "shuffle", "broadcast", "parquet", "iceberg", "arrow", "catalyst",
     )])
+    # body: body_words deterministic tokens; beyond 24 expressions,
+    # tile a 24-word seed paragraph (keeps the expr tree bounded while
+    # letting pages weigh like real web pages, 10-100 KB)
+    n_expr = min(body_words, 24)
     word_exprs = [
         F.element_at(vocab, (F.pmod(F.xxhash64(F.lit(seed + 2), F.col("pid"), F.lit(j)), F.lit(12)) + 1).cast("int"))
-        for j in range(12)
+        for j in range(n_expr)
     ]
     para = F.concat_ws(" ", *word_exprs)
+    if body_words > n_expr:
+        reps = body_words // n_expr
+        para = F.concat_ws(" ", *([para] * reps))
 
     anchors = F.concat_ws(
         "",

@@ -29,7 +29,14 @@ n_pages = int(sys.argv[2])
 spark = build_spark(cpus, app=f"scaling_{{cpus}}")
 spark.sparkContext.setLogLevel("ERROR")
 sf = n_pages / 2_000_000
-stats = crawl_bench(spark, sf, cpus)
+# scaling evidence uses REALISTIC page weight (multi-KB bodies, 50
+# links/page) and a wide frontier with 2 large rounds, so the measured
+# quantity is the parallelizable crawl work, not the per-round barrier
+stats = crawl_bench(
+    spark, sf, cpus, n_pages=n_pages,
+    links_per_page=50, body_words=600,
+    n_seeds=max(n_pages // 6, 1000), depth_limit=1, max_rounds=3,
+)
 print("SCALING_JSON " + json.dumps(stats))
 """
 
@@ -49,7 +56,7 @@ def run_at(cpus: int, n_pages: int) -> dict:
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH", "BASELINE.md")
 
     r8 = run_at(8, n_pages)
