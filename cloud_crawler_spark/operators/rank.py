@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-SMALL_INPUT_ROWS = 100_000  # below this a 1-partition window is cheaper
+SMALL_INPUT_ROWS = 20_000  # below this a 1-partition window is cheaper;
+# above it the serialized single-partition sort costs more wall time
+# than the range-repartition machinery's extra (fully parallel) jobs
 
 
 def with_global_rank(
@@ -44,7 +46,7 @@ def with_global_rank(
         return df.withColumn(
             rank_col, (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
         )
-    if df.isEmpty():
+    if known_count is None and df.isEmpty():
         return df.withColumn(rank_col, F.lit(start).cast("long"))
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism

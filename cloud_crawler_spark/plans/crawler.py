@@ -141,16 +141,16 @@ class Crawler:
                 expand=expand, dedup_gate=dedup_gate,
                 seen_nonempty=seen_nonempty,
             )
-            # localCheckpoint (not cache): truncates the logical plan at
-            # the round boundary. Without it the iterative loop's plan
-            # nests a copy of every previous round — analysis time and
-            # driver heap grow exponentially with round count.
+            # run_round localCheckpoints the fetched+parsed block (plan
+            # truncation at the round boundary — without it an iterative
+            # DataFrame loop goes exponential in analysis time and
+            # driver heap); res.crawled/newly_seen are projections over
+            # those checkpointed blocks. Only the next frontier still
+            # needs its own checkpoint here.
             import os as _os, time as _time
             _dbg = _os.environ.get("SPARK_CRAWL_DEBUG") == "1"
             _t = _time.time()
-            crawled = res.crawled.localCheckpoint(eager=True)
-            if _dbg:
-                print(f"  [round {rnd}] ckpt crawled: {_time.time()-_t:.2f}s", flush=True); _t=_time.time()
+            crawled = res.crawled
             next_frontier = res.next_frontier.localCheckpoint(eager=True)
             if _dbg:
                 print(f"  [round {rnd}] ckpt frontier: {_time.time()-_t:.2f}s", flush=True); _t=_time.time()
@@ -158,9 +158,7 @@ class Crawler:
             n_pending = next_frontier.where(F.col("status") == "pending").count()
             if _dbg:
                 print(f"  [round {rnd}] counts: {_time.time()-_t:.2f}s", flush=True)
-            # derive newly_seen from the CHECKPOINTED crawled — deriving
-            # it from res.crawled would recompute the round pipeline
-            newly_seen = crawled.select("canon_url").distinct()
+            newly_seen = res.newly_seen
 
             next_rank += res.n_selected
             if self.store is not None:
@@ -174,8 +172,14 @@ class Crawler:
 
             # no distinct needed across rounds: `seen` stays
             # duplicate-free by construction (a seen URL is never
-            # crawled again, and newly_seen is distinct within its round)
-            seen = seen.unionByName(newly_seen).localCheckpoint(eager=True)
+            # crawled again, and newly_seen is distinct within its
+            # round). The union is lazy — each arm is already backed by
+            # a checkpointed block, so no per-round copy of the whole
+            # seen set; a periodic lazy checkpoint bounds the union
+            # chain's plan depth on long crawls.
+            seen = seen.unionByName(newly_seen)
+            if (rnd - round_no) % 16 == 15:
+                seen = seen.localCheckpoint(eager=False)
             seen_nonempty = seen_nonempty or n_crawled > 0
             frontier = next_frontier
             rnd += 1

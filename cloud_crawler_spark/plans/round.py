@@ -323,7 +323,10 @@ def run_round(
     n_selected = selected.count()
     _tick(f"select+gate n={n_selected}")
 
-    # O1: deterministic global crawl rank
+    # O1: deterministic global crawl rank; cached because the fetch
+    # plan references the slice several times (broadcast build, miss
+    # anti-join, redirect resolution) — without the cache the rank
+    # window would re-execute per reference, all serial wall time
     ranked = with_global_rank(
         selected,
         [F.col("priority").desc(), F.col("depth").asc(),
@@ -331,29 +334,40 @@ def run_round(
         rank_col="rank",
         start=next_rank,
         known_count=n_selected,
-    )
+    ).cache()
 
     # fetch strategy: the driver knows the exact round size — small
     # rounds broadcast the frontier slice (zero corpus shuffle), huge
     # rounds fall back to a shuffle join
     broadcast_frontier = n_selected <= config.broadcast_fetch_rows
     fetched = _fetch(ranked, corpus, config, broadcast_frontier=broadcast_frontier)
-    parsed = with_parsed(fetched, "html").cache()
-    if dbg:
-        parsed.count()
-        _tick("fetch+parse")
+    parsed = with_parsed(fetched, "html")
 
-    crawled = parsed.select(
+    # one materialization per round: fetch+parse lands in the local
+    # checkpoint, plan truncated; link expansion and the stored output
+    # are cheap projections over the checkpointed blocks (no second
+    # parse, no html-sized cache copy)
+    crawled_ck = parsed.select(
         "url", "canon_url", "host", "code", "depth", "referer", "redirect_to",
-        "fetched", "hop", F.col("links.href").alias("links"), "title",
+        "fetched", "hop", "links", "title",
         F.col("page_text").alias("text"),
         (F.lit(None).cast("binary") if config.discard_page else F.col("html")).alias("html"),
         F.lit(round_no).alias("round"), "rank", "parent_rank", "link_pos", "priority",
         "base_href",
+    ).localCheckpoint(eager=True)
+    _tick("fetch+parse+ckpt")
+    # the checkpoint holds everything downstream needs — release the
+    # intermediate caches now instead of waiting for GC-driven cleanup
+    ranked.unpersist()
+    selected.unpersist()
+
+    crawled = crawled_ck.select(
+        *[c for c in crawled_ck.columns if c not in ("links",)],
+        F.col("links.href").alias("links"),
     )
 
     if expand:
-        children = _expand_links(parsed, corpus, config, robots_rules)
+        children = _expand_links(crawled_ck, corpus, config, robots_rules)
         # D2: drop children already seen, already stored this round, or
         # already pending (first discovery wins across rounds)
         gate = (

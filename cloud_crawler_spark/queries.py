@@ -387,6 +387,14 @@ def q_knn_lsh(spark, sf_dir):
     return SIM.lsh_knn(emb, queries, k=5, n_planes=6)
 
 
+# rows-only (no SQL oracle): IVF coarse-quantized ANN (the scale path)
+@_register("q_knn_ivf", None)
+def q_knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return SIM.ivf_knn(emb, queries, k=5, n_lists=16, n_probe=4, sample_mod=4)
+
+
 # ======================================================================
 # 3. Text analysis
 # ======================================================================

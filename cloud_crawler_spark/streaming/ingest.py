@@ -1,0 +1,209 @@
+"""Structured Streaming surface: incremental page ingest.
+
+The reference's driver loop is batch-round-structured (SURVEY.md §3),
+but its *recurring job source* (S10, driver.rb:214-226 `queue.recur`)
+and the continuously-arriving nature of a real Common-Crawl-style
+corpus map naturally onto Structured Streaming:
+
+* `read_pages_stream`   — `readStream` over a parquet directory of
+  pages(url, warc_ts, html, text, lang) — new WARC dumps appear as new
+  files and are picked up incrementally.
+* `parsed_pages_stream` — the SAME vectorized canon/parse pandas UDFs
+  the batch rounds use, applied to the stream (stateless projection —
+  identical plan fragment, so batch/streaming parity is structural).
+* `hourly_host_rollup`  — watermarked tumbling-window aggregation of
+  crawl metrics per host; late pages within the watermark are folded
+  in, older ones dropped (A1/A5 counters, streaming-grade).
+* `streaming_seen_update` — `foreachBatch` incremental URL-seen
+  maintenance: each micro-batch anti-joins the persistent seen table
+  and appends only new canon_urls — the streaming twin of the crawl
+  round's D1-D3 mark-seen step. Idempotent across retries because the
+  append is deduplicated on read (first-writer-wins by canon_url).
+* `per_host_seen_state` — `applyInPandasWithState` custom stateful
+  operator: per-host Bloom filter (fixed-size binary state, the same
+  double-hash scheme as operators/seen.py) tracking URLs seen across
+  micro-batches — bounded state per host at any frontier scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cloud_crawler_spark.functions.canon import with_canon
+from cloud_crawler_spark.functions.parse import with_parsed
+from cloud_crawler_spark.sources.corpus import PAGES_SCHEMA
+
+__all__ = [
+    "read_pages_stream",
+    "parsed_pages_stream",
+    "hourly_host_rollup",
+    "streaming_seen_update",
+    "per_host_seen_state",
+]
+
+
+def read_pages_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a directory of pages parquet files."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
+
+
+def parsed_pages_stream(pages: DataFrame) -> DataFrame:
+    """Canonicalize + parse a (streaming or batch) pages DataFrame with
+    the same vectorized UDFs the batch crawl rounds use (P1-P5)."""
+    return with_parsed(with_canon(pages, "url"), "html")
+
+
+def hourly_host_rollup(
+    pages: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window crawl-rate metrics per host.
+
+    Output: window STRUCT<start,end>, host, n_pages, total_bytes.
+    Late pages within `watermark` of the max event time are folded into
+    their window; anything later is dropped — bounded state, any scale.
+    """
+    p = with_canon(pages, "url")
+    return (
+        p.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("window"), F.col("host"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.octet_length("html")).alias("total_bytes"),
+        )
+    )
+
+
+def streaming_seen_update(
+    pages: DataFrame, seen_dir: str, checkpoint_dir: str
+):
+    """foreachBatch incremental URL-seen maintenance.
+
+    Each micro-batch: canon -> distinct -> anti-join the persistent
+    seen parquet at `seen_dir` -> append the genuinely-new canon_urls.
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            with_canon(batch_df, "url")
+            .select("canon_url")
+            .where(F.col("canon_url").isNotNull())
+            .dropDuplicates(["canon_url"])
+        )
+        import os
+
+        if os.path.exists(seen_dir):
+            seen = spark.read.parquet(seen_dir)
+            new = new.join(seen, "canon_url", "left_anti")
+        new.write.mode("append").parquet(seen_dir)
+
+    return (
+        pages.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ------------------------------------------------------ stateful operator
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("bloom", T.BinaryType()),
+    ]
+)
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("batch_urls", T.LongType()),
+        T.StructField("batch_new", T.LongType()),
+        T.StructField("total_seen", T.LongType()),
+    ]
+)
+
+_BLOOM_M_BITS = 1 << 17  # 16 KiB per host — bounded state at any scale
+_BLOOM_HASHES = 7        # matches the reference (redis_url_bloomfilter.rb:47)
+
+
+def _probe_and_set(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> int:
+    """Vectorized Bloom probe+insert (same double-hash scheme as
+    operators/seen.py): returns the number of NEW keys, sets their bits."""
+    step = h1 | np.uint64(1)
+    seen = np.ones(len(h1), dtype=bool)
+    idxs = []
+    for i in range(_BLOOM_HASHES):
+        idx = (h2 + np.uint64(i) * step) % np.uint64(_BLOOM_M_BITS)
+        idxs.append(idx)
+        seen &= (bits[(idx // 8).astype(np.int64)] & (1 << (idx % 8)).astype(np.uint8)) != 0
+    new = ~seen
+    for idx in idxs:
+        np.bitwise_or.at(
+            bits, (idx[new] // 8).astype(np.int64), (1 << (idx[new] % 8)).astype(np.uint8)
+        )
+    return int(new.sum())
+
+
+def _seen_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n_seen, blob = state.get
+        bits = np.frombuffer(blob, dtype=np.uint8).copy()
+    else:
+        n_seen, bits = 0, np.zeros(_BLOOM_M_BITS // 8, dtype=np.uint8)
+
+    batch_urls = 0
+    batch_new = 0
+    for pdf in pdfs:
+        batch_urls += len(pdf)
+        h1 = pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        h2 = pdf["url_hash2"].to_numpy(dtype=np.int64).view(np.uint64)
+        batch_new += _probe_and_set(bits, h1, h2)
+
+    n_seen += batch_new
+    state.update((n_seen, bits.tobytes()))
+    yield pd.DataFrame(
+        {
+            "host": [key[0]],
+            "batch_urls": [batch_urls],
+            "batch_new": [batch_new],
+            "total_seen": [n_seen],
+        }
+    )
+
+
+def per_host_seen_state(pages: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-host Bloom URL-seen set.
+
+    Input: streaming pages (or any DF with a url column). Output per
+    micro-batch per host: (host, batch_urls, batch_new, total_seen).
+    State is a fixed 16 KiB Bloom per host — the applyInPandasWithState
+    realization of the north rule's partitioned URL-seen filter.
+    """
+    from cloud_crawler_spark.operators.seen import with_url_hash
+
+    hashed = with_url_hash(
+        with_canon(pages, "url").where(F.col("canon_url").isNotNull())
+    ).select("host", "url_hash", "url_hash2")
+    return hashed.groupBy("host").applyInPandasWithState(
+        _seen_state_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

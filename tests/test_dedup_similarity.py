@@ -109,3 +109,19 @@ def test_lsh_knn_recall(spark, embeddings):
     # approx must never invent similarities: every returned sim matches exact cosine
     from cloud_crawler_spark.operators.dedup import cosine  # noqa: F401
     assert all(q == q for q, _ in a)
+
+
+def test_ivf_knn_recall(spark, embeddings):
+    """IVF with n_probe=n_lists degenerates to exact; with fewer probes
+    recall stays high on the clustered fixture."""
+    queries = embeddings.where(F.col("vec_id") < 6)
+    exact = SIM.brute_force_knn(embeddings, queries, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    full = SIM.ivf_knn(embeddings, queries, k=3, n_lists=4, n_probe=4, n_iters=2)
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == e  # probing every list == brute force
+
+    approx = SIM.ivf_knn(embeddings, queries, k=3, n_lists=4, n_probe=1, n_iters=2)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
