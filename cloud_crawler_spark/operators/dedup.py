@@ -61,39 +61,60 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 8, bands: int = 4) -> DataFrame:
+                        k: int = 8, bands: int = 4,
+                        max_bucket: int | None = None) -> DataFrame:
     """MinHash-LSH banding: signature split into `bands` bands of k/bands
     rows; docs sharing any band bucket become a candidate pair.
 
-    Candidate generation is a self equi-join on (band_id, band_key) —
-    a shuffle on a 2-col key. Returns (doc_a, doc_b, band_id) distinct
-    pairs with doc_a < doc_b.
+    Candidate generation is groupBy (band_id, band_key) + in-array pair
+    expansion — ONE shuffle on a 2-col key and one computation of the
+    signatures, where a self equi-join would execute the whole MinHash
+    pipeline twice (once per join side) and shuffle it both times. A
+    doc appears exactly once per band, so pairs are already distinct.
+    Returns (doc_a, doc_b, band_id) with doc_a < doc_b.
+
+    max_bucket (scale knob): a bucket of B docs emits B^2/2 pairs —
+    giant buckets are near-certain exact-duplicate clusters that exact
+    dedup (cheaper) should collapse first. At the 10^10 design point
+    pass e.g. max_bucket=1000 to cap the quadratic blowup; None keeps
+    exhaustive semantics (the test/oracle setting).
     """
     rows_per_band = k // bands
     sig = minhash_signature(df, text_col, id_col, k)
-    band_cols = [
-        F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    banded = sig.select(
         F.col(id_col),
         F.explode(
             F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    ).alias("band_key"),
+                )
                 for b in range(bands)
             ])
         ).alias("bk"),
     ).select(id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
-    a = stacked.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
-    b = stacked.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
+
+    buckets = banded.groupBy("band_id", "band_key").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
+    # all (i < j) pairs inside the bucket, generated array-side
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - (i + 1), F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band_id", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "band_id")
-        .distinct()
+        buckets.where(F.size("ids") >= 2)
+        .select("band_id", F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), "band_id")
     )
 
 

@@ -218,6 +218,56 @@ def q_url_canon(spark, sf_dir):
     return docs.select("doc_id", canon_udf(url).alias("canon_url"))
 
 
+@_register(
+    "q_redirect_chain",
+    """
+    WITH RECURSIVE redir AS (
+      SELECT doc_id AS src, doc_id + (doc_id % 7) + 1 AS dst
+      FROM documents WHERE doc_id % 5 < 2),
+    chain(start_id, cur, hops) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT c.start_id, r.dst, c.hops + 1
+      FROM chain c JOIN redir r ON r.src = c.cur
+      WHERE c.hops < 5)
+    SELECT start_id, cur AS final_id, hops::BIGINT AS hops
+    FROM (SELECT *, row_number() OVER (PARTITION BY start_id
+                                       ORDER BY hops DESC) AS rn
+          FROM chain)
+    WHERE rn = 1
+    """,
+)
+def q_redirect_chain(spark, sf_dir):
+    """S5/O5 redirect-chain resolution (http.rb:68-91,155-169, limit 5):
+    a synthetic redirect map over doc ids, resolved by <=5 bounded
+    iterative left joins — the Spark shape of the reference's
+    follow-the-Location loop; oracle is the recursive-CTE equivalent."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    redir = docs.where(F.col("doc_id") % 5 < 2).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + (F.col("doc_id") % 7) + 1).alias("dst"),
+    )
+    cur = docs.select(
+        F.col("doc_id").alias("start_id"),
+        F.col("doc_id").alias("cur"),
+        F.lit(0).alias("hops"),
+    )
+    for _ in range(5):
+        cur = (
+            cur.join(redir, cur["cur"] == redir["src"], "left")
+            .select(
+                "start_id",
+                F.coalesce("dst", "cur").alias("cur"),
+                F.when(F.col("dst").isNotNull(), F.col("hops") + 1)
+                .otherwise(F.col("hops"))
+                .alias("hops"),
+            )
+        )
+    return cur.select(
+        "start_id", F.col("cur").alias("final_id"), F.col("hops").cast("long").alias("hops")
+    )
+
+
 # ======================================================================
 # 2. Deduplication / similarity (training-data pipeline)
 # ======================================================================
