@@ -33,26 +33,42 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURES_SCHEMA = (
-    "media_id long, kind string, n_bytes int, sha1 string, feature array<float>"
+    "media_id long, kind string, n_bytes int, digest string, "
+    "feature array<float>, feature_csv string"
 )
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
 
-
-def _fake_feature(data: bytes, dim: int = 8) -> list[float]:
-    """Deterministic fake embedding: bytes -> sha1 -> fixed-dim floats."""
-    h = hashlib.sha1(data or b"").digest()
-    arr = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
-    return (arr % 1000 / 1000.0).astype(np.float32).tolist()
+FEATURE_DIM = 8
 
 
-def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -> DataFrame:
+def _fake_feature_pm(data: bytes) -> list[int]:
+    """Deterministic fake embedding in permille ints: bytes -> md5 hex
+    -> 8 x (4-hex-digit uint16 % 1000). md5 (not sha1) so an external
+    SQL oracle can reproduce every digit from the same bytes."""
+    h = hashlib.md5(data or b"").hexdigest()
+    return [int(h[4 * i : 4 * i + 4], 16) % 1000 for i in range(FEATURE_DIM)]
+
+
+def _fake_feature(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Float form of the fake embedding (permille / 1000)."""
+    pm = _fake_feature_pm(data)
+    return (np.array(pm[:dim], dtype=np.float32) / np.float32(1000.0)).tolist()
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True,
+                     dim: int = FEATURE_DIM) -> DataFrame:
     """mapInPandas feature extraction over media bytes.
 
     Batch shape: the iterator yields pandas DataFrames of whole Arrow
     record batches; each batch is processed vectorized. At cluster
     scale, partition the media table by bucket(media_id) so batches are
     size-balanced and decode parallelism is even.
+
+    Output carries the feature both as array<float> (the model-input
+    shape) and as `feature_csv` (permille ints joined by ','): array
+    columns are unhashable in pandas-side canonical sorts, so any
+    harness that sorts rows should project feature_csv instead.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -61,15 +77,20 @@ def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -
                 raise NotImplementedError(
                     "real media decode requires PIL/pyav — plug in here"
                 )
+            pms = pdf["bytes"].map(_fake_feature_pm)
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["bytes"].map(lambda b: len(b) if b is not None else 0),
-                    "sha1": pdf["bytes"].map(
-                        lambda b: hashlib.sha1(b or b"").hexdigest()
+                    "digest": pdf["bytes"].map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
-                    "feature": pdf["bytes"].map(lambda b: _fake_feature(b, dim)),
+                    "feature": pms.map(
+                        lambda pm: (np.array(pm[:dim], dtype=np.float32)
+                                    / np.float32(1000.0)).tolist()
+                    ),
+                    "feature_csv": pms.map(lambda pm: ",".join(map(str, pm[:dim]))),
                 }
             )
             yield out

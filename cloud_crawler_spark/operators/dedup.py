@@ -60,25 +60,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return df.select(F.col(id_col), *sigs)
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 8, bands: int = 4,
-                        max_bucket: int | None = None) -> DataFrame:
-    """MinHash-LSH banding: signature split into `bands` bands of k/bands
-    rows; docs sharing any band bucket become a candidate pair.
-
-    Candidate generation is groupBy (band_id, band_key) + in-array pair
-    expansion — ONE shuffle on a 2-col key and one computation of the
-    signatures, where a self equi-join would execute the whole MinHash
-    pipeline twice (once per join side) and shuffle it both times. A
-    doc appears exactly once per band, so pairs are already distinct.
-    Returns (doc_a, doc_b, band_id) with doc_a < doc_b.
-
-    max_bucket (scale knob): a bucket of B docs emits B^2/2 pairs —
-    giant buckets are near-certain exact-duplicate clusters that exact
-    dedup (cheaper) should collapse first. At the 10^10 design point
-    pass e.g. max_bucket=1000 to cap the quadratic blowup; None keeps
-    exhaustive semantics (the test/oracle setting).
-    """
+def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
+                 k: int, bands: int) -> DataFrame:
+    """(band_id, band_key) -> sorted id array. ONE shuffle on a 2-col
+    key and one computation of the signatures, where a self equi-join
+    would execute the whole MinHash pipeline twice (once per join side)
+    and shuffle it both times."""
     rows_per_band = k // bands
     sig = minhash_signature(df, text_col, id_col, k)
     banded = sig.select(
@@ -95,26 +82,102 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             ])
         ).alias("bk"),
     ).select(id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
-
-    buckets = banded.groupBy("band_id", "band_key").agg(
+    return banded.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 8, bands: int = 4,
+                        max_bucket: int | None = None,
+                        chunk: int = 256) -> DataFrame:
+    """MinHash-LSH banding: signature split into `bands` bands of k/bands
+    rows; docs sharing any band bucket become a candidate pair.
+    A doc appears exactly once per band, so pairs are already distinct
+    per band. Returns (doc_a, doc_b, band_id) with doc_a < doc_b
+    (strict — duplicate ids never produce a self-pair).
+
+    Pair expansion is CHUNKED: a bucket's sorted id array is cut into
+    `chunk`-sized slices, each (slice_i, slice_j <= i) combination
+    becomes its own row, and pairs expand array-side within a row.
+    Per-operator-row memory is therefore <= chunk^2 structs no matter
+    how large the bucket — a single mega-bucket (one huge duplicate
+    cluster) streams through explode instead of materializing B^2/2
+    pairs in one array.
+
+    max_bucket (scale knob): a bucket of B docs still EMITS B^2/2
+    pairs — giant buckets are near-certain exact-duplicate clusters
+    that exact dedup (cheaper) should collapse first. At the 10^10
+    design point pass e.g. max_bucket=1000 to cap the quadratic
+    output; None keeps exhaustive semantics (the test/oracle setting).
+    Capping DROPS those buckets' pairs — audit what was dropped with
+    `lsh_overflow_buckets` (same args), don't let the cap be silent.
+    """
+    buckets = _lsh_buckets(df, text_col, id_col, k, bands)
     if max_bucket is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket)
-    # all (i < j) pairs inside the bucket, generated array-side
-    pairs = F.flatten(
+    buckets = buckets.where(F.size("ids") >= 2)
+
+    c = F.lit(chunk)
+    n_chunks = F.ceil(F.size("ids") / c).cast("int")
+    # rows: one per (ci, cj) chunk-index pair with ci <= cj
+    idx_pairs = F.flatten(
         F.transform(
-            F.col("ids"),
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.transform(
+                F.sequence(i, n_chunks - 1),
+                lambda j: F.struct(i.alias("ci"), j.alias("cj")),
+            ),
+        )
+    )
+    chunked = buckets.select(
+        "band_id", "ids", F.explode(idx_pairs).alias("cp")
+    ).select(
+        "band_id",
+        F.slice(F.col("ids"), F.col("cp.ci") * c + 1, chunk).alias("ca"),
+        F.slice(F.col("ids"), F.col("cp.cj") * c + 1, chunk).alias("cb"),
+        (F.col("cp.ci") == F.col("cp.cj")).alias("same"),
+    )
+    # same-chunk: index-based i<j pairs; cross-chunk: full ca x cb
+    # (ids sorted => every ca value <= every cb value; the strict
+    # doc_a < doc_b filter below drops boundary duplicates)
+    same_pairs = F.flatten(
+        F.transform(
+            F.col("ca"),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - (i + 1), F.lit(0))),
+                F.slice(F.col("ca"), i + 2, F.greatest(F.size("ca") - (i + 1), F.lit(0))),
                 lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
     )
+    cross_pairs = F.flatten(
+        F.transform(
+            F.col("ca"),
+            lambda x: F.transform(
+                F.col("cb"), lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+            ),
+        )
+    )
     return (
-        buckets.where(F.size("ids") >= 2)
-        .select("band_id", F.explode(pairs).alias("p"))
+        chunked.select(
+            "band_id",
+            F.explode(F.when(F.col("same"), same_pairs).otherwise(cross_pairs)).alias("p"),
+        )
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), "band_id")
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+def lsh_overflow_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 8, bands: int = 4,
+                         max_bucket: int = 1000) -> DataFrame:
+    """Audit companion to lsh_candidate_pairs(max_bucket=...): the
+    buckets whose pairs the cap DROPS, with sizes — feed these into
+    exact dedup / manual review instead of losing them silently."""
+    return (
+        _lsh_buckets(df, text_col, id_col, k, bands)
+        .where(F.size("ids") > max_bucket)
+        .select("band_id", "band_key", F.size("ids").alias("n_docs"))
     )
 
 

@@ -429,20 +429,97 @@ def q_knn_brute(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("knn_rank").cast("int"))
 
 
-# rows-only (no SQL oracle): approximate ANN path
-@_register("q_knn_lsh", None)
+# Sign-LSH ANN: the plane weights are pure index arithmetic
+# (similarity.py:_sign_lsh_bucket), so the bucket id — and therefore
+# the whole candidate-generation + rank path — has an exact SQL twin.
+_LSH_PLANES = 6
+_LSH_BUCKET_SQL = " + ".join(
+    f"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+         j -> v[j] * ((((j * {2 * p + 3} * 2654435761) % 1000003)
+                       / 1000003.0) - 0.5))) > 0
+         THEN {1 << p} ELSE 0 END)"""
+    for p in range(_LSH_PLANES)
+)
+
+
+@_register(
+    "q_knn_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({_LSH_BUCKET_SQL}) AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+      FROM b q JOIN b c ON q.bucket = c.bucket
+      WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, knn_rank::INT AS knn_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+      FROM scored)
+    WHERE knn_rank <= 5
+    """,
+)
 def q_knn_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return SIM.lsh_knn(emb, queries, k=5, n_planes=6)
+    out = SIM.lsh_knn(emb, queries, k=5, n_planes=_LSH_PLANES)
+    return out.select("query_id", "neighbor_id", "cos_sim",
+                      F.col("knn_rank").cast("int").alias("knn_rank"))
 
 
-# rows-only (no SQL oracle): IVF coarse-quantized ANN (the scale path)
-@_register("q_knn_ivf", None)
+# IVF coarse-quantized ANN (the 100 TB scale path). Registered with
+# n_iters=0: centroids are the deterministic init (lowest-id sample
+# vectors), so assignment/probe/equi-join/rank — the scale-relevant
+# machinery — is exactly SQL-reproducible. The Lloyd-trained path
+# (n_iters>0) keeps its pytest recall gate (test_dedup_similarity).
+_IVF_LISTS, _IVF_PROBE, _IVF_SAMPLE_MOD = 16, 4, 4
+
+
+@_register(
+    "q_knn_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v
+      FROM e WHERE vec_id % {_IVF_SAMPLE_MOD} = 0
+      ORDER BY vec_id LIMIT {_IVF_LISTS}),
+    assign AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.v) DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cent c)
+      WHERE rn = 1),
+    probe AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                           c.list_id) AS pr
+        FROM e q CROSS JOIN cent c WHERE q.vec_id % 100 = 0)
+      WHERE pr <= {_IVF_PROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+      FROM probe p JOIN assign a ON a.list_id = p.list_id
+      WHERE p.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, knn_rank::INT AS knn_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS knn_rank
+      FROM scored)
+    WHERE knn_rank <= 5
+    """,
+)
 def q_knn_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return SIM.ivf_knn(emb, queries, k=5, n_lists=16, n_probe=4, sample_mod=4)
+    out = SIM.ivf_knn(
+        emb, queries, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE,
+        n_iters=0, sample_mod=_IVF_SAMPLE_MOD,
+    )
+    return out.select("query_id", "neighbor_id", "cos_sim",
+                      F.col("knn_rank").cast("int").alias("knn_rank"))
 
 
 # ======================================================================
@@ -550,13 +627,34 @@ def q_fingerprint(spark, sf_dir):
 # ======================================================================
 
 
+# Money aggregates sum in DECIMAL on BOTH engines: double summation
+# order differs between Spark partial-aggs and DuckDB, and with enough
+# groups some group flips a last cent under round(double_sum, 2) —
+# exactly the q03 hash-fail of round 1. The money columns are 2-decimal
+# values, so the decimal(18,4) cast is exact and the sum associative.
+_DISC_PRICE_SQL = (
+    "round(sum(l_extendedprice::DECIMAL(18,4)"
+    " * (1 - l_discount::DECIMAL(18,4))), 2)::DOUBLE"
+)
+
+
+def _disc_price_spark():
+    return F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        ),
+        2,
+    ).cast("double")
+
+
 @_register(
     "q01_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_quantity::DECIMAL(18,4)), 2)::DOUBLE AS sum_qty,
+           round(sum(l_extendedprice::DECIMAL(18,4)), 2)::DOUBLE AS sum_base_price,
+           {_DISC_PRICE_SQL} AS sum_disc_price,
            count(*)::BIGINT AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -569,9 +667,11 @@ def q01_pricing_summary(spark, sf_dir):
         l.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_base_price"),
+            _disc_price_spark().alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -579,8 +679,8 @@ def q01_pricing_summary(spark, sf_dir):
 
 @_register(
     "q03_shipping_priority",
-    """
-    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT l_orderkey, {_DISC_PRICE_SQL} AS revenue
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -595,14 +695,14 @@ def q03_shipping_priority(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_disc_price_spark().alias("revenue"))
     )
 
 
 @_register(
     "q05_local_supplier_volume",
-    """
-    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    f"""
+    SELECT n.n_name, {_DISC_PRICE_SQL} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -626,7 +726,7 @@ def q05_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_disc_price_spark().alias("revenue"))
     )
 
 
@@ -692,12 +792,35 @@ def q_crawl_bfs(spark, sf_dir):
     return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
 
 
-# rows-only: multimodal plumbing (mapInPandas feature extraction)
-@_register("q_multimodal_features", None)
-def q_multimodal_features(spark, sf_dir):
-    from cloud_crawler_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+# multimodal plumbing (mapInPandas feature extraction). The stub
+# feature is md5-derived, so the WHOLE output — including the feature
+# values (as the sortable permille CSV, arrays are unhashable in
+# pandas-side row sorts) — has an exact DuckDB oracle.
+_HEXD = "'0123456789abcdef'"
+_MM_FEATURE_SQL = f"""array_to_string(
+      list_transform(range(0, 8), i ->
+        (  (strpos({_HEXD}, substr(md5(text), 4*i+1, 1)) - 1) * 4096
+         + (strpos({_HEXD}, substr(md5(text), 4*i+2, 1)) - 1) * 256
+         + (strpos({_HEXD}, substr(md5(text), 4*i+3, 1)) - 1) * 16
+         + (strpos({_HEXD}, substr(md5(text), 4*i+4, 1)) - 1)) % 1000),
+      ',')"""
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+
+@_register(
+    "q_multimodal_features",
+    f"""
+    SELECT doc_id AS media_id,
+           list_extract(['image','audio','video'], (doc_id % 3)::INT + 1) AS kind,
+           octet_length(encode(text))::INT AS n_bytes,
+           md5(text) AS digest,
+           {_MM_FEATURE_SQL} AS feature_csv
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_multimodal_features(spark, sf_dir):
+    from cloud_crawler_spark.functions.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -708,7 +831,7 @@ def q_multimodal_features(spark, sf_dir):
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
-    return extract_features(media, decode_stub=True)
+    return extract_features(media, decode_stub=True).drop("feature")
 
 
 # ----------------------------------------------------------------------

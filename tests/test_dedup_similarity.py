@@ -38,6 +38,45 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert all(a < b for a, b in got)
 
 
+def test_lsh_chunked_expansion_identical(spark):
+    """Chunked pair expansion (memory-bounded) must produce exactly the
+    same pair set as unchunked, including a bucket far larger than the
+    chunk size (one duplicate cluster of 40 docs -> one mega bucket)."""
+    rows = [(i, "identical duplicate cluster text") for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with words {i*7}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tiny = DD.lsh_candidate_pairs(df, k=8, bands=4, chunk=3)
+    big = DD.lsh_candidate_pairs(df, k=8, bands=4, chunk=4096)
+    t = {(r["doc_a"], r["doc_b"], r["band_id"]) for r in tiny.collect()}
+    b = {(r["doc_a"], r["doc_b"], r["band_id"]) for r in big.collect()}
+    assert t == b
+    # the 40-clique contributes 40*39/2 pairs per band x 4 bands
+    clique = {(a, b) for a, b, _ in t if a < 100 and b < 100}
+    assert len(clique) == 40 * 39 // 2
+    assert all(a < b for a, b, _ in t)
+
+
+def test_lsh_duplicate_ids_no_self_pairs(spark):
+    """Duplicate doc_ids in the input must not produce doc_a == doc_b."""
+    rows = [(1, "same text twice"), (1, "same text twice"), (2, "same text twice")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = DD.lsh_candidate_pairs(df, k=4, bands=2).collect()
+    assert pairs, "bucket of {1,1,2} must still pair 1 with 2"
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+
+
+def test_lsh_overflow_buckets_audit(spark):
+    rows = [(i, "identical duplicate cluster text") for i in range(30)]
+    rows += [(100, "another doc"), (101, "another doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = DD.lsh_candidate_pairs(df, k=4, bands=2, max_bucket=10)
+    assert all(
+        r["doc_a"] >= 100 for r in capped.collect()
+    ), "mega-bucket pairs must be dropped by the cap"
+    audit = DD.lsh_overflow_buckets(df, k=4, bands=2, max_bucket=10).collect()
+    assert audit and all(r["n_docs"] == 30 for r in audit)
+
+
 def test_simhash_near_dup(spark, docs):
     out = DD.simhash_dedup(docs, max_hamming=4)
     got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}

@@ -31,7 +31,11 @@ def _norm_cell(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # 12 significant digits: tight enough that any cross-engine
+        # float drift that could flip the driver's (full-precision)
+        # value hash fails HERE first (round 1's q03 lesson — the old
+        # 6g normalization masked a last-cent double-summation flip)
+        return f"{v:.12g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)

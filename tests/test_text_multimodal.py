@@ -86,10 +86,14 @@ def test_multimodal_features_deterministic(spark):
     assert all(len(r["feature"]) == 8 for r in rows)
     # deterministic: second run identical
     rows2 = MM.extract_features(media, decode_stub=True, dim=8).collect()
-    assert {r["media_id"]: r["sha1"] for r in rows2} == {
-        r["media_id"]: r["sha1"] for r in rows
+    assert {r["media_id"]: r["digest"] for r in rows2} == {
+        r["media_id"]: r["digest"] for r in rows
     }
     assert by_id[0]["n_bytes"] > 0
+    # feature_csv is the sortable permille form of the float feature
+    for r in rows:
+        pm = [int(x) for x in r["feature_csv"].split(",")]
+        assert [round(f * 1000) for f in r["feature"]] == pm
 
 
 def test_multimodal_stub_gate(spark):
