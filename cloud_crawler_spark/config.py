@@ -43,7 +43,14 @@ class CrawlConfig:
 
     # ---- frontier discipline ----
     batch_size: int = 1000                     # per-round global fetch cap (MAX_BATCH_SIZE)
-    job_limit: int = 10_000                    # max pending frontier rows before deferral
+    # job_limit: pending-frontier backpressure cap (batch_job.rb:229-241;
+    # reference default 10_000 qless jobs). Rows beyond the cap are
+    # SPILLED (status='spilled') in deterministic crawl order and
+    # promoted back as the pending set drains — never lost
+    # (spec/batch_job_spec.rb:162-259 recoverability). Default None =
+    # unbounded: our frontier is a disk-native table, so the reference's
+    # in-memory-queue protection is opt-in rather than default.
+    job_limit: Optional[int] = None
     host_budget: Optional[int] = None          # per-host fetches per round (politeness);
                                                # None = unlimited within batch_size
     max_rounds: int = 1000                     # driver-loop safety bound
@@ -55,8 +62,20 @@ class CrawlConfig:
     # focus_crawl: given the exploded links DataFrame (columns include
     # href, path, host), return a filtered DataFrame. (dsl_front_end.rb:200-204)
     focus_filter: Optional[Callable] = None
-    # on_every_page: called once per round with the crawled DataFrame.
+    # on_every_page (dsl_front_end.rb:178-181): called once per round
+    # with that round's crawled DataFrame — the set-oriented analog of
+    # the reference's per-page block. Invoked by the driver loop
+    # (plans/crawler.py) after the round's pages are materialized.
     page_hook: Optional[Callable] = None
+    # on_pages_like (dsl_front_end.rb:187-194, dispatch dsl_core.rb:183-185):
+    # (url_regex, hook) pairs; each hook is called per round with the
+    # crawled rows whose url matches its regex.
+    page_hooks_like: Sequence[tuple] = field(default_factory=tuple)
+    # fetch stage override (S4/S6): a callable (selected_frontier_df,
+    # config) -> fetched_df replacing the corpus join — the injection
+    # point for the live-HTTP mapInPandas stage
+    # (sources/http_fetch.py; reference http.rb:57-91, 211-240).
+    fetcher: Optional[Callable] = None
 
     # ---- scale knobs (ours, not the reference's) ----
     broadcast_fetch_rows: int = 1_000_000      # rounds up to this many URLs broadcast

@@ -160,6 +160,17 @@ class Crawler:
                 print(f"  [round {rnd}] counts: {_time.time()-_t:.2f}s", flush=True)
             newly_seen = res.newly_seen
 
+            # DSL page hooks (on_every_page / on_pages_like,
+            # dsl_front_end.rb:178-194, dispatch dsl_core.rb:183-185):
+            # run before the round commits, like the reference's page
+            # blocks which run before the store/mark step. The crawled
+            # block is checkpointed, so hook actions don't re-execute
+            # the fetch/parse work.
+            if cfg.page_hook is not None:
+                cfg.page_hook(crawled)
+            for _pat, _hook in cfg.page_hooks_like:
+                _hook(crawled.where(F.col("url").rlike(_pat)))
+
             next_rank += res.n_selected
             if self.store is not None:
                 self.store.commit_round(

@@ -301,6 +301,13 @@ def run_round(
             t0 = now
 
     pending = frontier.where(F.col("status") == "pending")
+    # rows spilled by job-limit backpressure in earlier rounds (only
+    # ever present when job_limit is set; see the cap stage below)
+    spilled_in = (
+        frontier.where(F.col("status") == "spilled")
+        if config.job_limit is not None
+        else None
+    )
 
     selected, deferred = select_budget(
         pending, config.host_budget, config.batch_size, config.salt_buckets
@@ -374,6 +381,10 @@ def run_round(
             crawled.select("canon_url")
             .unionByName(deferred.select("canon_url"))
         )
+        if spilled_in is not None:
+            # spilled rows are still frontier members — a re-discovered
+            # link to one must dedupe against it, not duplicate it
+            gate = gate.unionByName(spilled_in.select("canon_url"))
         if dedup_gate and seen is not None and seen_nonempty:
             gate = gate.unionByName(seen.select("canon_url"))
         # one pass for both the gating and the dedup accounting: left
@@ -405,6 +416,25 @@ def run_round(
         n_deduped = 0
 
     next_frontier = deferred.unionByName(children.select(*deferred.columns))
+
+    # O3 job-limit backpressure (batch_job.rb:229-241): cap the PENDING
+    # frontier at job_limit rows; overflow is spilled (status='spilled')
+    # in deterministic crawl order and promoted back as pending drains —
+    # recoverable, never lost (spec/batch_job_spec.rb:162-259). The cap
+    # never goes below batch_size so the per-round selection (the top
+    # batch_size rows by crawl order, which the kept top-job_limit set
+    # always contains) — and hence the crawl order — is unchanged.
+    # Gated on the knob so the default (None: disk-native frontier needs
+    # no queue protection) adds zero plan nodes.
+    if config.job_limit is not None:
+        cap = max(config.job_limit, config.batch_size or 0)
+        candidates = next_frontier.unionByName(
+            spilled_in.withColumn("status", F.lit("pending")).select(*next_frontier.columns)
+        )
+        kept, over = select_budget(candidates, None, cap, config.salt_buckets)
+        next_frontier = kept.unionByName(
+            over.withColumn("status", F.lit("spilled")).select(*kept.columns)
+        )
 
     newly_seen = crawled.select("canon_url").distinct()
 
