@@ -87,6 +87,10 @@ class CrawlConfig:
     use_bloom: bool = False                    # probe partitioned Bloom before exact anti-join
     bloom_bits_per_key: int = 10
     bloom_num_hashes: int = 7                  # reference uses 7 (redis_url_bloomfilter.rb:47)
+    # filter sets up to this many bytes are broadcast for the probe;
+    # beyond it the probe cogroups candidates with their bucket's
+    # filter row executor-side (filters never pass through the driver)
+    bloom_broadcast_max_bytes: int = 64 << 20
 
     def effective_depth_limit(self) -> int:
         return self.depth_limit if self.depth_limit is not None else 1 << 30

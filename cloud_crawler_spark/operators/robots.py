@@ -20,8 +20,11 @@ Disallow means allow-all.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def parse_robots_body(body: str) -> list[tuple[str, bool]]:
@@ -49,17 +52,46 @@ def parse_robots_body(body: str) -> list[tuple[str, bool]]:
     return rules
 
 
+_RULES_TYPE = T.ArrayType(
+    T.StructType(
+        [T.StructField("prefix", T.StringType()), T.StructField("allow", T.BooleanType())]
+    )
+)
+
+
+@pandas_udf(_RULES_TYPE)
+def parse_robots_udf(bodies: pd.Series) -> pd.Series:
+    """Arrow-batched robots.txt body parser (executor-side)."""
+    return pd.Series(
+        [
+            [{"prefix": p, "allow": a} for p, a in parse_robots_body(b)]
+            for b in bodies
+        ],
+        dtype="object",
+    )
+
+
 def build_rules(spark, robots_df: DataFrame | None) -> DataFrame:
-    """robots(host, body) -> rules(host, prefix, allow, prefix_len)."""
+    """robots(host, body) -> rules(host, prefix, allow, prefix_len).
+
+    Bodies are parsed EXECUTOR-side in an Arrow-batched UDF — a
+    Common-Crawl-scale corpus has millions of robots hosts, so the
+    bodies never pass through the driver. (The gate-side join decides
+    separately whether the aggregated per-host rules are small enough
+    to broadcast; see `filter_allowed`.)
+    """
     schema = "host string, prefix string, allow boolean, prefix_len int"
     if robots_df is None:
         return spark.createDataFrame([], schema)
-    rows = robots_df.select("host", "body").collect()  # dim table: small
-    out = []
-    for r in rows:
-        for prefix, allow in parse_robots_body(r["body"]):
-            out.append((r["host"], prefix, allow, len(prefix)))
-    return spark.createDataFrame(out, schema)
+    return (
+        robots_df.select("host", F.explode(parse_robots_udf(F.col("body"))).alias("_r"))
+        .select(
+            "host",
+            F.col("_r.prefix").alias("prefix"),
+            F.col("_r.allow").alias("allow"),
+            F.length("_r.prefix").alias("prefix_len"),
+        )
+    )
 
 
 def filter_allowed(
@@ -67,6 +99,7 @@ def filter_allowed(
     rules: DataFrame,
     host_col: str = "host",
     path_col: str = "path",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Keep rows whose (host, path) is robots-allowed.
 
@@ -75,15 +108,19 @@ def filter_allowed(
     rule is picked per row with JVM higher-order array functions
     (F.filter + F.array_max over (prefix_len, allow) structs) — fully
     inside whole-stage codegen, no Python in the hot path.
+
+    `broadcast=False` (the caller saw a rules table too big to ship to
+    every executor — millions of hosts): same plan with a shuffle hash
+    join on host instead of the broadcast.
     """
     if rules.isEmpty():
         return candidates
     per_host = rules.groupBy(F.col("host").alias("_rhost")).agg(
         F.collect_list(F.struct("prefix_len", "allow", "prefix")).alias("_rset")
     )
-    joined = candidates.join(
-        F.broadcast(per_host), F.col(host_col) == F.col("_rhost"), "left"
-    )
+    if broadcast:
+        per_host = F.broadcast(per_host)
+    joined = candidates.join(per_host, F.col(host_col) == F.col("_rhost"), "left")
     matched = F.filter(
         F.coalesce(F.col("_rset"), F.array()),
         lambda r: F.col(path_col).startswith(r["prefix"]),

@@ -142,3 +142,81 @@ def bloom_maybe_seen(
     return hashed.withColumn(
         "maybe_seen", probe(F.col("bucket"), F.col("url_hash"), F.col("url_hash2"))
     ).drop("bucket", "url_hash2")
+
+
+def bloom_maybe_seen_cogroup(
+    candidates: DataFrame,
+    filters: DataFrame,
+    n_buckets: int = 64,
+    num_hashes: int = 7,
+    canon_col: str = "canon_url",
+) -> DataFrame:
+    """Collect-free Bloom probe: cogroup candidates with their bucket's
+    filter row and probe executor-side.
+
+    Same output contract as `bloom_maybe_seen` (candidate columns +
+    url_hash + maybe_seen), but the filters STAY a DataFrame: each
+    bucket's bit array is shipped once per cogroup task, never through
+    the driver. This is the scale path — at the 10^10-URL design point
+    with 10 bits/key the filter set is ~12 GB, which the broadcast path
+    would pull into the driver (the round-1 scale-killer this replaces).
+    """
+    import pyspark.sql.types as T
+
+    hashed = with_url_hash(candidates, canon_col).withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
+    )
+    kept = [f for f in hashed.schema.fields if f.name not in ("bucket", "url_hash2")]
+    out_schema = T.StructType(kept + [T.StructField("maybe_seen", T.BooleanType())])
+    out_cols = [f.name for f in kept]
+
+    def probe_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=out_cols + ["maybe_seen"])
+        out = left[out_cols].copy()
+        if len(right) == 0:
+            out["maybe_seen"] = False
+            return out
+        blob, m = right["filter"].iloc[0], int(right["m_bits"].iloc[0])
+        bits = np.frombuffer(blob, dtype=np.uint8)
+        h2 = left["url_hash2"].to_numpy(dtype=np.int64).view(np.uint64)
+        step = left["url_hash"].to_numpy(dtype=np.int64).view(np.uint64) | np.uint64(1)
+        hit = np.ones(len(left), dtype=bool)
+        for i in range(num_hashes):
+            idx = (h2 + np.uint64(i) * step) % np.uint64(m)
+            hit &= (bits[(idx // 8).astype(np.int64)] & (1 << (idx % 8)).astype(np.uint8)) != 0
+        out["maybe_seen"] = hit
+        return out
+
+    return (
+        hashed.groupBy("bucket")
+        .cogroup(filters.groupBy("bucket"))
+        .applyInPandas(probe_group, out_schema)
+    )
+
+
+def bloom_gate(
+    candidates: DataFrame,
+    seen: DataFrame,
+    n_buckets: int = 64,
+    bits_per_key: int = 10,
+    num_hashes: int = 7,
+    canon_col: str = "canon_url",
+    broadcast_max_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Full Bloom-accelerated not-visited gate: build partitioned
+    filters from `seen`, probe candidates (broadcast for small filter
+    sets, cogroup beyond `broadcast_max_bytes`), then resolve the
+    maybe-seen residue with the exact anti-join. Output == the plain
+    exact anti-join (no false negatives; false positives re-checked).
+    """
+    filters = build_bloom_filters(seen, n_buckets, bits_per_key, num_hashes, canon_col).cache()
+    # one-row size probe — a driver-side aggregate, not a bulk collect
+    total_bytes = (filters.agg((F.sum("m_bits") / 8).alias("b")).collect()[0]["b"]) or 0
+    if total_bytes <= broadcast_max_bytes:
+        probed = bloom_maybe_seen(candidates, filters, n_buckets, num_hashes, canon_col)
+    else:
+        probed = bloom_maybe_seen_cogroup(candidates, filters, n_buckets, num_hashes, canon_col)
+    definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen", "url_hash")
+    maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen", "url_hash")
+    return definitely_new.unionByName(anti_join_seen(maybe, seen, canon_col))

@@ -81,6 +81,12 @@ class Crawler:
         rules = robots_ops.build_rules(spark, corpus.robots)
         # None when empty => the per-round robots gate is skipped outright
         self.robots_rules = None if rules.isEmpty() else rules.cache()
+        # broadcast the per-host rule arrays only while they plausibly
+        # fit executor memory; a Common-Crawl-scale rules table falls
+        # back to a shuffle join (count() also warms the cache)
+        self.robots_broadcast = (
+            self.robots_rules is not None and self.robots_rules.count() <= 2_000_000
+        )
 
     # ------------------------------------------------------------ run
     def run(
@@ -140,6 +146,7 @@ class Crawler:
                 round_no=rnd, next_rank=next_rank,
                 expand=expand, dedup_gate=dedup_gate,
                 seen_nonempty=seen_nonempty,
+                robots_broadcast=self.robots_broadcast,
             )
             # run_round localCheckpoints the fetched+parsed block (plan
             # truncation at the round boundary — without it an iterative

@@ -40,7 +40,7 @@ from cloud_crawler_spark.functions.parse import with_parsed
 from cloud_crawler_spark.operators import robots as robots_ops
 from cloud_crawler_spark.operators.politeness import order_cols, select_budget
 from cloud_crawler_spark.operators.rank import with_global_rank
-from cloud_crawler_spark.operators.seen import anti_join_seen, bloom_maybe_seen, build_bloom_filters
+from cloud_crawler_spark.operators.seen import anti_join_seen, bloom_gate
 from cloud_crawler_spark.sources.corpus import Corpus
 
 CRAWLED_COLS = [
@@ -187,7 +187,8 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
 
 
 def _expand_links(
-    crawled: DataFrame, corpus: Corpus, config: CrawlConfig, robots_rules: DataFrame
+    crawled: DataFrame, corpus: Corpus, config: CrawlConfig, robots_rules: DataFrame,
+    robots_broadcast: bool = True,
 ) -> DataFrame:
     """Extracted links -> gated, canonicalized child frontier rows."""
     parents = crawled.where(
@@ -236,7 +237,9 @@ def _expand_links(
         links = links.where(~F.col("path").contains("?"))
     # F3 robots (broadcast rules; dsl_core.rb:237-241)
     if config.obey_robots_txt and robots_rules is not None:
-        links = robots_ops.filter_allowed(links, robots_rules, "host", "path")
+        links = robots_ops.filter_allowed(
+            links, robots_rules, "host", "path", broadcast=robots_broadcast
+        )
     # focus_crawl hook (dsl_front_end.rb:200-204)
     if config.focus_filter is not None:
         links = config.focus_filter(links)
@@ -284,6 +287,7 @@ def run_round(
     expand: bool = True,
     dedup_gate: bool = True,
     seen_nonempty: bool = True,
+    robots_broadcast: bool = True,
 ) -> RoundResult:
     """Execute round `round_no`. `expand=False` = curl mode (C5):
     fetch-only, no link following; `dedup_gate=False` also skips the
@@ -316,13 +320,13 @@ def run_round(
 
     if dedup_gate and seen_nonempty:
         if config.use_bloom:
-            filters = build_bloom_filters(
-                seen, config.n_host_buckets, config.bloom_bits_per_key, config.bloom_num_hashes
+            selected = bloom_gate(
+                selected, seen,
+                n_buckets=config.n_host_buckets,
+                bits_per_key=config.bloom_bits_per_key,
+                num_hashes=config.bloom_num_hashes,
+                broadcast_max_bytes=config.bloom_broadcast_max_bytes,
             )
-            probed = bloom_maybe_seen(selected, filters, config.n_host_buckets, config.bloom_num_hashes)
-            definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen", "url_hash")
-            maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen", "url_hash")
-            selected = definitely_new.unionByName(anti_join_seen(maybe, seen))
         else:
             selected = anti_join_seen(selected, seen)
 
@@ -374,7 +378,9 @@ def run_round(
     )
 
     if expand:
-        children = _expand_links(crawled_ck, corpus, config, robots_rules)
+        children = _expand_links(
+            crawled_ck, corpus, config, robots_rules, robots_broadcast=robots_broadcast
+        )
         # D2: drop children already seen, already stored this round, or
         # already pending (first discovery wins across rounds)
         gate = (

@@ -7,7 +7,9 @@ from pyspark.sql import functions as F
 from cloud_crawler_spark import CrawlConfig, crawl
 from cloud_crawler_spark.operators.seen import (
     anti_join_seen,
+    bloom_gate,
     bloom_maybe_seen,
+    bloom_maybe_seen_cogroup,
     build_bloom_filters,
 )
 
@@ -52,6 +54,37 @@ def test_bloom_plus_exact_equals_exact(spark):
     maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen", "url_hash")
     composite = {r[0] for r in new.unionByName(anti_join_seen(maybe, seen)).collect()}
     assert composite == exact
+
+
+def test_cogroup_probe_matches_broadcast_probe(spark):
+    """The collect-free cogroup probe returns the same maybe_seen bits
+    as the broadcast probe on a multi-bucket seen set (filters stay a
+    DataFrame — nothing bulk-collected to the driver)."""
+    seen = _urls(spark, 2000)
+    cands = _urls(spark, 3000)
+    filters = build_bloom_filters(seen, n_buckets=8)
+    via_bc = {
+        (r["canon_url"], r["maybe_seen"])
+        for r in bloom_maybe_seen(cands, filters, n_buckets=8).collect()
+    }
+    via_cg = {
+        (r["canon_url"], r["maybe_seen"])
+        for r in bloom_maybe_seen_cogroup(cands, filters, n_buckets=8).collect()
+    }
+    assert via_cg == via_bc
+
+
+def test_bloom_gate_large_path_equals_exact(spark):
+    """bloom_gate forced onto the cogroup (large) path must equal the
+    plain exact anti-join."""
+    seen = _urls(spark, 2000)
+    cands = _urls(spark, 3000)
+    exact = {r[0] for r in anti_join_seen(cands, seen).collect()}
+    got = {
+        r["canon_url"]
+        for r in bloom_gate(cands, seen, n_buckets=8, broadcast_max_bytes=0).collect()
+    }
+    assert got == exact
 
 
 def test_crawl_with_bloom_matches_exact(spark):
