@@ -26,6 +26,7 @@ Arrow-batched pandas UDF wrappers (executor hot path) are provided.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
 
 import pandas as pd
@@ -34,6 +35,21 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# ---- hot-path fast paths -------------------------------------------------
+# canonicalize/to_absolute run once per extracted LINK (~50x per page at
+# Common-Crawl link density); the overwhelmingly common inputs are
+# already-normal URLs for which the general machinery (strip, unquote/
+# quote, urljoin, urlsplit, sort) is a provable no-op. The regexes below
+# accept ONLY inputs where that holds — every admitted character is
+# untouched by quote(unquote(.)) (unreserved or in the quote safe-set),
+# there is no whitespace/fragment/query/percent-escape/port to rewrite,
+# and the path is non-empty — so the fast return is byte-identical to
+# the slow result (property-tested in tests/test_canon.py).
+#   (';' excluded from the ABS class: urljoin drops an empty trailing
+#   params segment — "http://x/a;" -> "http://x/a")
+_FAST_ABS_RE = re.compile(r"^https?://[A-Za-z0-9.-]+/[A-Za-z0-9._~!$&'()*+,=:@/-]*$")
+_FAST_CANON_RE = re.compile(r"^http://[a-z0-9.-]+/[a-z0-9._~!$&'()*+,;=:@/-]*$")
 
 
 def strip_fragment(url: str) -> str:
@@ -53,6 +69,12 @@ def to_absolute(href: str, page_url: str, base_href: str | None = None) -> str |
     """
     if href is None:
         return None
+    if _FAST_ABS_RE.match(href):
+        return href  # already absolute+normal: the slow pipeline is a no-op
+    return _to_absolute_slow(href, page_url, base_href)
+
+
+def _to_absolute_slow(href: str, page_url: str, base_href: str | None = None) -> str | None:
     href = strip_fragment(href.strip())
     if href == "":
         # pure-fragment link resolves to the page itself (spec/page_spec.rb:149-155)
@@ -78,6 +100,12 @@ def canonicalize(url: str) -> str | None:
     sorted query params + empty path -> '/'."""
     if url is None:
         return None
+    if _FAST_CANON_RE.match(url):
+        return url  # already canonical: every rewrite below is a no-op
+    return _canonicalize_slow(url)
+
+
+def _canonicalize_slow(url: str) -> str | None:
     u = " ".join(url.split())  # \s+ -> ' ' then strip (key_for gsub(/\s+/,' '))
     if not u:
         return None
@@ -99,6 +127,26 @@ def canonicalize(url: str) -> str | None:
         pairs = sorted(p for p in query.split("&") if p)
         query = "&".join(pairs)
     return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def resolve_parts(
+    href: str, page_url: str, base_href: str | None = None
+) -> tuple[str | None, str | None, str | None, str | None]:
+    """Fused per-link resolution: (abs_url, canon_url, host, path) in
+    one call — the hot inner loop of the parse UDF. Equal by
+    construction to to_absolute -> canonicalize -> host_of/path_of
+    (which it calls on the slow path), but a canonical-shaped URL pays
+    one regex match instead of three urlsplits."""
+    a = to_absolute(href, page_url, base_href) if isinstance(href, str) else None
+    if a is None:
+        return None, None, None, None
+    c = canonicalize(a)
+    if c is None:
+        return a, None, None, None
+    if _FAST_CANON_RE.match(c):
+        i = c.index("/", 7)  # len("http://") == 7
+        return a, c, c[7:i] or None, c[i:]
+    return a, c, host_of(c), path_of(c)
 
 
 def host_of(url: str) -> str | None:

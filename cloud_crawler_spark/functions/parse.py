@@ -35,10 +35,76 @@ _VOID = frozenset(
 )
 
 
+def parse_selector(expr: str) -> list[tuple[str, bool]]:
+    """Compile a link-selection expression (P3, page.rb:123-136
+    select_links_by) to ancestor-path steps [(tag, direct_child)].
+
+    Supported subset — covers the reference's DSL usage
+    (examples/count_listings.rb:30-34 "//h4/a[@href]"):
+      XPath: //t1/t2/a[@href], //t1//a, leading // or /, '*' wildcard,
+             [@href] / positional predicates ignored (href-bearing <a>
+             is what link extraction collects anyway)
+      CSS:   "t1 a" (descendant), "t1 > a" (direct child)
+    Matching is greedy right-to-left (no backtracking) — exact for
+    chains of direct steps and single-gap descendant steps.
+    """
+    expr = expr.strip()
+    steps: list[tuple[str, bool]] = []
+    if expr.startswith("/"):
+        parts = expr.split("/")
+        # '' gaps mark descendant ('//') steps: ['', '', 'h4', 'a']
+        direct = False
+        for p in parts:
+            if p == "":
+                direct = False  # a // separator
+                continue
+            tag = p.split("[")[0].strip() or "*"
+            steps.append((tag, direct))
+            direct = True  # single '/' between named steps
+        if steps:
+            steps[0] = (steps[0][0], False)  # leading // or / anchors nowhere
+    else:
+        direct_next = False
+        for tok in expr.split():
+            if tok == ">":
+                direct_next = True
+                continue
+            steps.append((tok.split("[")[0], direct_next))
+            direct_next = False
+        if steps:
+            steps[0] = (steps[0][0], False)
+    if not steps or steps[-1][0] not in ("a", "*"):
+        steps.append(("a", False))
+    return steps
+
+
+def _match_steps(stack: list[str], steps: list[tuple[str, bool]]) -> bool:
+    """Greedy right-to-left match of selector steps against the open-
+    element stack (stack[-1] is the <a> itself). A step's direct flag
+    constrains where the NEXT-left step may match: parent-exactly
+    (child step, '/') vs any ancestor ('//')."""
+    i = len(stack) - 1
+    exact = True  # the rightmost step must match the <a> itself
+    for k in range(len(steps) - 1, -1, -1):
+        tag, direct = steps[k]
+        if exact:
+            if i < 0 or (tag != "*" and stack[i] != tag):
+                return False
+        else:
+            while i >= 0 and tag != "*" and stack[i] != tag:
+                i -= 1
+            if i < 0:
+                return False
+        i -= 1
+        exact = direct  # '/' between k-1 and k => k-1 is the exact parent
+    return True
+
+
 class _PageParser(HTMLParser):
     """One pass: links (document order), base href, title, text."""
 
-    def __init__(self, within_tag: str | None = None):
+    def __init__(self, within_tag: str | None = None,
+                 selector: list[tuple[str, bool]] | None = None):
         super().__init__(convert_charrefs=True)
         self.links: list[str] = []
         self.base_href: str | None = None
@@ -46,13 +112,16 @@ class _PageParser(HTMLParser):
         self.text_parts: list[str] = []
         self._in_title = False
         self._stack: list[str] = []
-        self._within = within_tag  # optional CSS-ish scope, e.g. 'h4'
+        # back-compat scope: 'h4' == selector [('h4',False),('a',False)]
+        self._steps = selector if selector is not None else (
+            [(within_tag, False), ("a", False)] if within_tag else None
+        )
 
     def handle_starttag(self, tag, attrs):
         if tag not in _VOID:
             self._stack.append(tag)
         if tag == "a":
-            if self._within is None or self._within in self._stack:
+            if self._steps is None or _match_steps(self._stack, self._steps):
                 href = dict(attrs).get("href")
                 if href:  # skip nil/empty (page.rb:127-129)
                     self.links.append(href)
@@ -90,8 +159,9 @@ def _decode(html) -> str:
     return str(html)
 
 
-def parse_page(html, within_tag: str | None = None) -> dict:
-    p = _PageParser(within_tag=within_tag)
+def parse_page(html, within_tag: str | None = None,
+               selector: list[tuple[str, bool]] | None = None) -> dict:
+    p = _PageParser(within_tag=within_tag, selector=selector)
     try:
         p.feed(_decode(html))
         p.close()
@@ -173,17 +243,23 @@ def extract_links_udf(html: pd.Series) -> pd.Series:
     )
 
 
-def make_scoped_links_udf(within_tag: str):
+def make_scoped_links_udf(selector: str):
     """select_links_by equivalent (page.rb:123-136): restrict link
-    extraction to <a> elements inside a given enclosing tag, e.g. 'h4'
-    for the reference's "//h4/a[@href]" example
-    (examples/count_listings.rb:30-34)."""
+    extraction by an XPath/CSS selector expression — e.g.
+    "//h4/a[@href]" (examples/count_listings.rb:30-34), "div a",
+    "ul > a" — or a bare enclosing tag name like 'h4'
+    (see parse_selector for the supported subset)."""
+    steps = (
+        parse_selector(selector)
+        if any(ch in selector for ch in "/> [")
+        else [(selector, False), ("a", False)]
+    )
 
     @pandas_udf(_LINKS_TYPE)
     def scoped(html: pd.Series) -> pd.Series:
         out = []
         for h in html:
-            links = parse_page(h, within_tag=within_tag)["links"]
+            links = parse_page(h, selector=steps)["links"]
             out.append([{"href": l, "pos": i} for i, l in enumerate(links)])
         return pd.Series(out, dtype="object")
 
@@ -194,6 +270,91 @@ def with_parsed(df, html_col: str = "html"):
     """Attach parsed struct columns (links/base_href/title/text)."""
     return (
         df.withColumn("_parsed", parse_page_udf(F.col(html_col)))
+        .withColumn("links", F.col("_parsed.links"))
+        .withColumn("base_href", F.col("_parsed.base_href"))
+        .withColumn("title", F.col("_parsed.title"))
+        .withColumn("page_text", F.col("_parsed.text"))
+        .drop("_parsed")
+    )
+
+
+# ------------------------------------------------- fused parse + resolve
+
+_RESOLVED_LINKS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("abs_url", T.StringType()),
+            T.StructField("canon_url", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
+
+_PARSED_RESOLVED_TYPE = T.StructType(
+    [
+        T.StructField("links", _RESOLVED_LINKS_TYPE),
+        T.StructField("base_href", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(_PARSED_RESOLVED_TYPE)
+def parse_resolve_udf(html: pd.Series, page_urls: pd.Series) -> pd.DataFrame:
+    """FUSED hot-path UDF: parse (P1/P2/P5) + absolutize + canonicalize
+    + host + path (P4, canon.resolve_link) for every extracted link in
+    ONE Arrow round trip per page row.
+
+    The unfused pipeline paid two Python stages per round — parse over
+    page rows, then resolve over EXPLODED link rows (an order of
+    magnitude more rows, each carrying its page_url and base_href back
+    through Arrow). Resolving page-side while the base is already in
+    hand removes that second, larger round trip entirely; link gating
+    (F1/F2/F4, robots) stays JVM-side on the emitted host/path fields.
+    """
+    from cloud_crawler_spark.functions.canon import resolve_parts
+
+    rows = []
+    for h, purl in zip(html, page_urls):
+        r = parse_page(h)
+        base = r["base_href"] if r["base_href"] else None
+        links = []
+        for i, href in enumerate(r["links"]):
+            a, c, hst, pth = (
+                resolve_parts(href, purl, base)
+                if isinstance(purl, str)
+                else (None, None, None, None)
+            )
+            links.append(
+                {
+                    "href": href,
+                    "abs_url": a,
+                    "canon_url": c,
+                    "host": hst,
+                    "path": pth,
+                    "pos": i,
+                }
+            )
+        rows.append(
+            {
+                "links": links,
+                "base_href": r["base_href"],
+                "title": r["title"],
+                "text": r["text"],
+            }
+        )
+    return pd.DataFrame(rows, columns=["links", "base_href", "title", "text"])
+
+
+def with_parsed_resolved(df, html_col: str = "html", url_col: str = "url"):
+    """Attach parsed+resolved struct columns: links carry
+    (href, abs_url, canon_url, host, path, pos) per element."""
+    return (
+        df.withColumn("_parsed", parse_resolve_udf(F.col(html_col), F.col(url_col)))
         .withColumn("links", F.col("_parsed.links"))
         .withColumn("base_href", F.col("_parsed.base_href"))
         .withColumn("title", F.col("_parsed.title"))

@@ -1,0 +1,89 @@
+"""Page serialization parity — the reference's to_hash/from_hash.
+
+Page#to_hash (page.rb:255-268) serializes exactly twelve fields:
+url, headers, data, body, links, code, visited, depth, referer,
+redirect_to, response_time, fetched — with nil URL-ish fields
+stringified to "" (``@referer.to_s``). Page.from_hash (page.rb:271-288)
+round-trips with coercions: ``to_i`` on code/depth/response_time (Ruby
+``nil.to_i == 0``), redirect_to back to nil when empty.
+
+Our crawled table carries every to_hash field natively except:
+* ``headers`` — reconstructed as {'content-type': [content_type]}, the
+  one header the reference's gates consume (page.rb:66-67 defaults
+  headers['content-type'] to ['']; full response-header capture is a
+  live-fetch concern recorded as a non-goal in README).
+* ``data`` — the reference's schemaless user OpenStruct; emitted as an
+  empty map (user state lives in real columns here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TO_HASH_FIELDS = [
+    "url", "headers", "data", "body", "links", "code", "visited",
+    "depth", "referer", "redirect_to", "response_time", "fetched",
+]
+
+
+def to_hash_df(crawled: DataFrame) -> DataFrame:
+    """Project a crawled DataFrame onto the reference's to_hash shape
+    (one column per to_hash key, exact names, nil-to_s semantics)."""
+    return crawled.select(
+        F.col("url"),
+        F.create_map(
+            F.lit("content-type"), F.array(F.coalesce(F.col("content_type"), F.lit("")))
+        ).alias("headers"),
+        F.create_map().cast("map<string,string>").alias("data"),
+        F.col("html").cast("string").alias("body"),
+        F.col("links"),
+        F.col("code"),
+        F.col("visited"),
+        F.col("depth"),
+        F.coalesce(F.col("referer"), F.lit("")).alias("referer"),        # @referer.to_s
+        F.coalesce(F.col("redirect_to"), F.lit("")).alias("redirect_to"),  # .to_s
+        F.col("response_time"),
+        F.col("fetched"),
+    )
+
+
+def page_to_hash(row) -> dict:
+    """One crawled Row -> the reference's to_hash dict."""
+    d = row.asDict() if hasattr(row, "asDict") else dict(row)
+    body = d.get("html")
+    if isinstance(body, (bytes, bytearray)):
+        body = bytes(body).decode("utf-8", errors="ignore")
+    return {
+        "url": d.get("url") or "",
+        "headers": {"content-type": [d.get("content_type") or ""]},
+        "data": {},
+        "body": body,
+        "links": list(d.get("links") or []),
+        "code": d.get("code"),
+        "visited": d.get("visited"),
+        "depth": d.get("depth"),
+        "referer": d.get("referer") or "",
+        "redirect_to": d.get("redirect_to") or "",
+        "response_time": d.get("response_time"),
+        "fetched": d.get("fetched"),
+    }
+
+
+def page_from_hash(h: dict) -> dict:
+    """Page.from_hash coercions (page.rb:271-288): to_i on
+    code/depth/response_time (nil -> 0), empty redirect_to -> None."""
+    return {
+        "url": h["url"],
+        "headers": h.get("headers") or {"content-type": [""]},
+        "data": h.get("data") or {},
+        "body": h.get("body"),
+        "links": list(h.get("links") or []),
+        "code": int(h["code"]) if h.get("code") is not None else 0,
+        "visited": h.get("visited"),
+        "depth": int(h["depth"]) if h.get("depth") is not None else 0,
+        "referer": h.get("referer"),
+        "redirect_to": h["redirect_to"] if h.get("redirect_to") else None,
+        "response_time": int(h["response_time"]) if h.get("response_time") is not None else 0,
+        "fetched": h.get("fetched"),
+    }

@@ -136,6 +136,8 @@ class Crawler:
         rnd = round_no
         seen = seen.cache()
         seen_nonempty = not seen.isEmpty()
+        _rounds_since_ckpt = 0
+        _rows_since_ckpt = 0
         # one count up front; thereafter next_frontier's count feeds the
         # loop condition — no extra emptiness probe per round
         n_pending = frontier.where(F.col("status") == "pending").count()
@@ -193,11 +195,18 @@ class Crawler:
             # crawled again, and newly_seen is distinct within its
             # round). The union is lazy — each arm is already backed by
             # a checkpointed block, so no per-round copy of the whole
-            # seen set; a periodic lazy checkpoint bounds the union
-            # chain's plan depth on long crawls.
+            # seen set. The union chain's arms are per-round distinct()
+            # projections that every later round's gate re-executes, so
+            # the checkpoint cadence is both round- AND size-triggered:
+            # long crawls truncate every 8 rounds, bursty ones as soon
+            # as the accumulated arms carry ~100k rows.
             seen = seen.unionByName(newly_seen)
-            if (rnd - round_no) % 16 == 15:
+            _rounds_since_ckpt += 1
+            _rows_since_ckpt += n_crawled
+            if _rounds_since_ckpt >= 8 or _rows_since_ckpt >= 100_000:
                 seen = seen.localCheckpoint(eager=False)
+                _rounds_since_ckpt = 0
+                _rows_since_ckpt = 0
             seen_nonempty = seen_nonempty or n_crawled > 0
             frontier = next_frontier
             rnd += 1
@@ -232,7 +241,8 @@ class Crawler:
 def _empty_crawled_schema() -> str:
     return (
         "url string, canon_url string, host string, code int, depth int, "
-        "referer string, redirect_to string, fetched boolean, hop int, "
+        "referer string, redirect_to string, fetched boolean, visited boolean, "
+        "error string, response_time int, content_type string, hop int, "
         "links array<string>, title string, text string, html binary, "
         "round int, rank long, parent_rank long, link_pos int, priority double"
     )

@@ -34,9 +34,8 @@ from cloud_crawler_spark.functions.canon import (
     absolutize_udf,
     canon_udf,
     host_udf,
-    resolve_link_udf,
 )
-from cloud_crawler_spark.functions.parse import with_parsed
+from cloud_crawler_spark.functions.parse import with_parsed_resolved
 from cloud_crawler_spark.operators import robots as robots_ops
 from cloud_crawler_spark.operators.politeness import order_cols, select_budget
 from cloud_crawler_spark.operators.rank import with_global_rank
@@ -45,9 +44,13 @@ from cloud_crawler_spark.sources.corpus import Corpus
 
 CRAWLED_COLS = [
     "url", "canon_url", "host", "code", "depth", "referer", "redirect_to",
-    "fetched", "links", "title", "text", "html", "round", "rank",
+    "fetched", "visited", "error", "response_time", "content_type",
+    "links", "title", "text", "html", "round", "rank",
     "parent_rank", "link_pos", "priority",
 ]
+
+# content types the reference parses as HTML (page.rb:185-190 html?)
+HTML_CONTENT_TYPES = r"^(text/html|application/xhtml\+xml)\b"
 
 
 @dataclass
@@ -85,6 +88,7 @@ def _lookup(current: DataFrame, pages: DataFrame, redirects: DataFrame,
             )
             .withColumn("_p_canon", F.lit(None).cast("string"))
             .withColumn("_p_html", F.lit(None).cast("binary"))
+            .withColumn("_p_ctype", F.lit(None).cast("string"))
         )
         j = hits.unionByName(misses.select(*hits.columns))
     else:
@@ -104,7 +108,9 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
     redirects) + code, redirect_to, html, fetched.
     """
     pages = corpus.pages.select(
-        F.col("canon_url").alias("_p_canon"), F.col("html").alias("_p_html")
+        F.col("canon_url").alias("_p_canon"),
+        F.col("html").alias("_p_html"),
+        F.col("content_type").alias("_p_ctype"),
     )
     redirects = corpus.redirects.select(
         F.col("canon_url").alias("_r_canon"), F.col("redirect_to").alias("_r_to")
@@ -128,6 +134,9 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
             F.lit(None).cast("string").alias("redirect_to"),
             F.col("_p_html").alias("html"),
             F.col("_p_html").isNotNull().alias("fetched"),
+            F.col("_p_ctype").alias("content_type"),
+            F.lit(0).alias("response_time"),  # corpus join: no wire time (page.rb to_hash parity)
+            F.lit(None).cast("string").alias("error"),
             F.lit(hop).alias("hop"),
         )
         stored_parts.append(landed)
@@ -144,6 +153,9 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
                     F.col("_r_to").alias("redirect_to"),
                     F.lit(None).cast("binary").alias("html"),
                     F.lit(True).alias("fetched"),
+                    F.lit(None).cast("string").alias("content_type"),
+                    F.lit(0).alias("response_time"),
+                    F.lit(None).cast("string").alias("error"),
                     F.lit(hop).alias("hop"),
                 )
             )
@@ -156,6 +168,9 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
                     F.col("_r_to").alias("redirect_to"),
                     F.lit(None).cast("binary").alias("html"),
                     F.lit(True).alias("fetched"),
+                    F.lit(None).cast("string").alias("content_type"),
+                    F.lit(0).alias("response_time"),
+                    F.lit(None).cast("string").alias("error"),
                     F.lit(hop).alias("hop"),
                 )
             )
@@ -173,7 +188,7 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
             nxt.withColumn("url", F.col("_next_url"))
             .withColumn("canon_url", canon_udf(F.col("_next_url")))
             .withColumn("host", F.col("_next_host"))
-            .drop("_p_canon", "_p_html", "_r_canon", "_r_to", "_next_url", "_next_host")
+            .drop("_p_canon", "_p_html", "_p_ctype", "_r_canon", "_r_to", "_next_url", "_next_host")
         ).cache()
         if current.isEmpty():  # no chains left: stop extending the plan
             break
@@ -200,29 +215,22 @@ def _expand_links(
         F.col("host").alias("_page_host"),
         F.col("depth").alias("_page_depth"),
         F.col("rank").alias("_page_rank"),
-        "base_href",
         F.explode("links").alias("_l"),
     )
+    # links were absolutized + canonicalized page-side inside the fused
+    # parse UDF (functions/parse.py parse_resolve_udf) — no second
+    # Python stage over the exploded (much larger) link set. F9
+    # empty/nil hrefs never leave the parser; unresolvable hrefs
+    # surface as canon_url NULL and drop here.
     links = parents.select(
         "_page_url", "_page_host", "_page_depth", "_page_rank",
         F.col("_l.href").alias("href"),
+        F.col("_l.abs_url").alias("abs_url"),
+        F.col("_l.canon_url").alias("canon_url"),
+        F.col("_l.host").alias("host"),
+        F.col("_l.path").alias("path"),
         F.col("_l.pos").alias("link_pos"),
-        "base_href",
-    )
-    # F9 empty / nil
-    links = links.where(F.col("href").isNotNull() & (F.length("href") > 0))
-    # absolutize (P4) + canonicalize + host + path in ONE fused UDF
-    links = (
-        links.withColumn(
-            "_r", resolve_link_udf(F.col("href"), F.col("_page_url"), F.col("base_href"))
-        )
-        .withColumn("abs_url", F.col("_r.abs_url"))
-        .withColumn("canon_url", F.col("_r.canon_url"))
-        .withColumn("host", F.col("_r.host"))
-        .withColumn("path", F.col("_r.path"))
-        .drop("_r")
-        .where(F.col("canon_url").isNotNull())
-    )
+    ).where(F.col("canon_url").isNotNull())
     # F4 in_domain? (dsl_core.rb:246-252)
     same = F.col("host") == F.col("_page_host")
     links = links.where(
@@ -349,10 +357,24 @@ def run_round(
 
     # fetch strategy: the driver knows the exact round size — small
     # rounds broadcast the frontier slice (zero corpus shuffle), huge
-    # rounds fall back to a shuffle join
-    broadcast_frontier = n_selected <= config.broadcast_fetch_rows
-    fetched = _fetch(ranked, corpus, config, broadcast_frontier=broadcast_frontier)
-    parsed = with_parsed(fetched, "html")
+    # rounds fall back to a shuffle join. config.fetcher (S4/S6
+    # injection point, e.g. sources/http_fetch.HttpFetcher) replaces
+    # the corpus join wholesale when set.
+    if config.fetcher is not None:
+        fetched = config.fetcher(ranked, config)
+    else:
+        broadcast_frontier = n_selected <= config.broadcast_fetch_rows
+        fetched = _fetch(ranked, corpus, config, broadcast_frontier=broadcast_frontier)
+    # F8 content-type gate (page.rb:185-195 html?): only HTML bodies
+    # are parsed — a non-HTML row is stored but yields no links/text,
+    # so it is never expanded
+    gated = fetched.withColumn(
+        "_html_in",
+        F.when(
+            F.col("content_type").rlike(HTML_CONTENT_TYPES), F.col("html")
+        ).otherwise(F.lit(None).cast("binary")),
+    )
+    parsed = with_parsed_resolved(gated, "_html_in", "url").drop("_html_in")
 
     # one materialization per round: fetch+parse lands in the local
     # checkpoint, plan truncated; link expansion and the stored output
@@ -360,11 +382,17 @@ def run_round(
     # parse, no html-sized cache copy)
     crawled_ck = parsed.select(
         "url", "canon_url", "host", "code", "depth", "referer", "redirect_to",
-        "fetched", "hop", "links", "title",
+        "fetched",
+        # to_hash parity (page.rb:255-268): visited is an
+        # analysis-stage flag in the reference (PageStore
+        # shortest_paths!); under BSP rounds every stored row was by
+        # construction visited this crawl
+        F.lit(True).alias("visited"),
+        "error", "response_time", "content_type",
+        "hop", "links", "title",
         F.col("page_text").alias("text"),
         (F.lit(None).cast("binary") if config.discard_page else F.col("html")).alias("html"),
         F.lit(round_no).alias("round"), "rank", "parent_rank", "link_pos", "priority",
-        "base_href",
     ).localCheckpoint(eager=True)
     _tick("fetch+parse+ckpt")
     # the checkpoint holds everything downstream needs — release the
@@ -469,9 +497,8 @@ def run_round(
         )
     )
 
-    crawled_out = crawled.drop("base_href")
     return RoundResult(
-        crawled=crawled_out,
+        crawled=crawled,
         newly_seen=newly_seen,
         next_frontier=next_frontier,
         lineage=lineage,

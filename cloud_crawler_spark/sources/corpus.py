@@ -44,7 +44,7 @@ SEEDS_SCHEMA = "url string, priority double"
 class Corpus:
     """Prepared corpus: pages keyed by canon_url, redirect map, robots."""
 
-    pages: DataFrame          # canon_url, host, url, warc_ts, html, text, lang
+    pages: DataFrame          # canon_url, host, url, warc_ts, html, text, lang, content_type
     redirects: DataFrame      # canon_url, redirect_to, code
     robots: DataFrame | None  # host, body
     _has_redirects: bool | None = None
@@ -61,9 +61,16 @@ def prepare_corpus(
     robots: DataFrame | None = None,
 ) -> Corpus:
     spark = pages.sparkSession
+    # optional content_type column (F8 gates, page.rb:185-195): an
+    # HTML-only corpus omits it and every row is text/html
+    if "content_type" not in pages.columns:
+        pages = pages.withColumn("content_type", F.lit("text/html"))
     p = (
         with_canon(pages, "url")
-        .select("canon_url", "host", "url", "warc_ts", "html", "text", "lang")
+        .select(
+            "canon_url", "host", "url", "warc_ts", "html", "text", "lang",
+            "content_type",
+        )
         .dropDuplicates(["canon_url"])  # one fetchable body per canonical URL
         .cache()  # probed by every round's fetch join — keep canon'd form hot
     )

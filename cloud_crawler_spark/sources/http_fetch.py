@@ -1,0 +1,309 @@
+"""Live-HTTP fetch stage (S4/S5/S6) — the injectable mapInPandas fetcher.
+
+Re-expresses the reference's fetch substrate on Spark:
+
+* ``HTTP#fetch_pages`` redirect loop (http.rb:68-91, 155-169):
+  followed per URL inside the UDF, bounded by ``redirect_limit``
+  (http.rb:35), same-host-or-relative only (``allowed?``,
+  http.rb:245-247), every hop emitted when ``keep_redirects``.
+* 3 retries with connection refresh (http.rb:211-216): per-request
+  retry loop; a fresh transport call IS the refreshed connection.
+* per-host connection pool (http.rb:219-240): the frontier slice is
+  repartitioned by host before the UDF, so one Python worker sees one
+  host's URLs consecutively and the transport's keep-alive session is
+  reused across them — partition locality replaces the pool dict.
+* error semantics (http.rb:89, spec/http_spec.rb:33-55): an exception
+  after the retries yields a stored row with ``error`` set,
+  ``code`` NULL and ``fetched=false`` (reference: ``fetched =
+  !code.nil?``). A real 404/5xx response is a FETCHED page with that
+  code — unlike the corpus join, where a missing row means the URL
+  does not exist anywhere and lands as code=404/fetched=false.
+
+The sandbox has no network, so the TRANSPORT is injectable: tests run
+an in-process fake (tests/test_http_fetch.py), and ``UrllibTransport``
+(per-partition opener reuse, no auto-redirect) is the real-world
+default. Output schema matches the corpus fetch stage
+(plans/round._fetch) column-for-column, so
+
+    config = CrawlConfig(fetcher=HttpFetcher(transport_factory=...))
+
+swaps the stage without touching the round pipeline.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cloud_crawler_spark.functions.canon import canonicalize, host_of, to_absolute
+
+#: columns the fetch stage appends to the frontier slice (must stay in
+#: sync with plans/round._fetch's landed/hop selects)
+FETCH_COLS = T.StructType(
+    [
+        T.StructField("code", T.IntegerType()),
+        T.StructField("redirect_to", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("fetched", T.BooleanType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("response_time", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("hop", T.IntegerType()),
+    ]
+)
+
+_REWRITTEN = ("url", "canon_url", "host")  # columns redirect hops rewrite
+
+
+@dataclass
+class FetchResponse:
+    """What a transport returns for one GET (http.rb:93-153 get/get_response)."""
+
+    code: int
+    body: Optional[bytes] = None
+    content_type: Optional[str] = None
+    redirect_to: Optional[str] = None  # Location header on 3xx
+    response_time: int = 0             # milliseconds
+
+
+class UrllibTransport:
+    """Default real-network transport: one urllib opener per instance
+    (instantiated once per partition => keep-alive/session reuse along
+    the host-partitioned slice), redirects surfaced as FetchResponse
+    fields instead of being auto-followed (the crawl gate decides)."""
+
+    def __init__(self, timeout: float = 30.0, user_agent: str = "cloud-crawler-spark"):
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None  # surface the 3xx to the caller
+
+        self.timeout = timeout
+        self.user_agent = user_agent
+        self.opener = urllib.request.build_opener(_NoRedirect())
+
+    def __call__(self, url: str, referer: Optional[str]) -> FetchResponse:
+        import urllib.error
+        import urllib.request
+
+        headers = {"User-Agent": self.user_agent}
+        if referer:
+            headers["Referer"] = referer
+        req = urllib.request.Request(url, headers=headers)
+        t0 = time.monotonic()
+        try:
+            resp = self.opener.open(req, timeout=self.timeout)
+            body = resp.read()
+            ms = int((time.monotonic() - t0) * 1000)
+            return FetchResponse(
+                code=resp.getcode(),
+                body=body,
+                content_type=(resp.headers.get("Content-Type") or "").split(";")[0] or None,
+                response_time=ms,
+            )
+        except urllib.error.HTTPError as e:  # non-2xx WITH a response
+            ms = int((time.monotonic() - t0) * 1000)
+            return FetchResponse(
+                code=e.code,
+                body=e.read() if e.code not in range(300, 400) else None,
+                content_type=(e.headers.get("Content-Type") or "").split(";")[0] or None,
+                redirect_to=e.headers.get("Location"),
+                response_time=ms,
+            )
+
+
+class DictTransport:
+    """In-process FakeWeb analog (spec/fakeweb_helper.rb:21-93): a
+    dict of url -> FetchResponse kwargs. The unit-test transport —
+    lives in the package (not the test tree) so Spark python workers
+    can unpickle it by reference.
+
+    fail_first: raise on the first N calls of THIS instance (one
+    instance per partition), then serve — exercises the retry loop.
+    A url absent from the dict serves a real 404 response (live
+    semantics: fetched page with code 404, unlike a corpus miss).
+    """
+
+    def __init__(self, site: dict, fail_first: int = 0):
+        self.site = site
+        self.fail_first = fail_first
+        self.calls = 0
+
+    def __call__(self, url: str, referer: Optional[str]) -> FetchResponse:
+        self.calls += 1
+        if self.calls <= self.fail_first:
+            raise ConnectionError("transient connect failure")
+        spec = self.site.get(url)
+        if spec is None:
+            return FetchResponse(
+                code=404, body=b"nope", content_type="text/html", response_time=1
+            )
+        return FetchResponse(**spec)
+
+
+class FailingTransport:
+    """Transport whose host is always down — every call raises."""
+
+    def __call__(self, url: str, referer: Optional[str]) -> FetchResponse:
+        raise TimeoutError("host unreachable")
+
+
+class HttpFetcher:
+    """Callable fetch stage: (selected_frontier_df, config) -> fetched_df.
+
+    transport_factory: zero-arg picklable callable returning a
+    transport ``(url, referer) -> FetchResponse`` — built ONCE per
+    partition (the connection-pool analog). retries/redirect gating per
+    the module docstring. ``delay`` sleeps between consecutive requests
+    within a partition — the reference's per-job politeness sleep
+    (batch_job.rb:181) localized to the host partition.
+    """
+
+    def __init__(
+        self,
+        transport_factory: Callable[[], Callable] = UrllibTransport,
+        retries: int = 3,               # http.rb:211-216
+        delay: float = 0.0,             # batch_job.rb:181 sleep(delay)
+        n_partitions: Optional[int] = None,
+    ):
+        self.transport_factory = transport_factory
+        self.retries = retries
+        self.delay = delay
+        self.n_partitions = n_partitions
+
+    def __call__(self, selected: DataFrame, config) -> DataFrame:
+        in_schema = selected.schema
+        out_schema = T.StructType(list(in_schema.fields) + list(FETCH_COLS.fields))
+        in_cols = [f.name for f in in_schema.fields]
+
+        factory = self.transport_factory
+        retries = self.retries
+        delay = self.delay
+        redirect_limit = config.redirect_limit
+        keep_redirects = config.keep_redirects
+
+        def fetch_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            transport = factory()  # one session per partition (S6)
+            first = True
+            for pdf in pdfs:
+                out_rows = []
+                for row in pdf.to_dict("records"):
+                    if delay and not first:
+                        time.sleep(delay)
+                    first = False
+                    out_rows.extend(
+                        _fetch_one(
+                            transport, row, retries, redirect_limit, keep_redirects
+                        )
+                    )
+                # dtype=object: mixed int/None (error rows' code) must
+                # not collapse to float64 NaN before Arrow conversion
+                yield pd.DataFrame(
+                    out_rows, columns=[f.name for f in out_schema.fields], dtype=object
+                )
+
+        part_cols = ["host"] if "host" in in_cols else None
+        if part_cols:
+            # host partitioning = connection locality + politeness scope
+            sliced = (
+                selected.repartition(self.n_partitions, *part_cols)
+                if self.n_partitions
+                else selected.repartition(*part_cols)
+            )
+        else:
+            sliced = selected
+        return sliced.mapInPandas(fetch_partition, schema=out_schema)
+
+
+def _attempt(transport, url: str, referer: Optional[str], retries: int) -> FetchResponse:
+    """get_response with retries (http.rb:205-216): any raise below the
+    transport is retried up to `retries` times, then propagates."""
+    last = None
+    for _ in range(max(1, retries)):
+        try:
+            return transport(url, referer)
+        except Exception as e:  # noqa: BLE001 — reference rescues Exception
+            last = e
+    raise last
+
+
+def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
+               keep_redirects: bool) -> list[dict]:
+    """Fetch one frontier row, following its redirect chain (≤ limit,
+    same-host or relative only). Returns the stored page rows."""
+    out: list[dict] = []
+    url, referer, orig_host = row["url"], row.get("referer"), row.get("host")
+    cur = dict(row)
+
+    for hop in range(redirect_limit + 1):
+        try:
+            resp = _attempt(transport, cur["url"], referer, retries)
+        except Exception as e:  # noqa: BLE001
+            out.append(
+                {
+                    **cur,
+                    "code": None,
+                    "redirect_to": None,
+                    "html": None,
+                    "fetched": False,  # fetched = !code.nil? (page.rb:78)
+                    "content_type": None,
+                    "response_time": None,
+                    "error": f"{type(e).__name__}: {e}",
+                    "hop": hop,
+                }
+            )
+            return out
+
+        is_redirect = 300 <= resp.code < 400 and resp.redirect_to
+        if not is_redirect:
+            out.append(
+                {
+                    **cur,
+                    "code": resp.code,
+                    "redirect_to": None,
+                    "html": resp.body,
+                    "fetched": True,
+                    "content_type": resp.content_type,
+                    "response_time": resp.response_time,
+                    "error": None,
+                    "hop": hop,
+                }
+            )
+            return out
+
+        # redirect hop: emit when keeping, then gate + rewrite
+        next_url = to_absolute(resp.redirect_to, cur["url"], None)
+        if keep_redirects or hop == redirect_limit:
+            out.append(
+                {
+                    **cur,
+                    "code": resp.code,
+                    "redirect_to": resp.redirect_to,
+                    "html": None,
+                    "fetched": True,
+                    "content_type": resp.content_type,
+                    "response_time": resp.response_time,
+                    "error": None,
+                    "hop": hop,
+                }
+            )
+        if hop == redirect_limit:
+            return out
+        next_host = host_of(next_url) if next_url else None
+        if next_url is None or next_host != orig_host:  # F7 (http.rb:245-247)
+            return out
+        cur = {
+            **cur,
+            "url": next_url,
+            "canon_url": canonicalize(next_url),
+            "host": next_host,
+        }
+    return out

@@ -149,3 +149,175 @@ class FrontierStore:
         if not paths:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.parquet(*paths)
+
+    # ------------------------------------------------------------ doc store
+    # S8 (redis_doc_store.rb:35-139 via batch_api_job.rb:35-40): JSON
+    # documents keyed by canonical URL, appended per round alongside
+    # the page tables.
+    def commit_docs(self, rnd: int, docs: DataFrame) -> None:
+        """Append JSON docs for round `rnd`. `docs` needs a canon_url
+        column; every other column is packed into one JSON string per
+        row (the reference's doc-store value)."""
+        payload = docs.select(
+            "canon_url",
+            F.to_json(F.struct(*[c for c in docs.columns if c != "canon_url"])).alias(
+                "doc_json"
+            ),
+        )
+        self._write(payload, "docs", rnd)
+
+    def docs(self, upto: int | None = None) -> DataFrame:
+        """Union of committed doc rounds <= upto: (canon_url, doc_json)."""
+        upto = self.committed_round() if upto is None else upto
+        paths = [
+            self._p("docs", r)
+            for r in range(0, upto + 1)
+            if os.path.exists(self._p("docs", r))
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], "canon_url string, doc_json string")
+        return self.spark.read.parquet(*paths)
+
+
+class IcebergFrontierStore(FrontierStore):
+    """The real-Iceberg backend behind the same FrontierStore surface.
+
+    Activated by config when an Iceberg catalog is on the classpath
+    (no runtime jar ships in this sandbox, so __init__ verifies the
+    catalog and fails fast with the exact spark-submit flags needed).
+    Tables live under ``<catalog>.<namespace>`` and every reader/writer
+    routes through Spark SQL on the catalog, giving the crawler real
+    snapshot isolation + time travel in place of the local manifest:
+
+      crawled/seen/frontier/lineage — partitioned by `round` (frontier
+      additionally bucket(n_host_buckets, host) for per-round partition
+      pruning on the politeness window's host scan)
+      manifest           — single-row commit pointer; the atomic flip
+                           is the Iceberg commit of that one-row
+                           overwrite, replacing os.replace()
+
+    Usage on a cluster:
+      spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v> \
+        --conf spark.sql.catalog.crawl=org.apache.iceberg.spark.SparkCatalog \
+        --conf spark.sql.catalog.crawl.type=hadoop \
+        --conf spark.sql.catalog.crawl.warehouse=<path> ...
+    then ``make_store(spark, backend="iceberg", catalog="crawl")``.
+    """
+
+    _TABLES = {
+        "crawled": None,   # schema from first append
+        "seen": SEEN_SCHEMA,
+        "frontier": FRONTIER_SCHEMA,
+        "lineage": LINEAGE_SCHEMA,
+    }
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "crawl",
+                 n_host_buckets: int = 64):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.n_host_buckets = n_host_buckets
+        try:
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+        except Exception:
+            impl = None
+        if not impl:
+            raise RuntimeError(
+                f"Iceberg catalog '{catalog}' is not configured. Launch with "
+                f"--conf spark.sql.catalog.{catalog}=org.apache.iceberg.spark.SparkCatalog "
+                f"and the iceberg-spark-runtime package (see class docstring), "
+                f"or use the local backend: make_store(spark, base_dir=...)."
+            )
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._t('frontier')} "
+            f"({FRONTIER_SCHEMA}, round INT) USING iceberg "
+            f"PARTITIONED BY (round, bucket({n_host_buckets}, host))"
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._t('seen')} "
+            f"({SEEN_SCHEMA}, round INT) USING iceberg PARTITIONED BY (round)"
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._t('lineage')} "
+            f"({LINEAGE_SCHEMA}) USING iceberg PARTITIONED BY (round)"
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self._t('manifest')} "
+            f"(committed_round INT, next_rank LONG, crawled LONG) USING iceberg"
+        )
+
+    def _t(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    # -- manifest: the commit pointer is one Iceberg row; overwriting it
+    # is atomic because the Iceberg table commit is
+    def manifest(self) -> dict:
+        rows = self.spark.table(self._t("manifest")).collect()
+        if not rows:
+            return {"committed_round": -1, "rounds": []}
+        r = rows[0]
+        return {
+            "committed_round": r["committed_round"],
+            "rounds": [{"round": r["committed_round"], "next_rank": r["next_rank"]}],
+        }
+
+    def commit_round(self, rnd, crawled, newly_seen, frontier, lineage, stats=None):
+        stats = stats or {}
+        crawled_r = crawled.withColumn("round", F.lit(rnd))
+        if self.spark.catalog.tableExists(self._t("crawled")):
+            crawled_r.writeTo(self._t("crawled")).append()
+        else:  # crawled schema is config-dependent: create from first append
+            crawled_r.writeTo(self._t("crawled")).using("iceberg").partitionedBy(
+                F.col("round")
+            ).create()
+        newly_seen.withColumn("round", F.lit(rnd)).writeTo(self._t("seen")).append()
+        frontier.withColumn("round", F.lit(rnd)).writeTo(self._t("frontier")).append()
+        lineage.writeTo(self._t("lineage")).append()
+        self.spark.sql(
+            f"INSERT OVERWRITE {self._t('manifest')} "
+            f"VALUES ({rnd}, {int(stats.get('next_rank', 1))}, {int(stats.get('crawled', 0))})"
+        )
+
+    def commit_seed(self, frontier, seen):
+        frontier.withColumn("round", F.lit(-1)).writeTo(self._t("frontier")).append()
+        seen.withColumn("round", F.lit(-1)).writeTo(self._t("seen")).append()
+        self.spark.sql(f"INSERT OVERWRITE {self._t('manifest')} VALUES (-1, 1, 0)")
+
+    def frontier(self, rnd=None):
+        rnd = self.committed_round() if rnd is None else rnd
+        return self.spark.table(self._t("frontier")).where(F.col("round") == rnd).drop("round")
+
+    def seen(self, upto=None):
+        upto = self.committed_round() if upto is None else upto
+        return (
+            self.spark.table(self._t("seen"))
+            .where(F.col("round") <= upto)
+            .select("canon_url")
+        )
+
+    def crawled(self, upto=None):
+        upto = self.committed_round() if upto is None else upto
+        return self.spark.table(self._t("crawled")).where(F.col("round") <= upto)
+
+    def lineage(self):
+        return self.spark.table(self._t("lineage"))
+
+
+def make_store(
+    spark: SparkSession,
+    base_dir: str | None = None,
+    backend: str = "local",
+    catalog: str = "crawl",
+    namespace: str = "crawl",
+    n_host_buckets: int = 64,
+) -> FrontierStore:
+    """Config-driven store selection (SURVEY §7): 'local' = parquet +
+    manifest snapshots (this sandbox), 'iceberg' = catalog-backed."""
+    if backend == "iceberg":
+        return IcebergFrontierStore(spark, catalog, namespace, n_host_buckets)
+    if backend == "local":
+        if base_dir is None:
+            raise ValueError("local backend requires base_dir")
+        return FrontierStore(spark, base_dir, n_host_buckets)
+    raise ValueError(f"unknown store backend: {backend!r}")

@@ -17,8 +17,12 @@ corpus map naturally onto Structured Streaming:
 * `streaming_seen_update` — `foreachBatch` incremental URL-seen
   maintenance: each micro-batch anti-joins the persistent seen table
   and appends only new canon_urls — the streaming twin of the crawl
-  round's D1-D3 mark-seen step. Idempotent across retries because the
-  append is deduplicated on read (first-writer-wins by canon_url).
+  round's D1-D3 mark-seen step. Retry idempotency comes from that
+  anti-join: a replayed micro-batch finds its rows already appended
+  and appends nothing. (A crash BETWEEN a partial append commit and
+  the checkpoint commit can briefly expose duplicate canon_urls to
+  external readers of seen_dir; `read_seen` below is the
+  duplicate-safe reader.)
 * `per_host_seen_state` — `applyInPandasWithState` custom stateful
   operator: per-host Bloom filter (fixed-size binary state, the same
   double-hash scheme as operators/seen.py) tracking URLs seen across
@@ -45,6 +49,7 @@ __all__ = [
     "parsed_pages_stream",
     "hourly_host_rollup",
     "streaming_seen_update",
+    "read_seen",
     "per_host_seen_state",
 ]
 
@@ -118,6 +123,14 @@ def streaming_seen_update(
     )
 
 
+def read_seen(spark: SparkSession, seen_dir: str) -> DataFrame:
+    """Duplicate-safe reader for the seen table maintained by
+    streaming_seen_update: a crash between a partial append commit and
+    the checkpoint commit can leave duplicate canon_urls on disk, so
+    external readers go through dropDuplicates here."""
+    return spark.read.parquet(seen_dir).dropDuplicates(["canon_url"])
+
+
 # ------------------------------------------------------ stateful operator
 
 _STATE_SCHEMA = T.StructType(
@@ -142,7 +155,13 @@ _BLOOM_HASHES = 7        # matches the reference (redis_url_bloomfilter.rb:47)
 
 def _probe_and_set(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> int:
     """Vectorized Bloom probe+insert (same double-hash scheme as
-    operators/seen.py): returns the number of NEW keys, sets their bits."""
+    operators/seen.py): returns the number of NEW keys, sets their bits.
+
+    The probe runs against the PRE-insert bit array, so duplicate keys
+    within one call would each count as new — dedupe (h1, h2) pairs
+    first so batch_new counts distinct new URLs."""
+    pairs = np.unique(np.stack([h1, h2], axis=1), axis=0)
+    h1, h2 = pairs[:, 0], pairs[:, 1]
     step = h1 | np.uint64(1)
     seen = np.ones(len(h1), dtype=bool)
     idxs = []

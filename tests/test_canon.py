@@ -91,3 +91,80 @@ def test_host_and_path_helpers():
     assert host_of("http://WWW.Example.com/p") == "www.example.com"
     assert path_of("http://x.com/a/b?q=1") == "/a/b?q=1"
     assert path_of("http://x.com") == "/"
+
+
+# ---------------------------------------------------------------- fast paths
+
+
+class TestFastPathEquivalence:
+    """The hot-path regex shortcuts in canonicalize/to_absolute must be
+    byte-identical to the general pipeline for EVERY input — property-
+    tested over an alphabet that straddles the fast-path boundary."""
+
+    def test_canonicalize_fast_equals_slow(self):
+        from hypothesis import given, settings, strategies as st
+
+        from cloud_crawler_spark.functions.canon import _canonicalize_slow
+
+        alphabet = "abzAZ09._~!$&'()*+,;=:@/-%?# \t"
+
+        @settings(max_examples=500, deadline=None)
+        @given(
+            st.text(alphabet=alphabet, max_size=24).map(
+                lambda s: f"http://h{s and 'o'}st.com/{s}"
+            )
+        )
+        def check(u):
+            assert canonicalize(u) == _canonicalize_slow(u)
+
+        check()
+
+    def test_to_absolute_fast_equals_slow(self):
+        from hypothesis import given, settings, strategies as st
+
+        from cloud_crawler_spark.functions.canon import _to_absolute_slow
+
+        alphabet = "abzAZ09._~!$&'()*+,;=:@/-%?# \t"
+        page = "http://www.example.com/dir/page"
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=24))
+        def check(s):
+            for href in (f"http://x.com/{s}", f"https://X9.com/{s}", s):
+                assert to_absolute(href, page) == _to_absolute_slow(href, page)
+
+        check()
+
+    def test_resolve_parts_equals_composition(self):
+        from hypothesis import given, settings, strategies as st
+
+        from cloud_crawler_spark.functions.canon import resolve_parts
+
+        page = "http://www.example.com/dir/page"
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.text(alphabet="abzAZ09._~!$&'()*+,;=:@/-%?# \t", max_size=24))
+        def check(s):
+            for href in (f"http://x.com/{s}", f"/rel/{s}", s):
+                a, c, h, p = resolve_parts(href, page)
+                a2 = to_absolute(href, page)
+                c2 = canonicalize(a2) if a2 else None
+                assert a == a2 and c == c2
+                assert h == (host_of(c2) if c2 else None)
+                assert p == (path_of(c2) if c2 else None)
+
+        check()
+
+    def test_fast_path_hits_common_shapes(self):
+        """The shapes a web corpus is made of must actually take the
+        fast path (guard against regex rot silently degrading perf)."""
+        from cloud_crawler_spark.functions.canon import _FAST_ABS_RE, _FAST_CANON_RE
+
+        for u in ("http://host0.example.com/p123",
+                  "http://a.b.c/x/y/z.html",
+                  "http://x.com/"):
+            assert _FAST_CANON_RE.match(u) and _FAST_ABS_RE.match(u)
+        for u in ("https://x.com/p", "http://X.com/p", "http://x.com/p?q=1",
+                  "http://x.com/p#f", "http://x.com", "http://x.com/a b",
+                  "http://x.com:8080/p", "http://x.com/%7Euser"):
+            assert not _FAST_CANON_RE.match(u)
