@@ -307,17 +307,57 @@ def cosine(a, b):
 
 
 def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-                        threshold: float = 0.95, max_id: int | None = None) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Test-scale path: bounded
-    self-join; scale path: pre-bucket by sign-LSH (see similarity.py)."""
-    base = df if max_id is None else df.where(F.col(id_col) < max_id)
-    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine(
-        F.transform("va", lambda x: x.cast("double")),
-        F.transform("vb", lambda x: x.cast("double")),
-    )
-    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim")).where(
-        F.col("cos_sim") >= threshold
+                        threshold: float = 0.95, max_id: int | None = None,
+                        n_tables: int = 8, planes_per_table: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos_sim >= t).
+
+    max_id given: bounded exact self-join — the test/oracle path
+    (every pair checked, SQL-reproducible).
+    max_id None (the 100 TB default): banded sign-LSH bucketing — each
+    vector lands in `n_tables` buckets (one per disjoint hyperplane
+    family of `planes_per_table` planes, similarity._sign_lsh_bucket),
+    and pairs are generated only within (table, bucket) equi-join
+    groups, NEVER via an all-pairs theta join. Precision is exact (the
+    cosine filter still applies); recall at cos 0.95 is
+    1 - (1 - (1 - acos(.95)/pi)^planes)^tables ~= 0.99 at the defaults
+    (pinned by tests/test_dedup_similarity.py)."""
+    if max_id is not None:
+        base = df.where(F.col(id_col) < max_id)
+        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        sim = cosine(
+            F.transform("va", lambda x: x.cast("double")),
+            F.transform("vb", lambda x: x.cast("double")),
+        )
+        return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim")).where(
+            F.col("cos_sim") >= threshold
+        )
+
+    from cloud_crawler_spark.operators.similarity import _sign_lsh_bucket
+
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _sign_lsh_bucket(
+                        F.col(vec_col), planes_per_table, plane_offset=t * planes_per_table
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("_id", "_v", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    a = v.select(F.col("table"), F.col("bucket"), F.col("_id").alias("id_a"),
+                 F.col("_v").alias("va"))
+    b = v.select(F.col("table"), F.col("bucket"), F.col("_id").alias("id_b"),
+                 F.col("_v").alias("vb"))
+    cand = a.join(b, ["table", "bucket"]).where(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several tables
     )

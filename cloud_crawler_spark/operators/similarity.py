@@ -185,15 +185,16 @@ def ivf_knn(
     )
 
 
-def _sign_lsh_bucket(vec_col, n_planes: int = 8):
+def _sign_lsh_bucket(vec_col, n_planes: int = 8, plane_offset: int = 0):
     """Sign-LSH bucket id from deterministic pseudo-random hyperplanes.
 
     Plane p's weight for dimension j = ((1 + j) * (2 * p + 3) * 2654435761
     mod 1000003) / 1000003 - 0.5 — pure arithmetic on the element index,
     identical on every executor, no RNG state (Knuth multiplicative
-    hashing)."""
+    hashing). plane_offset selects a disjoint plane family per LSH
+    table (banded multi-table probing, operators/dedup.py)."""
     bucket = F.lit(0)
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         # dot product with plane p via aggregate over (value, index)
         zipped = F.zip_with(
             vec_col,
@@ -203,7 +204,9 @@ def _sign_lsh_bucket(vec_col, n_planes: int = 8):
                / F.lit(1000003.0) - F.lit(0.5)),
         )
         dot = F.aggregate(zipped, F.lit(0.0), lambda acc, v: acc + v)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + F.when(
+            dot > 0, F.lit(1 << (p - plane_offset))
+        ).otherwise(F.lit(0))
     return bucket
 
 

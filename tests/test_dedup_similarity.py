@@ -164,3 +164,23 @@ def test_ivf_knn_recall(spark, embeddings):
     approx = SIM.ivf_knn(embeddings, queries, k=3, n_lists=4, n_probe=1, n_iters=2)
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_embedding_near_dups_lsh_default_matches_exact(spark, embeddings):
+    """The no-bound default is banded sign-LSH bucketing (never an
+    all-pairs theta join). Precision must be exact (cosine filter);
+    recall vs the exhaustive path is pinned >= 0.9 on the clustered
+    fixture (deterministic planes => deterministic result)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_dups(
+            embeddings, threshold=0.95, max_id=1 << 40
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_dups(embeddings, threshold=0.95).collect()
+    }
+    assert approx <= exact            # no false positives, ever
+    assert len(exact) > 0
+    assert len(approx) >= 0.9 * len(exact)
