@@ -406,6 +406,48 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+# Banded sign-LSH near-dup (the unbounded-default scale path of
+# embedding_near_dups): like q_knn_lsh, every plane weight is index
+# arithmetic, so candidate generation — 4 tables x 6 disjoint planes,
+# pairs only within (table, bucket) — has an exact SQL twin.
+_ND_TABLES, _ND_PLANES = 4, 6
+
+
+def _nd_bucket_sql(table: int) -> str:
+    off = table * _ND_PLANES
+    return " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+             j -> v[j] * ((((j * {2 * p + 3} * 2654435761) % 1000003)
+                           / 1000003.0) - 0.5))) > 0
+             THEN {1 << (p - off)} ELSE 0 END)"""
+        for p in range(off, off + _ND_PLANES)
+    )
+
+
+@_register(
+    "q_embed_neardup_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    banded AS (
+      {" UNION ALL ".join(
+          f"SELECT {t} AS tbl, ({_nd_bucket_sql(t)}) AS bucket, vec_id, v FROM e"
+          for t in range(_ND_TABLES)
+      )}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM cand WHERE cos_sim >= 0.3
+    """,
+)
+def q_embed_neardup_lsh(spark, sf_dir):
+    return DD.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3,
+        n_tables=_ND_TABLES, planes_per_table=_ND_PLANES,
+    )
+
+
 @_register(
     "q_knn_brute",
     """
