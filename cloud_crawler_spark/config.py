@@ -76,6 +76,16 @@ class CrawlConfig:
     # point for the live-HTTP mapInPandas stage
     # (sources/http_fetch.py; reference http.rb:57-91, 211-240).
     fetcher: Optional[Callable] = None
+    # before/after_crawl and before/after_batch (dsl_front_end.rb:154-172,
+    # invoked batch_job.rb:193-225): crawl-level hooks run once around
+    # the whole driver loop; round hooks run around each round (the
+    # reference's "batch"). Signatures: before_crawl(), after_crawl
+    # (CrawlResult), before_round(round_no, frontier_df),
+    # after_round(round_no, crawled_df).
+    before_crawl: Optional[Callable] = None
+    after_crawl: Optional[Callable] = None
+    before_round: Optional[Callable] = None
+    after_round: Optional[Callable] = None
 
     # ---- scale knobs (ours, not the reference's) ----
     broadcast_fetch_rows: int = 1_000_000      # rounds up to this many URLs broadcast

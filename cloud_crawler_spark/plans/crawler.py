@@ -142,7 +142,14 @@ class Crawler:
         # loop condition — no extra emptiness probe per round
         n_pending = frontier.where(F.col("status") == "pending").count()
 
+        # before_crawl hook (dsl_front_end.rb:154-157, first_job gate
+        # batch_job.rb:195-199): once, before any round
+        if cfg.before_crawl is not None:
+            cfg.before_crawl()
+
         while rnd < cfg.max_rounds and n_pending > 0:
+            if cfg.before_round is not None:
+                cfg.before_round(rnd, frontier)
             res = run_round(
                 self.corpus, cfg, frontier, seen, self.robots_rules,
                 round_no=rnd, next_rank=next_rank,
@@ -179,6 +186,10 @@ class Crawler:
                 cfg.page_hook(crawled)
             for _pat, _hook in cfg.page_hooks_like:
                 _hook(crawled.where(F.col("url").rlike(_pat)))
+            # after_batch analog (batch_job.rb:193-212 do_post_batch):
+            # runs after the round's pages exist, before the commit
+            if cfg.after_round is not None:
+                cfg.after_round(rnd, crawled)
 
             next_rank += res.n_selected
             if self.store is not None:
@@ -228,7 +239,7 @@ class Crawler:
 
             lineage_all = spark.createDataFrame([], LINEAGE_SCHEMA)
 
-        return CrawlResult(
+        result = CrawlResult(
             crawled=crawled_all,
             seen=seen,
             frontier=frontier,
@@ -236,6 +247,10 @@ class Crawler:
             rounds=rnd - round_no,
             stats=stats,
         )
+        # after_crawl hook (dsl_front_end.rb:160-163)
+        if cfg.after_crawl is not None:
+            cfg.after_crawl(result)
+        return result
 
 
 def _empty_crawled_schema() -> str:
@@ -272,3 +287,40 @@ def curl(
     """BatchCurlJob equivalent (C5, batch_curl_job.rb:55-93): fetch a
     list, no link expansion, no dedup gate."""
     return Crawler(spark, corpus, config).run(urls, expand=False, dedup_gate=False)
+
+
+def recurring_crawl(
+    spark: SparkSession,
+    corpus_loader,
+    seeds: DataFrame,
+    config: CrawlConfig | None = None,
+    n_runs: int = 2,
+    interval_sec: float = 0.0,
+) -> list[tuple[CrawlResult, DataFrame]]:
+    """Recurring source (S10, driver.rb:214-226 queue.recur): re-submit
+    the same crawl every interval. Each run reloads the corpus through
+    `corpus_loader()` (new WARC dumps appear between runs) and is a
+    FULL re-crawl — re-fetching known pages is what lets links to NEW
+    pages be discovered, and the page store is idempotent by canonical
+    URL exactly like the reference's (redis_page_store.rb:34-46 key
+    overwrite). Returns [(result, delta)] per run, where delta is the
+    canon_urls first seen in that run — the batch twin of
+    streaming/ingest.py's incremental seen maintenance."""
+    import time as _time
+
+    out: list[tuple[CrawlResult, DataFrame]] = []
+    prev_seen: DataFrame | None = None
+    for i in range(n_runs):
+        if i and interval_sec:
+            _time.sleep(interval_sec)
+        res = crawl(spark, corpus_loader(), seeds, config)
+        if prev_seen is None:
+            delta = res.seen
+            prev_seen = res.seen.localCheckpoint(eager=True)
+        else:
+            delta = res.seen.join(prev_seen, "canon_url", "left_anti")
+            prev_seen = (
+                prev_seen.unionByName(delta).localCheckpoint(eager=True)
+            )
+        out.append((res, delta))
+    return out

@@ -108,3 +108,51 @@ def test_job_limit_spill_survives_resume(spark, tmp_path):
         for r in done.where("fetched AND code = 200").select("canon_url").collect()
     }
     assert names == {str(i) for i in range(10)}
+
+
+def test_before_after_crawl_and_round_hooks(spark):
+    """before/after_crawl + before/after_batch (dsl_front_end.rb:154-172,
+    batch_job.rb:193-225): crawl hooks fire exactly once around the
+    loop; round hooks fire once per round in order."""
+    graph = {"0": {"links": ["1"]}, "1": {"links": ["2"]}, "2": {}}
+    events = []
+    cfg = CrawlConfig(
+        before_crawl=lambda: events.append("before_crawl"),
+        after_crawl=lambda res: events.append(("after_crawl", res.rounds)),
+        before_round=lambda rnd, frontier: events.append(("before", rnd)),
+        after_round=lambda rnd, crawled: events.append(
+            ("after", rnd, crawled.where("code = 200").count())
+        ),
+    )
+    res = crawl(spark, make_corpus(spark, graph), make_seeds(spark, SEED), cfg)
+    assert events[0] == "before_crawl"
+    assert events[-1] == ("after_crawl", res.rounds)
+    befores = [e for e in events if isinstance(e, tuple) and e[0] == "before"]
+    afters = [e for e in events if isinstance(e, tuple) and e[0] == "after"]
+    assert [e[1] for e in befores] == list(range(res.rounds))
+    assert [(e[1], e[2]) for e in afters] == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_recurring_crawl_delta(spark):
+    """S10 (driver.rb:214-226 queue.recur): second run sees the grown
+    corpus; its delta is exactly the pages that appeared in between."""
+    from cloud_crawler_spark.plans.crawler import recurring_crawl
+
+    graphs = iter(
+        [
+            {"0": {"links": ["1", "new"]}, "1": {}},          # run 0: 'new' is 404
+            {"0": {"links": ["1", "new"]}, "1": {}, "new": {}},  # run 1: it exists
+        ]
+    )
+    runs = recurring_crawl(
+        spark, lambda: make_corpus(spark, next(graphs)), make_seeds(spark, SEED),
+        CrawlConfig(), n_runs=2,
+    )
+    (res0, delta0), (res1, delta1) = runs
+    assert crawled_names(res0) == {"0", "1"}
+    assert crawled_names(res1) == {"0", "1", "new"}
+    d1 = {r["canon_url"] for r in delta1.collect()}
+    assert d1 == set()  # 'new' was already SEEN in run 0 (stored as 404)
+    # seen-set semantics: the 404 probe marked it; the page store now
+    # has the fetched body from run 1 (idempotent overwrite by URL)
+    assert delta0.count() == 3
