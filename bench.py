@@ -45,12 +45,20 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench",
-                shuffle_partitions: int | None = None):
+                shuffle_partitions: int | None = None,
+                task_cpus: int | None = None):
     from pyspark.sql import SparkSession
 
+    # task_cpus=2 is the pandas-UDF-correct accounting on a real
+    # cluster: each task runs a JVM thread AND an Arrow python worker
+    # concurrently, so scheduling it as 1 core oversubscribes every
+    # executor 2x on UDF stages. The scaling harness sets it so the
+    # N-vs-4N contrast compares true resource grants, not inflated ones.
+    task_cpus = task_cpus or int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
+        .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")

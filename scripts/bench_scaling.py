@@ -82,12 +82,17 @@ for line in sys.stdin:
 
 
 class Worker:
-    def __init__(self, cpus: int, n_pages: int, shuffle_parts: int):
+    def __init__(self, cpus: int, n_pages: int, shuffle_parts: int,
+                 task_cpus: int = 1):
         self.cpus = cpus
         env = dict(os.environ)
         # two JVMs coexist: cap each heap so the pair + python workers
         # fit the box without GC-thrash contaminating the timings
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        # pandas-UDF-correct scheduling (see bench.build_spark): with
+        # task_cpus=2 a local[K] JVM runs K/2 concurrent tasks = K
+        # busy threads (JVM+python per task) — nominal K means K
+        env["SPARK_GRAFT_TASK_CPUS"] = str(task_cpus)
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-c", WORKER.format(repo=REPO),
              str(cpus), str(n_pages), str(shuffle_parts)],
@@ -186,13 +191,19 @@ def main():
     n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     pairs = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    # spark.task.cpus — default 2: the pandas-UDF-correct accounting
+    # (one JVM thread + one python worker per task), so local[K] runs
+    # K/2 tasks = ~K busy threads and "K cores" means K cores at BOTH
+    # levels; without it the small level gets ~2x its nominal grant
+    # for free and the contrast understates true scaling.
+    task_cpus = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     shuffle_parts = max(n_big, 8)
     factor = n_big // n_small
 
     cal = raw_cpu_calibration()
 
-    wb = Worker(n_big, n_pages, shuffle_parts)
-    ws = Worker(n_small, n_pages, shuffle_parts)
+    wb = Worker(n_big, n_pages, shuffle_parts, task_cpus)
+    ws = Worker(n_small, n_pages, shuffle_parts, task_cpus)
     wb.wait_ready()
     ws.wait_ready()
 

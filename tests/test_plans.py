@@ -105,3 +105,40 @@ def test_whole_stage_codegen_in_filter_chain(spark):
         "codegen",
     )
     assert "WholeStageCodegen" in plan
+
+
+def test_fused_parse_is_single_python_stage(spark):
+    """Round-2 fusion: parse + absolutize + canonicalize + host + path
+    all happen in ONE Arrow stage over page rows; the old second Python
+    stage over the (10-50x larger) exploded link set must not exist.
+
+    The plan is shaped like the round's pre-checkpoint block (a pure
+    projection over the UDF struct — round.py crawled_ck). Exploding
+    the UDF output DIRECTLY would let InferFiltersFromGenerate clone
+    the UDF into a second ArrowEvalPython node; the round never does
+    that (the localCheckpoint sits between parse and explode), and the
+    node count here pins both facts.
+    """
+    import re
+
+    from cloud_crawler_spark.functions.parse import with_parsed_resolved
+
+    pages = spark.createDataFrame(
+        [("http://h.com/a", bytearray(b"<a href='http://h.com/b'>x</a>"))],
+        "url string, html binary",
+    )
+    # the crawled_ck shape: every parsed field projected in one pass
+    block = with_parsed_resolved(pages).select(
+        "url", "links", "base_href", "title", "page_text"
+    )
+    plan = plan_of(block)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+    # and the round really does explode AFTER the checkpoint boundary:
+    import inspect
+
+    from cloud_crawler_spark.plans import round as round_mod
+
+    src = inspect.getsource(round_mod.run_round)
+    assert src.index("localCheckpoint") < src.index("_expand_links")
