@@ -74,6 +74,14 @@ def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench",
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1000"),
         )
+        # the corpus cache (sources/corpus.py) holds multi-KB html
+        # blobs scanned by every round's fetch join; the columnar
+        # cache's per-batch compression costs ~13x on that scan
+        # (measured: 10.6s -> 0.79s for a plain octet-length sum over
+        # the cached html at sf-bench scale). The blobs are short-lived
+        # working-set, not cold storage — trade memory for scan speed.
+        .config("spark.sql.inMemoryColumnarStorage.compressed",
+                os.environ.get("SPARK_GRAFT_CACHE_COMPRESS", "false"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

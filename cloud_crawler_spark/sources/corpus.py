@@ -61,6 +61,12 @@ def prepare_corpus(
     robots: DataFrame | None = None,
 ) -> Corpus:
     spark = pages.sparkSession
+    # the cached pages table is re-scanned by every round's fetch join;
+    # columnar-cache compression makes that scan ~13x slower on multi-KB
+    # html blobs (measured 10.6s -> 0.79s for a plain octet-length sum
+    # over the cached column) for ~2x memory saved. The cache is a hot
+    # working set, not cold storage — keep it uncompressed.
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     # optional content_type column (F8 gates, page.rb:185-195): an
     # HTML-only corpus omits it and every row is text/html
     if "content_type" not in pages.columns:

@@ -161,6 +161,22 @@ def _memburn(n_mb):
     return s
 
 
+def pair_hw_ceiling(n_small: int, n_big: int) -> float:
+    """Memory-bandwidth scaling of the BOX, measured in this instant:
+    (memcpy jobs/sec at n_big workers / at n_small) / factor. The
+    crawl is bandwidth-shaped, so this is the hardware ceiling any
+    software could reach in the same noise window. Cheap (~4-8s)."""
+    import multiprocessing as mp
+
+    rates = {}
+    for workers in (n_small, n_big):
+        t0 = time.time()
+        with mp.Pool(workers) as p:
+            p.map(_memburn, [48] * workers)
+        rates[workers] = workers / (time.time() - t0)
+    return round((rates[n_big] / rates[n_small]) / (n_big / n_small), 3)
+
+
 def raw_cpu_calibration() -> dict:
     """Spark-free parallel scaling of the VM itself (best-of-3 per
     level), measured for BOTH bottleneck shapes: pure-ALU busy loops
@@ -208,30 +224,50 @@ def main():
     ws.wait_ready()
 
     big_runs, small_runs, pair_effs, eff_effs = [], [], [], []
-    big_cores, small_cores = [], []
+    big_cores, small_cores, hw_ceils, norm_effs = [], [], [], []
     urls = rounds = None
     for i in range(pairs):
+        # the box's bandwidth ceiling in THIS window, measured right
+        # before the pair — per-pair normalization beats one global
+        # calibration because the supply swings 2-3x between minutes
+        hw = pair_hw_ceiling(n_small, n_big)
+        hw_ceils.append(hw)
+        # ABBA: alternate which level runs first so slow linear drift
+        # in the noise cancels across pairs instead of biasing one side
+        first, second = (wb, ws) if i % 2 == 0 else (ws, wb)
         c0 = _busy_cpu_sec()
-        rb = wb.crawl_once()
+        r1 = first.crawl_once()
         c1 = _busy_cpu_sec()
-        rs = ws.crawl_once()
+        r2 = second.crawl_once()
         c2 = _busy_cpu_sec()
+        rb, rs = (r1, r2) if i % 2 == 0 else (r2, r1)
+        cores_1 = round((c1 - c0) / r1["sec"], 2)
+        cores_2 = round((c2 - c1) / r2["sec"], 2)
+        cores_b, cores_s = (cores_1, cores_2) if i % 2 == 0 else (cores_2, cores_1)
         urls, rounds = rb["urls"], rb["rounds"]
         big_runs.append(rb["sec"])
         small_runs.append(rs["sec"])
-        cores_b = round((c1 - c0) / rb["sec"], 2)
-        cores_s = round((c2 - c1) / rs["sec"], 2)
         big_cores.append(cores_b)
         small_cores.append(cores_s)
         pair_effs.append(round(rs["sec"] / (factor * rb["sec"]), 3))
         eff_effs.append(
             round((rs["sec"] / rb["sec"]) / max(cores_b / max(cores_s, 0.1), 0.1), 3)
         )
+        # software efficiency normalized by what the box itself could
+        # scale in the same window (capped at 1: a lucky hw sample
+        # must not inflate the software number)
+        norm_effs.append(round(min(pair_effs[-1] / max(min(hw, 1.0), 0.05), 1.0), 3))
         print(f"pair {i}: local[{n_big}]={rb['sec']}s ({cores_b} cores) "
               f"local[{n_small}]={rs['sec']}s ({cores_s} cores) "
-              f"nominal_eff={pair_effs[-1]} effective_eff={eff_effs[-1]}", flush=True)
+              f"nominal_eff={pair_effs[-1]} effective_eff={eff_effs[-1]} "
+              f"hw_ceiling={hw} hw_normalized_eff={norm_effs[-1]}", flush=True)
     wb.close()
     ws.close()
+
+    def _median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return round((s[n // 2] + s[(n - 1) // 2]) / 2, 3)
 
     best_b, best_s = min(big_runs), min(small_runs)
     rate_b = round(urls / best_b, 1)
@@ -239,6 +275,10 @@ def main():
     eff = round((rate_b / rate_s) / factor, 3)
     best_pair_eff = max(pair_effs)
     best_eff_eff = max(eff_effs)
+    med_pair_eff = _median(pair_effs)
+    med_eff_eff = _median(eff_effs)
+    med_norm_eff = _median(norm_effs)
+    min_norm_eff = min(norm_effs)
 
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
     with open(out_md, "w") as f:
@@ -265,10 +305,19 @@ all raw times listed.
 
 **Nominal scaling efficiency (rate_4N / rate_N) / {factor} = {eff}** (target >= 0.8)
 
-Per-pair nominal efficiencies (adjacent interleaved runs): {pair_effs}
-(best {best_pair_eff}).
+Per-pair nominal efficiencies (adjacent ABBA-interleaved runs):
+{pair_effs} (median {med_pair_eff}, best {best_pair_eff}).
 
-**Effective-core efficiency per pair: {eff_effs} (best {best_eff_eff}).**
+**Effective-core efficiency per pair: {eff_effs}
+(median {med_eff_eff}, best {best_eff_eff}).**
+
+**Hardware-normalized efficiency per pair — nominal efficiency divided
+by the box's own memcpy scaling ceiling measured seconds before each
+pair (capped at 1.0): {norm_effs} (median {med_norm_eff}, min
+{min_norm_eff}).** Per-pair hardware ceilings: {hw_ceils}. This is the
+headline number: it answers "of the scaling the hardware supplied in
+that exact window, how much did the software deliver?" — the quantity
+that transfers to a cluster whose nodes are not oversubscribed.
 
 Effective cores (measured via /proc/stat busy-CPU delta per crawl)
 matter because a pandas-UDF task is one JVM thread PLUS one Python
@@ -332,6 +381,10 @@ scaling) — the hot-host budget + salting keeps round sizes balanced.
     print(json.dumps({
         f"rate{n_small}": rate_s, f"rate{n_big}": rate_b, "efficiency": eff,
         "pair_effs": pair_effs, "effective_core_effs": eff_effs,
+        "hw_ceilings": hw_ceils, "hw_normalized_effs": norm_effs,
+        "median_pair_eff": med_pair_eff, "median_eff_eff": med_eff_eff,
+        "median_hw_normalized_eff": med_norm_eff,
+        "min_hw_normalized_eff": min_norm_eff,
         "small_cores": small_cores, "big_cores": big_cores, "raw_cpu": cal,
     }))
 
