@@ -200,6 +200,90 @@ def _jaccard(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+# ------------------------------------------------------- dedup clusters
+
+
+def connected_components(edges: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: label(x) <- min(label(x), min label among
+    neighbors), repeated to fixpoint. Converges in O(graph diameter)
+    rounds; near-dup clusters are dense and shallow (diameter ~ 2-4),
+    so a handful of shuffle rounds even at 10^10 edges. Each round is
+    one equi-join + one groupBy — both partition on the id key, so at
+    cluster scale AQE reuses the exchange. Per-round localCheckpoint
+    keeps the plan flat (no nested-iteration blowup).
+
+    Returns (id, label) where label = min id reachable; rows only for
+    ids that appear in `edges` (callers fold isolated ids back in).
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 8, bands: int = 4,
+                   max_bucket: int | None = None,
+                   max_iter: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTERS: LSH candidate pairs -> connected
+    components -> every document labeled with its cluster id (min doc
+    id in the component; docs in no pair are singleton clusters). The
+    min-id member is the retained canonical; `is_canonical=1` rows are
+    the deduplicated corpus, the rest are the drop set."""
+    pairs = (
+        lsh_candidate_pairs(df, text_col, id_col, k, bands, max_bucket=max_bucket)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    comp = connected_components(pairs, max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+        )
+    )
+
+
 # ------------------------------------------------------------ n-gram Jaccard
 
 

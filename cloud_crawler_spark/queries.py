@@ -332,6 +332,49 @@ def q_lsh_pairs(spark, sf_dir):
 
 
 @_register(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id, {_MH_SQL_COLS}
+      FROM (SELECT doc_id,
+                   list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             t -> t <> '')) AS toks
+            FROM documents)),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(lab) AS label FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.label, d.doc_id) AS cluster_id,
+           (coalesce(c.label, d.doc_id) = d.doc_id)::INT AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: LSH pairs -> connected components (iterative
+    min-label propagation, O(diameter) shuffle rounds) -> per-doc
+    cluster label with the min-id member as retained canonical. The
+    dedup ACTION the pipeline ships: is_canonical=1 rows are the kept
+    corpus. Oracle: DuckDB recursive CTE computing min reachable id."""
+    return DD.dedup_clusters(
+        _t(spark, sf_dir, "documents"), k=_MINHASH_K, bands=2
+    )
+
+
+@_register(
     "q_token_jaccard",
     """
     WITH toks AS (

@@ -184,3 +184,31 @@ def test_embedding_near_dups_lsh_default_matches_exact(spark, embeddings):
     assert approx <= exact            # no false positives, ever
     assert len(exact) > 0
     assert len(approx) >= 0.9 * len(exact)
+
+
+def test_connected_components_multi(spark):
+    # two components: {1,2,3,4} (chain) and {10,11}; labels = min id
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["id"]: r["label"] for r in DD.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_singletons_and_canonicals(spark, docs):
+    out = DD.dedup_clusters(docs, k=8, bands=4).collect()
+    by_id = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out}
+    assert len(by_id) == 6          # every doc labeled, including isolated ones
+    # cluster label is the min doc_id of the component; each cluster
+    # has exactly one canonical and it is its own label
+    for doc, (cl, canon) in by_id.items():
+        assert cl <= doc
+        assert canon == (1 if cl == doc else 0)
+    canons = [d for d, (cl, c) in by_id.items() if c]
+    assert all(by_id[c][0] == c for c in canons)
+    # doc 3 and 5 share no shingles with anything: singleton clusters
+    assert by_id[3] == (3, 1)
+    assert by_id[5] == (5, 1)
+    # the exact dup pair (0,1) must share a cluster rooted at 0
+    assert by_id[0] == (0, 1)
+    assert by_id[1][0] == 0 and by_id[1][1] == 0
