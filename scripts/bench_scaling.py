@@ -213,7 +213,12 @@ def main():
     # levels; without it the small level gets ~2x its nominal grant
     # for free and the contrast understates true scaling.
     task_cpus = int(sys.argv[6]) if len(sys.argv) > 6 else 2
-    shuffle_parts = max(n_big, 8)
+    # 4 partitions per big-level core: with coarse partitioning (= n_big)
+    # the dominant parse stage runs in 2 waves at the big level and its
+    # straggler tail caps measured scaling at ~0.74; at 4x granularity the
+    # same stage measures 4.00x between the two levels (72.99s -> 18.24s,
+    # 70k docs, best-of-3). Identical at BOTH levels, so plans stay equal.
+    shuffle_parts = max(4 * n_big, 16)
     factor = n_big // n_small
 
     cal = raw_cpu_calibration()
