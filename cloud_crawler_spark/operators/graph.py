@@ -1,0 +1,119 @@
+"""Post-crawl graph analysis over the stored pages table.
+
+Re-expresses the reference's dormant-but-documented PageStore analysis
+stage: `shortest_paths!` (spec/redis_page_store_spec.rb:122-145,
+page.rb:47-50 — `visited` marks reachability in shortest_paths!, and
+`depth` "is not necessarily the shortest path; use
+PageStore#shortest_paths! to find that value"). Crawl-time depth is
+first-DISCOVERY depth; this operator recomputes true min-hop distance
+from any root over the stored link graph.
+
+Semantics pinned by the reference spec: a redirect hop costs 0 (page 1
+redirects to 2 and both land at depth 1 in the spec), a link hop costs
+1 — i.e. 0/1-BFS, which the loop implements as a bounded 0-cost
+redirect closure inside each unit-cost level, exactly like the crawl
+round resolves redirect chains within a round.
+
+Scale shape: each level is one equi-join frontier x edges + one
+anti-join vs the settled set — both shuffle on canon_url, the same key
+end to end, so AQE reuses the exchange; per-level localCheckpoint
+keeps the plan flat. Levels = graph eccentricity of the root, the same
+BSP round structure as the crawl itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark.functions.canon import canonicalize, with_canon
+
+
+def shortest_paths(
+    crawled: DataFrame,
+    root_url: str,
+    max_depth: int = 32,
+    redirect_limit: int = 5,
+) -> DataFrame:
+    """Single-source min-hop distances over a stored crawl.
+
+    `crawled` needs (canon_url, links array<string>, redirect_to).
+    Returns (canon_url, depth, visited) for every stored page: depth =
+    min link-hops from `root_url` (redirect hops free), NULL when
+    unreachable; visited = reached flag (page.rb:47).
+    """
+    spark = crawled.sparkSession
+    link_edges = (
+        with_canon(
+            crawled.select(
+                F.col("canon_url").alias("src"), F.explode("links").alias("url")
+            ),
+            "url",
+        )
+        .select("src", F.col("canon_url").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    redir_edges = (
+        with_canon(
+            crawled.where(F.col("redirect_to").isNotNull()).select(
+                F.col("canon_url").alias("src"), F.col("redirect_to").alias("url")
+            ),
+            "url",
+        )
+        .select("src", F.col("canon_url").alias("dst"))
+        .distinct()
+    )
+    has_redirects = not redir_edges.isEmpty()
+    if has_redirects:
+        redir_edges = redir_edges.localCheckpoint(eager=True)
+
+    root = canonicalize(root_url)
+    dist = spark.createDataFrame([(root, 0)], "canon_url string, depth int")
+    frontier = dist
+
+    def _absorb(candidates: DataFrame, dist: DataFrame, frontier_depth):
+        """Settle candidate (canon_url, depth) rows not already settled
+        (BFS invariant: first arrival is minimal)."""
+        fresh = (
+            candidates.join(dist, "canon_url", "left_anti")
+            .groupBy("canon_url")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        return fresh
+
+    for _level in range(max_depth + 1):
+        # 0-cost closure: follow redirect chains (bounded like the
+        # crawl's redirect_limit) before paying the next link hop
+        if has_redirects:
+            for _hop in range(redirect_limit):
+                ext = frontier.join(
+                    redir_edges, frontier.canon_url == redir_edges.src
+                ).select(F.col("dst").alias("canon_url"), F.col("depth"))
+                fresh = _absorb(ext, dist, None)
+                if fresh.isEmpty():
+                    break
+                dist = dist.unionByName(fresh)
+                frontier = frontier.unionByName(fresh)
+        if _level == max_depth:
+            break
+        nxt = frontier.join(
+            link_edges, frontier.canon_url == link_edges.src
+        ).select(F.col("dst").alias("canon_url"), (F.col("depth") + 1).alias("depth"))
+        fresh = _absorb(nxt, dist, None)
+        if fresh.isEmpty():
+            break
+        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+
+    return (
+        crawled.select("canon_url")
+        .distinct()
+        .join(dist, "canon_url", "left")
+        .select(
+            "canon_url",
+            F.col("depth"),
+            F.col("depth").isNotNull().alias("visited"),
+        )
+    )

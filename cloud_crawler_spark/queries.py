@@ -877,6 +877,52 @@ def q_crawl_bfs(spark, sf_dir):
     return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
 
 
+@_register(
+    "q_shortest_paths",
+    f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+    reach(id, depth) AS (
+      SELECT 1::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH}),
+    dist AS (SELECT id, min(depth) AS depth FROM reach GROUP BY id)
+    SELECT 'http://ex.com/p' || doc_id AS canon_url,
+           d.depth::BIGINT AS depth,
+           (d.depth IS NOT NULL)::INT AS visited
+    FROM documents LEFT JOIN dist d ON d.id = doc_id
+    """,
+)
+def q_shortest_paths(spark, sf_dir):
+    """PageStore#shortest_paths! parity (page.rb:47-50,
+    spec/redis_page_store_spec.rb:122-145): store ALL pages via
+    curl mode (no expansion — crawl-time depth deliberately absent),
+    then recompute single-source min-hop depths + visited flags
+    in-place over the stored link graph. Distinct code path from
+    q_crawl_bfs: analysis-stage BFS over a finished store, not
+    frontier discovery."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.operators.graph import shortest_paths
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    # batch_size=None: curl is a single pass, so the whole fetch list
+    # must land in one round (no deferral — nothing re-queues it)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    sp = shortest_paths(res.crawled, "http://ex.com/p1", max_depth=_CRAWL_DEPTH)
+    return sp.select(
+        "canon_url",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("visited").cast("int").alias("visited"),
+    )
+
+
 # multimodal plumbing (mapInPandas feature extraction). The stub
 # feature is md5-derived, so the WHOLE output — including the feature
 # values (as the sortable permille CSV, arrays are unhashable in
