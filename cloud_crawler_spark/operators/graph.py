@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cloud_crawler_spark.functions.canon import canonicalize, with_canon
+from cloud_crawler_spark.functions.canon import absolutize_udf, canonicalize, with_canon
 
 
 def shortest_paths(
@@ -43,13 +43,25 @@ def shortest_paths(
     unreachable; visited = reached flag (page.rb:47).
     """
     spark = crawled.sparkSession
+    # stored links are document-order raw hrefs (P2 keeps them as
+    # extracted); resolve each against its page URL like the crawl's
+    # link expansion does (base-tag info is not stored, so a rare
+    # <base>-relative link may resolve differently than at crawl time)
     link_edges = (
         with_canon(
             crawled.select(
-                F.col("canon_url").alias("src"), F.explode("links").alias("url")
+                F.col("canon_url").alias("src"),
+                F.explode("links").alias("href"),
+                F.col("url").alias("page_url"),
+            ).withColumn(
+                "url",
+                absolutize_udf(
+                    F.col("href"), F.col("page_url"), F.lit(None).cast("string")
+                ),
             ),
             "url",
         )
+        .where(F.col("canon_url").isNotNull())
         .select("src", F.col("canon_url").alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -72,7 +84,7 @@ def shortest_paths(
     dist = spark.createDataFrame([(root, 0)], "canon_url string, depth int")
     frontier = dist
 
-    def _absorb(candidates: DataFrame, dist: DataFrame, frontier_depth):
+    def _absorb(candidates: DataFrame, dist: DataFrame):
         """Settle candidate (canon_url, depth) rows not already settled
         (BFS invariant: first arrival is minimal)."""
         fresh = (
@@ -91,7 +103,7 @@ def shortest_paths(
                 ext = frontier.join(
                     redir_edges, frontier.canon_url == redir_edges.src
                 ).select(F.col("dst").alias("canon_url"), F.col("depth"))
-                fresh = _absorb(ext, dist, None)
+                fresh = _absorb(ext, dist)
                 if fresh.isEmpty():
                     break
                 dist = dist.unionByName(fresh)
@@ -101,7 +113,7 @@ def shortest_paths(
         nxt = frontier.join(
             link_edges, frontier.canon_url == link_edges.src
         ).select(F.col("dst").alias("canon_url"), (F.col("depth") + 1).alias("depth"))
-        fresh = _absorb(nxt, dist, None)
+        fresh = _absorb(nxt, dist)
         if fresh.isEmpty():
             break
         dist = dist.unionByName(fresh).localCheckpoint(eager=True)
