@@ -36,6 +36,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PAIRS_LOG = os.path.join(REPO, "BENCH", "scaling_pairs.jsonl")
 
 # Persistent worker: builds the corpus once, then runs one full crawl
 # per "GO" line on stdin, answering with a RESULT json line.
@@ -266,8 +267,43 @@ def main():
               f"local[{n_small}]={rs['sec']}s ({cores_s} cores) "
               f"nominal_eff={pair_effs[-1]} effective_eff={eff_effs[-1]} "
               f"hw_ceiling={hw} hw_normalized_eff={norm_effs[-1]}", flush=True)
+        # persist the pair: the report aggregates over EVERY pair ever
+        # measured under this exact config, so evidence accumulates
+        # across harness runs instead of each run overwriting the last
+        # (one run's 30-minute window can be entirely throttled)
+        with open(PAIRS_LOG, "a") as pf:
+            pf.write(json.dumps({
+                "n_small": n_small, "n_big": n_big, "n_pages": n_pages,
+                "shuffle_parts": shuffle_parts, "task_cpus": task_cpus,
+                "urls": urls, "rounds": rounds,
+                "big_sec": rb["sec"], "small_sec": rs["sec"],
+                "big_cores": cores_b, "small_cores": cores_s,
+                "nominal_eff": pair_effs[-1], "eff_eff": eff_effs[-1],
+                "hw_ceiling": hw, "norm_eff": norm_effs[-1],
+            }) + "\n")
     wb.close()
     ws.close()
+
+    # aggregate over all recorded pairs for this config
+    cfg = (n_small, n_big, n_pages, shuffle_parts, task_cpus)
+    try:
+        with open(PAIRS_LOG) as pf:
+            recs = [json.loads(ln) for ln in pf if ln.strip()]
+        recs = [r for r in recs
+                if (r["n_small"], r["n_big"], r["n_pages"],
+                    r["shuffle_parts"], r["task_cpus"]) == cfg]
+    except FileNotFoundError:
+        recs = []
+    if recs:
+        big_runs = [r["big_sec"] for r in recs]
+        small_runs = [r["small_sec"] for r in recs]
+        big_cores = [r["big_cores"] for r in recs]
+        small_cores = [r["small_cores"] for r in recs]
+        pair_effs = [r["nominal_eff"] for r in recs]
+        eff_effs = [r["eff_eff"] for r in recs]
+        hw_ceils = [r["hw_ceiling"] for r in recs]
+        norm_effs = [r["norm_eff"] for r in recs]
+        pairs = len(recs)
 
     def _median(xs):
         s = sorted(xs)
@@ -297,11 +333,13 @@ levels — the sandbox proxy for N vs 4N executors. Both levels pin
 spark.sql.shuffle.partitions={shuffle_parts} and identical input
 partitioning (plans are identical; only executor-thread count
 differs), run in two JVMs that stay ALIVE SIMULTANEOUSLY, with crawls
-interleaved local[{n_big}],local[{n_small}],... for {pairs} pairs so
-both levels sample the same noisy-neighbor windows (this VM's CPU
-supply swings 2-3x across minutes — identical warm crawls measured
-52s and 144s an hour apart). Best-of-{pairs} per level is compared;
-all raw times listed.
+ABBA-interleaved (alternating which level runs first) so both levels
+sample the same noisy-neighbor windows (this VM's CPU supply swings
+2-3x across minutes — identical warm crawls measured 52s and 144s an
+hour apart). Pairs accumulate in BENCH/scaling_pairs.jsonl across
+harness runs; every statistic below is over ALL {pairs} recorded
+pairs of this exact config, all raw times listed — no
+run-picking.
 
 | config | corpus pages | URLs/crawl | rounds | best wall sec | URLs/sec | all runs (sec) | effective cores/run |
 |---|---|---|---|---|---|---|---|
