@@ -24,7 +24,9 @@ Both levels pin spark.sql.shuffle.partitions and the input partition
 count, so physical plans are identical — only executor-thread count
 differs, exactly the N vs 4N executor contrast the rule asks for.
 
-Usage: python scripts/bench_scaling.py [n_pages] [out_md] [n_small] [n_big] [pairs]
+Usage: python scripts/bench_scaling.py [n_pages] [out_md] [n_small]
+       [n_big] [pairs] [task_cpus] [runs_per_level]
+(pairs=0: regenerate the report from the accumulated pair log only)
 """
 
 from __future__ import annotations
@@ -214,6 +216,12 @@ def main():
     # levels; without it the small level gets ~2x its nominal grant
     # for free and the contrast understates true scaling.
     task_cpus = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+    # runs per level within each pair (min taken per level): noisy-
+    # neighbor CPU theft is ONE-SIDED (it only ever slows a run), so
+    # the within-pair minimum is the clean-window estimator; a single
+    # run per level lets one noise burst land on one level only and
+    # tank that pair's ratio. 2 is the cost/variance sweet spot.
+    runs_per_level = int(sys.argv[7]) if len(sys.argv) > 7 else 2
     # 4 partitions per big-level core: with coarse partitioning (= n_big)
     # the dominant parse stage runs in 2 waves at the big level and its
     # straggler tail caps measured scaling at ~0.74; at 4x granularity the
@@ -240,37 +248,43 @@ def main():
         # before the pair — per-pair normalization beats one global
         # calibration because the supply swings 2-3x between minutes
         hw_pre = pair_hw_ceiling(n_small, n_big)
-        # ABBA: alternate which level runs first so slow linear drift
-        # in the noise cancels across pairs instead of biasing one side
-        first, second = (wb, ws) if i % 2 == 0 else (ws, wb)
-        c0 = _busy_cpu_sec()
-        r1 = first.crawl_once()
-        c1 = _busy_cpu_sec()
-        r2 = second.crawl_once()
-        c2 = _busy_cpu_sec()
+        # palindrome order within the pair (B S S B / S B B S,
+        # alternating across pairs): linear drift in the noise supply
+        # cancels exactly, and min-of-K per level filters one-sided
+        # noise bursts that a single run per level cannot.
+        half = [wb, ws] if i % 2 == 0 else [ws, wb]
+        order = []
+        for k in range(runs_per_level):
+            order.extend(half if k % 2 == 0 else half[::-1])
+        runs = {wb.cpus: [], ws.cpus: []}   # (sec, cores) per run
+        for w in order:
+            c0 = _busy_cpu_sec()
+            r = w.crawl_once()
+            c1 = _busy_cpu_sec()
+            runs[w.cpus].append((r["sec"], round((c1 - c0) / r["sec"], 2)))
+            urls, rounds = r["urls"], r["rounds"]
         # sandwich: the window can shift during the (minutes-long)
         # pair, so the normalizer is the mean of pre- and post-probes
         hw = round((hw_pre + pair_hw_ceiling(n_small, n_big)) / 2, 3)
         hw_ceils.append(hw)
-        rb, rs = (r1, r2) if i % 2 == 0 else (r2, r1)
-        cores_1 = round((c1 - c0) / r1["sec"], 2)
-        cores_2 = round((c2 - c1) / r2["sec"], 2)
-        cores_b, cores_s = (cores_1, cores_2) if i % 2 == 0 else (cores_2, cores_1)
-        urls, rounds = rb["urls"], rb["rounds"]
-        big_runs.append(rb["sec"])
-        small_runs.append(rs["sec"])
+        sec_b, cores_b = min(runs[wb.cpus])
+        sec_s, cores_s = min(runs[ws.cpus])
+        big_runs.append(sec_b)
+        small_runs.append(sec_s)
         big_cores.append(cores_b)
         small_cores.append(cores_s)
-        pair_effs.append(round(rs["sec"] / (factor * rb["sec"]), 3))
+        pair_effs.append(round(sec_s / (factor * sec_b), 3))
         eff_effs.append(
-            round((rs["sec"] / rb["sec"]) / max(cores_b / max(cores_s, 0.1), 0.1), 3)
+            round((sec_s / sec_b) / max(cores_b / max(cores_s, 0.1), 0.1), 3)
         )
         # software efficiency normalized by what the box itself could
         # scale in the same window (capped at 1: a lucky hw sample
         # must not inflate the software number)
         norm_effs.append(round(min(pair_effs[-1] / max(min(hw, 1.0), 0.05), 1.0), 3))
-        print(f"pair {i}: local[{n_big}]={rb['sec']}s ({cores_b} cores) "
-              f"local[{n_small}]={rs['sec']}s ({cores_s} cores) "
+        print(f"pair {i}: local[{n_big}]={sec_b}s ({cores_b} cores, "
+              f"runs {runs[wb.cpus]}) "
+              f"local[{n_small}]={sec_s}s ({cores_s} cores, "
+              f"runs {runs[ws.cpus]}) "
               f"nominal_eff={pair_effs[-1]} effective_eff={eff_effs[-1]} "
               f"hw_ceiling={hw} hw_normalized_eff={norm_effs[-1]}", flush=True)
         # persist the pair: the report aggregates over EVERY pair ever
@@ -281,8 +295,11 @@ def main():
             pf.write(json.dumps({
                 "n_small": n_small, "n_big": n_big, "n_pages": n_pages,
                 "shuffle_parts": shuffle_parts, "task_cpus": task_cpus,
+                "runs_per_level": runs_per_level,
                 "urls": urls, "rounds": rounds,
-                "big_sec": rb["sec"], "small_sec": rs["sec"],
+                "big_sec": sec_b, "small_sec": sec_s,
+                "big_secs_all": [s for s, _ in runs[wb.cpus]],
+                "small_secs_all": [s for s, _ in runs[ws.cpus]],
                 "big_cores": cores_b, "small_cores": cores_s,
                 "nominal_eff": pair_effs[-1], "eff_eff": eff_effs[-1],
                 "hw_ceiling": hw, "norm_eff": norm_effs[-1],
@@ -292,13 +309,14 @@ def main():
         ws.close()
 
     # aggregate over all recorded pairs for this config
-    cfg = (n_small, n_big, n_pages, shuffle_parts, task_cpus)
+    cfg = (n_small, n_big, n_pages, shuffle_parts, task_cpus, runs_per_level)
     try:
         with open(PAIRS_LOG) as pf:
             recs = [json.loads(ln) for ln in pf if ln.strip()]
         recs = [r for r in recs
                 if (r["n_small"], r["n_big"], r["n_pages"],
-                    r["shuffle_parts"], r["task_cpus"]) == cfg]
+                    r["shuffle_parts"], r["task_cpus"],
+                    r.get("runs_per_level", 1)) == cfg]
     except FileNotFoundError:
         recs = []
     if recs:
@@ -312,6 +330,10 @@ def main():
         norm_effs = [r["norm_eff"] for r in recs]
         pairs = len(recs)
         urls, rounds = recs[-1]["urls"], recs[-1]["rounds"]
+
+    if not big_runs:
+        print(f"no recorded pairs for config {cfg} and pairs=0 — nothing to report")
+        return
 
     def _median(xs):
         s = sorted(xs)
@@ -341,15 +363,19 @@ levels — the sandbox proxy for N vs 4N executors. Both levels pin
 spark.sql.shuffle.partitions={shuffle_parts} and identical input
 partitioning (plans are identical; only executor-thread count
 differs), run in two JVMs that stay ALIVE SIMULTANEOUSLY, with crawls
-ABBA-interleaved (alternating which level runs first) so both levels
-sample the same noisy-neighbor windows (this VM's CPU supply swings
-2-3x across minutes — identical warm crawls measured 52s and 144s an
-hour apart). Pairs accumulate in BENCH/scaling_pairs.jsonl across
-harness runs; every statistic below is over ALL {pairs} recorded
-pairs of this exact config, all raw times listed — no
-run-picking.
+palindrome-interleaved within each pair ({runs_per_level} runs per
+level, order B S S B alternating with S B B S) so both levels sample
+the same noisy-neighbor windows and linear drift cancels (this VM's
+CPU supply swings 2-3x across minutes — identical warm crawls
+measured 52s and 144s an hour apart). Each pair's per-level time is
+the MIN over its {runs_per_level} runs: neighbor CPU theft is
+one-sided (it only slows a run), so the within-pair minimum estimates
+the clean-window time; all raw run times are kept in
+BENCH/scaling_pairs.jsonl. Pairs accumulate there across harness
+runs; every statistic below is over ALL {pairs} recorded pairs of
+this exact config — no run-picking.
 
-| config | corpus pages | URLs/crawl | rounds | best wall sec | URLs/sec | all runs (sec) | effective cores/run |
+| config | corpus pages | URLs/crawl | rounds | best wall sec | URLs/sec | per-pair min sec | effective cores/pair |
 |---|---|---|---|---|---|---|---|
 | local[{n_small}]  (N)  | {n_pages:,} | {urls:,} | {rounds} | {best_s} | {rate_s:,} | {small_runs} | {small_cores} |
 | local[{n_big}] (4N) | {n_pages:,} | {urls:,} | {rounds} | {best_b} | {rate_b:,} | {big_runs} | {big_cores} |
