@@ -189,7 +189,10 @@ def main():
             timings[name] = crawl_stats["crawl_sec"]
             continue
         df = qs[name](spark, sf_dir)
-        df.count()
+        # noop sink: forces every output column to be computed. A bare
+        # count() lets Catalyst skip row-preserving projections (the
+        # minhash/simhash columns would never evaluate) — fake-fast.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
