@@ -92,6 +92,19 @@ class CrawlConfig:
                                                # the frontier slice into the corpus
                                                # scan (no corpus shuffle); larger
                                                # rounds use a shuffle join
+    # Small-round parse re-partitioning: a broadcast fetch join leaves
+    # the matched slice spread over every corpus-scan partition, so a
+    # 14k-URL round fans out as 200-row Arrow batches whose per-task
+    # python round-trip overhead never amortizes (measured: round-0
+    # parse at 0.55 scaling eff vs 0.81 for a well-fed round). When a
+    # round's rows/partition falls below fetch_rows_per_task/4, the
+    # matched slice (ONLY the round's pages — never the corpus) is
+    # exchanged down to n_selected/fetch_rows_per_task partitions,
+    # floored at min_fetch_partitions. At cluster scale set
+    # min_fetch_partitions to the cluster width; the exchange then
+    # only ever fires on genuinely tiny tail rounds.
+    fetch_rows_per_task: int = 2000
+    min_fetch_partitions: int = 8
     n_host_buckets: int = 64                   # frontier partitioning: bucket(host)
     salt_buckets: int = 8                      # hot-host salting fan-out for budget top-k
     use_bloom: bool = False                    # probe partitioned Bloom before exact anti-join

@@ -63,7 +63,7 @@ class RoundResult:
 
 
 def _lookup(current: DataFrame, pages: DataFrame, redirects: DataFrame,
-            broadcast_frontier: bool) -> DataFrame:
+            broadcast_frontier: bool, page_keys: DataFrame) -> DataFrame:
     """One fetch lookup: current LEFT pages LEFT redirects on canon_url.
 
     broadcast_frontier=True (the round's selected slice is small, which
@@ -71,7 +71,10 @@ def _lookup(current: DataFrame, pages: DataFrame, redirects: DataFrame,
     the big corpus from cache — zero corpus shuffle. Spark can't
     broadcast the preserved side of a left-outer join, so the hit set
     is an inner join (corpus streamed, frontier broadcast-probed) and
-    the 404 misses come from a cheap small-vs-small anti-join.
+    the 404 misses come from an anti-join against the corpus's slim
+    canon_url key projection (Corpus.keys) — NOT against the hits arm,
+    which would re-execute the full html-width corpus scan per round
+    (measured ~3s/round at local[8], ~10s at local[2], pure fixed cost).
     False (round bigger than the broadcast budget): plain shuffle join —
     the right physical choice when millions of URLs fetch per round.
     Redirects are a dim table: always broadcast.
@@ -82,7 +85,7 @@ def _lookup(current: DataFrame, pages: DataFrame, redirects: DataFrame,
         )
         misses = (
             current.join(
-                F.broadcast(hits.select(F.col("canon_url").alias("_hit"))),
+                page_keys.select(F.col("canon_url").alias("_hit")),
                 F.col("canon_url") == F.col("_hit"),
                 "left_anti",
             )
@@ -125,7 +128,8 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
     any_redirects = corpus.has_redirects()
 
     for hop in range(config.redirect_limit + 1):
-        j = _lookup(current, pages, redirects, broadcast_frontier)
+        j = _lookup(current, pages, redirects, broadcast_frontier,
+                    corpus.keys())
 
         is_redirect = F.col("_r_to").isNotNull()
         landed = j.where(~is_redirect).select(
@@ -365,6 +369,25 @@ def run_round(
     else:
         broadcast_frontier = n_selected <= config.broadcast_fetch_rows
         fetched = _fetch(ranked, corpus, config, broadcast_frontier=broadcast_frontier)
+        # small-round Arrow amortization (see config.fetch_rows_per_task):
+        # the broadcast join's output partitioning is the corpus scan's,
+        # so a small round leaves a few hundred rows per parse task and
+        # per-task python overhead dominates. Exchange the matched slice
+        # (volume = this round's pages only) down to well-fed partitions.
+        # Gated to a clear win (>4x reduction) so big rounds — whose
+        # batches are already full — never pay the exchange.
+        if broadcast_frontier and n_selected > 0:
+            cur_parts = fetched.rdd.getNumPartitions()
+            target = max(
+                n_selected // config.fetch_rows_per_task,
+                config.min_fetch_partitions,
+            )
+            if target * 4 <= cur_parts:
+                # hash, not round-robin: repartition(n) alone inserts a
+                # deterministic full-row local sort (sortBeforeRepartition)
+                # that compares the 20 KB html blobs; hashing canon_url
+                # needs no sort and is just as balanced
+                fetched = fetched.repartition(target, F.col("canon_url"))
     # F8 content-type gate (page.rb:185-195 html?): only HTML bodies
     # are parsed — a non-HTML row is stored but yields no links/text,
     # so it is never expanded

@@ -47,12 +47,23 @@ class Corpus:
     pages: DataFrame          # canon_url, host, url, warc_ts, html, text, lang, content_type
     redirects: DataFrame      # canon_url, redirect_to, code
     robots: DataFrame | None  # host, body
+    page_keys: DataFrame | None = None  # canon_url only (see prepare_corpus)
     _has_redirects: bool | None = None
 
     def has_redirects(self) -> bool:
         if self._has_redirects is None:
             self._has_redirects = not self.redirects.isEmpty()
         return self._has_redirects
+
+    def keys(self) -> DataFrame:
+        """The corpus's canon_url column alone — the fetch join's miss
+        detection (404s) only needs key membership, and probing the full
+        pages cache for it re-reads every round what a one-column
+        projection answers. On disk-native Iceberg/parquet this is the
+        same column-pruned scan; locally it is its own slim cache."""
+        if self.page_keys is not None:
+            return self.page_keys
+        return self.pages.select("canon_url")
 
 
 def prepare_corpus(
@@ -83,7 +94,13 @@ def prepare_corpus(
     if redirects is None:
         redirects = spark.createDataFrame([], REDIRECTS_SCHEMA)
     r = with_canon(redirects, "url").select("canon_url", "redirect_to", "code").cache()
-    return Corpus(pages=p, redirects=r, robots=robots)
+    # slim key cache for per-round miss detection (Corpus.keys): one
+    # string column in a handful of partitions instead of re-scanning
+    # the html-width cache — measured ~3s/round at local[8] and ~10s at
+    # local[2] on a 100k-page corpus, a pure fixed cost at every scale
+    kparts = max(p.rdd.getNumPartitions() // 8, 4)
+    page_keys = p.select("canon_url").coalesce(kparts).cache()
+    return Corpus(pages=p, redirects=r, robots=robots, page_keys=page_keys)
 
 
 def load_corpus(spark: SparkSession, directory: str) -> Corpus:
