@@ -64,17 +64,52 @@ seeds = synth_seeds(spark, n_seeds, n_pages, n_hosts=n_hosts, hot_host_frac=0.2)
 cfg = CrawlConfig(depth_limit=1, batch_size=None,
                   host_budget=max(n_pages // n_hosts, 50) * 4,
                   salt_buckets=8, max_rounds=2, discard_page=True)
+import os as _os
+
+def _tree_cpu_sec():
+    # CPU attributable to THIS crawl only: utime+stime summed over the
+    # process subtree (worker python -> JVM -> pyspark.daemon -> python
+    # workers). Unlike system-wide /proc/stat, a noisy neighbor or a
+    # concurrent probe cannot inflate it. Reused python workers persist
+    # across the crawl, so exit-loss is negligible.
+    ppid = {{}}
+    cpu = {{}}
+    hz = _os.sysconf("SC_CLK_TCK")
+    for d in _os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{d}}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+        except OSError:
+            continue
+        ppid[int(d)] = int(parts[1])
+        cpu[int(d)] = (int(parts[11]) + int(parts[12])) / hz
+    me = _os.getpid()
+    total, frontier = 0.0, [me]
+    kids = {{}}
+    for p, pp in ppid.items():
+        kids.setdefault(pp, []).append(p)
+    while frontier:
+        p = frontier.pop()
+        total += cpu.get(p, 0.0)
+        frontier.extend(kids.get(p, ()))
+    return total
+
 print("READY", flush=True)
 import gc
 for line in sys.stdin:
     if line.strip() != "GO":
         break
     t0 = time.time()
+    cpu0 = _tree_cpu_sec()
     res = crawl(spark, corpus, seeds, cfg)
     n = res.crawled.count()
     dt = time.time() - t0
+    cpu1 = _tree_cpu_sec()
     print("RESULT " + json.dumps({{"sec": round(dt, 2), "urls": n,
-                                   "rounds": res.rounds}}), flush=True)
+                                   "rounds": res.rounds,
+                                   "cpu_sec": round(cpu1 - cpu0, 2)}}), flush=True)
     # drop refs to this crawl's checkpointed blocks so the
     # ContextCleaner can free them before the next repeat (otherwise
     # block-manager garbage accumulates across repeats and GC pressure
@@ -292,7 +327,12 @@ def main():
             c0 = _busy_cpu_sec()
             r = w.crawl_once()
             c1 = _busy_cpu_sec()
-            runs[w.cpus].append((r["sec"], round((c1 - c0) / r["sec"], 2)))
+            # effective cores: prefer the worker's process-tree CPU
+            # (attributable to the crawl alone — a noisy neighbor can't
+            # inflate it); system-wide /proc/stat kept as fallback for
+            # old workers that don't self-report
+            cpu = r.get("cpu_sec", c1 - c0)
+            runs[w.cpus].append((r["sec"], round(cpu / r["sec"], 2)))
             urls, rounds = r["urls"], r["rounds"]
         # sandwich: the window can shift during the (minutes-long)
         # pair, so the normalizer is the mean of pre- and post-probes
@@ -343,6 +383,7 @@ def main():
                 "hw_ceiling": hw, "norm_eff": norm_effs[-1],
                 "parse_ceiling": hw_parse,
                 "parse_norm_eff": parse_norm_effs[-1],
+                "cpu_attrib": "tree",
             }) + "\n")
     if pairs > 0:
         wb.close()
