@@ -287,6 +287,15 @@ def main():
     # run per level lets one noise burst land on one level only and
     # tank that pair's ratio. 2 is the cost/variance sweet spot.
     runs_per_level = int(sys.argv[7]) if len(sys.argv) > 7 else 2
+    # "co": run the two levels SIMULTANEOUSLY instead of interleaved.
+    # Both crawls then sample the IDENTICAL noise window, so external
+    # supply swings hit the ratio as common-mode and cancel; the only
+    # systematic error left is inter-level contention, which takes
+    # resources FROM the big level (it wants 4x the share) — i.e. the
+    # measured efficiency is a conservative lower bound. Combined
+    # demand (~4+1 task slots = ~6-8 busy threads) stays inside this
+    # box's ~8-thread linear region.
+    mode = sys.argv[8] if len(sys.argv) > 8 else "seq"
     # 4 partitions per big-level core: with coarse partitioning (= n_big)
     # the dominant parse stage runs in 2 waves at the big level and its
     # straggler tail caps measured scaling at ~0.74; at 4x granularity the
@@ -318,22 +327,73 @@ def main():
         # alternating across pairs): linear drift in the noise supply
         # cancels exactly, and min-of-K per level filters one-sided
         # noise bursts that a single run per level cannot.
-        half = [wb, ws] if i % 2 == 0 else [ws, wb]
-        order = []
-        for k in range(runs_per_level):
-            order.extend(half if k % 2 == 0 else half[::-1])
         runs = {wb.cpus: [], ws.cpus: []}   # (sec, cores) per run
-        for w in order:
-            c0 = _busy_cpu_sec()
-            r = w.crawl_once()
-            c1 = _busy_cpu_sec()
-            # effective cores: prefer the worker's process-tree CPU
-            # (attributable to the crawl alone — a noisy neighbor can't
-            # inflate it); system-wide /proc/stat kept as fallback for
-            # old workers that don't self-report
-            cpu = r.get("cpu_sec", c1 - c0)
-            runs[w.cpus].append((r["sec"], round(cpu / r["sec"], 2)))
-            urls, rounds = r["urls"], r["rounds"]
+        if mode == "co":
+            # both levels fire at the same instant and overlap fully:
+            # the ratio sees external noise as common-mode
+            import threading
+
+            last = {}
+
+            def _rec(w, r):
+                runs[w.cpus].append(
+                    (r["sec"], round(r.get("cpu_sec", 0.0) / r["sec"], 2)))
+                last.update(r)
+
+            for k in range(runs_per_level):
+                # the small level runs once; the big level loops
+                # back-to-back for that whole window, so the small
+                # crawl sees CONSTANT big-level contention end to end.
+                # Only big runs that FINISH inside the small window
+                # count — the in-flight one at small-finish completes
+                # into an uncontended tail and would flatter the ratio.
+                small_done = threading.Event()
+
+                def _small():
+                    r = ws.crawl_once()
+                    small_done.set()
+                    _rec(ws, r)
+
+                stray = []
+
+                def _big_loop():
+                    while not small_done.is_set():
+                        r = wb.crawl_once()
+                        if not small_done.is_set():
+                            _rec(wb, r)
+                        else:
+                            stray.append(r)
+                ts = [threading.Thread(target=_small),
+                      threading.Thread(target=_big_loop)]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                if not runs[wb.cpus] and stray:
+                    # degenerate window (no big run fit inside): keep
+                    # the spanning run rather than crash downstream
+                    _rec(wb, stray[-1])
+            urls, rounds = last["urls"], last["rounds"]
+        else:
+            # palindrome order within the pair (B S S B / S B B S,
+            # alternating across pairs): linear drift in the noise
+            # supply cancels exactly, and min-of-K per level filters
+            # one-sided noise bursts a single run cannot.
+            half = [wb, ws] if i % 2 == 0 else [ws, wb]
+            order = []
+            for k in range(runs_per_level):
+                order.extend(half if k % 2 == 0 else half[::-1])
+            for w in order:
+                c0 = _busy_cpu_sec()
+                r = w.crawl_once()
+                c1 = _busy_cpu_sec()
+                # effective cores: prefer the worker's process-tree CPU
+                # (attributable to the crawl alone — a noisy neighbor
+                # can't inflate it); system-wide /proc/stat kept as
+                # fallback for old workers that don't self-report
+                cpu = r.get("cpu_sec", c1 - c0)
+                runs[w.cpus].append((r["sec"], round(cpu / r["sec"], 2)))
+                urls, rounds = r["urls"], r["rounds"]
         # sandwich: the window can shift during the (minutes-long)
         # pair, so the normalizer is the mean of pre- and post-probes
         mem_post, parse_post = pair_hw_ceiling(n_small, n_big)
@@ -384,20 +444,23 @@ def main():
                 "parse_ceiling": hw_parse,
                 "parse_norm_eff": parse_norm_effs[-1],
                 "cpu_attrib": "tree",
+                "mode": mode,
             }) + "\n")
     if pairs > 0:
         wb.close()
         ws.close()
 
     # aggregate over all recorded pairs for this config
-    cfg = (n_small, n_big, n_pages, shuffle_parts, task_cpus, runs_per_level)
+    cfg = (n_small, n_big, n_pages, shuffle_parts, task_cpus,
+           runs_per_level, mode)
     try:
         with open(PAIRS_LOG) as pf:
             recs = [json.loads(ln) for ln in pf if ln.strip()]
         recs = [r for r in recs
                 if (r["n_small"], r["n_big"], r["n_pages"],
                     r["shuffle_parts"], r["task_cpus"],
-                    r.get("runs_per_level", 1)) == cfg]
+                    r.get("runs_per_level", 1),
+                    r.get("mode", "seq")) == cfg]
     except FileNotFoundError:
         recs = []
     if recs:
