@@ -388,6 +388,12 @@ def run_round(
                 # that compares the 20 KB html blobs; hashing canon_url
                 # needs no sort and is just as balanced
                 fetched = fetched.repartition(target, F.col("canon_url"))
+    if os.environ.get("SPARK_CRAWL_DEBUG2") == "1":
+        # measurement-only: split the fetch-join machinery from the
+        # parse+checkpoint inside this round's single materialization
+        fetched = fetched.cache()
+        _n = fetched.count()
+        _tick(f"fetch-join only n={_n}")
     # F8 content-type gate (page.rb:185-195 html?): only HTML bodies
     # are parsed — a non-HTML row is stored but yields no links/text,
     # so it is never expanded
