@@ -71,6 +71,7 @@ class FetchResponse:
     content_type: Optional[str] = None
     redirect_to: Optional[str] = None  # Location header on 3xx
     response_time: int = 0             # milliseconds
+    set_cookie: Optional[str] = None   # Set-Cookie header (http.rb:196)
 
 
 class UrllibTransport:
@@ -90,14 +91,17 @@ class UrllibTransport:
         self.user_agent = user_agent
         self.opener = urllib.request.build_opener(_NoRedirect())
 
-    def __call__(self, url: str, referer: Optional[str]) -> FetchResponse:
+    def __call__(self, url: str, referer: Optional[str],
+                 headers: Optional[dict] = None) -> FetchResponse:
         import urllib.error
         import urllib.request
 
-        headers = {"User-Agent": self.user_agent}
+        hdrs = {"User-Agent": self.user_agent}
         if referer:
-            headers["Referer"] = referer
-        req = urllib.request.Request(url, headers=headers)
+            hdrs["Referer"] = referer
+        if headers:
+            hdrs.update(headers)  # fetcher-provided UA/Cookie win
+        req = urllib.request.Request(url, headers=hdrs)
         t0 = time.monotonic()
         try:
             resp = self.opener.open(req, timeout=self.timeout)
@@ -108,6 +112,7 @@ class UrllibTransport:
                 body=body,
                 content_type=(resp.headers.get("Content-Type") or "").split(";")[0] or None,
                 response_time=ms,
+                set_cookie=resp.headers.get("Set-Cookie"),
             )
         except urllib.error.HTTPError as e:  # non-2xx WITH a response
             ms = int((time.monotonic() - t0) * 1000)
@@ -117,6 +122,7 @@ class UrllibTransport:
                 content_type=(e.headers.get("Content-Type") or "").split(";")[0] or None,
                 redirect_to=e.headers.get("Location"),
                 response_time=ms,
+                set_cookie=e.headers.get("Set-Cookie"),
             )
 
 
@@ -130,29 +136,45 @@ class DictTransport:
     instance per partition), then serve — exercises the retry loop.
     A url absent from the dict serves a real 404 response (live
     semantics: fetched page with code 404, unlike a corpus miss).
+    echo_headers: append an HTML comment carrying the request's
+    User-Agent/Cookie headers to every served body, so tests can
+    assert what was actually SENT from the stored page bytes
+    (fakeweb can't see into the python worker otherwise).
     """
 
-    def __init__(self, site: dict, fail_first: int = 0):
+    def __init__(self, site: dict, fail_first: int = 0, echo_headers: bool = False):
         self.site = site
         self.fail_first = fail_first
+        self.echo_headers = echo_headers
         self.calls = 0
 
-    def __call__(self, url: str, referer: Optional[str]) -> FetchResponse:
+    def __call__(self, url: str, referer: Optional[str],
+                 headers: Optional[dict] = None) -> FetchResponse:
         self.calls += 1
         if self.calls <= self.fail_first:
             raise ConnectionError("transient connect failure")
         spec = self.site.get(url)
         if spec is None:
-            return FetchResponse(
+            resp = FetchResponse(
                 code=404, body=b"nope", content_type="text/html", response_time=1
             )
-        return FetchResponse(**spec)
+        else:
+            resp = FetchResponse(**spec)
+        if self.echo_headers and resp.body is not None:
+            h = headers or {}
+            marker = (
+                f"<!--UA={h.get('User-Agent', '')}"
+                f";Cookie={h.get('Cookie', '')}-->"
+            )
+            resp = FetchResponse(**{**resp.__dict__, "body": resp.body + marker.encode()})
+        return resp
 
 
 class FailingTransport:
     """Transport whose host is always down — every call raises."""
 
-    def __call__(self, url: str, referer: Optional[str]) -> FetchResponse:
+    def __call__(self, url: str, referer: Optional[str],
+                 headers: Optional[dict] = None) -> FetchResponse:
         raise TimeoutError("host unreachable")
 
 
@@ -160,11 +182,26 @@ class HttpFetcher:
     """Callable fetch stage: (selected_frontier_df, config) -> fetched_df.
 
     transport_factory: zero-arg picklable callable returning a
-    transport ``(url, referer) -> FetchResponse`` — built ONCE per
-    partition (the connection-pool analog). retries/redirect gating per
-    the module docstring. ``delay`` sleeps between consecutive requests
-    within a partition — the reference's per-job politeness sleep
-    (batch_job.rb:181) localized to the host partition.
+    transport ``(url, referer, headers) -> FetchResponse`` — built ONCE
+    per partition (the connection-pool analog). retries/redirect gating
+    per the module docstring. ``delay`` sleeps between consecutive
+    requests within a partition — the reference's per-job politeness
+    sleep (batch_job.rb:181) localized to the host partition.
+
+    Cookie/UA opts (live-fetch only; meaningless in corpus mode, which
+    is why they live here and not on CrawlConfig):
+
+    * ``cookies``: initial name->value jar, one CookieStore copy per
+      host per partition (opts_helper default ``:cookies => nil``).
+    * ``accept_cookies``: merge each response's Set-Cookie into the
+      host's jar and send it on subsequent same-host requests —
+      http.rb:196 / opts ``:accept_cookies`` (default false there too).
+    * ``user_agent``: fixed UA header for every request.
+    * ``agent_seed``: draw a DETERMINISTIC per-host UA from the six
+      mozilla_agents.rb families instead (functions/cookies.agent_for);
+      overrides user_agent. The reference randomizes per client
+      (mozilla_agents.rb:33-54); seeding keeps the engine's
+      same-input-same-crawl guarantee.
     """
 
     def __init__(
@@ -173,11 +210,19 @@ class HttpFetcher:
         retries: int = 3,               # http.rb:211-216
         delay: float = 0.0,             # batch_job.rb:181 sleep(delay)
         n_partitions: Optional[int] = None,
+        cookies: Optional[dict] = None,         # opts_helper :cookies
+        accept_cookies: bool = False,           # opts_helper :accept_cookies
+        user_agent: Optional[str] = None,       # opts_helper :user_agent
+        agent_seed: Optional[int] = None,       # mozilla_agents.rb:33-54, seeded
     ):
         self.transport_factory = transport_factory
         self.retries = retries
         self.delay = delay
         self.n_partitions = n_partitions
+        self.cookies = cookies
+        self.accept_cookies = accept_cookies
+        self.user_agent = user_agent
+        self.agent_seed = agent_seed
 
     def __call__(self, selected: DataFrame, config) -> DataFrame:
         in_schema = selected.schema
@@ -189,9 +234,17 @@ class HttpFetcher:
         delay = self.delay
         redirect_limit = config.redirect_limit
         keep_redirects = config.keep_redirects
+        init_cookies = self.cookies
+        accept_cookies = self.accept_cookies
+        user_agent = self.user_agent
+        agent_seed = self.agent_seed
 
         def fetch_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from cloud_crawler_spark.functions.cookies import CookieStore, agent_for
+
             transport = factory()  # one session per partition (S6)
+            jars: dict = {}        # host -> CookieStore (per-client jar analog)
+            agents: dict = {}      # host -> UA (one per client, P8)
             first = True
             for pdf in pdfs:
                 out_rows = []
@@ -199,9 +252,21 @@ class HttpFetcher:
                     if delay and not first:
                         time.sleep(delay)
                     first = False
+                    host = row.get("host") or ""
+                    jar = jars.get(host)
+                    if jar is None:
+                        jar = jars[host] = CookieStore(init_cookies)
+                    ua = agents.get(host)
+                    if ua is None:
+                        ua = agents[host] = (
+                            agent_for(agent_seed, host)
+                            if agent_seed is not None
+                            else user_agent
+                        )
                     out_rows.extend(
                         _fetch_one(
-                            transport, row, retries, redirect_limit, keep_redirects
+                            transport, row, retries, redirect_limit, keep_redirects,
+                            jar=jar, accept_cookies=accept_cookies, user_agent=ua,
                         )
                     )
                 # dtype=object: mixed int/None (error rows' code) must
@@ -223,29 +288,46 @@ class HttpFetcher:
         return sliced.mapInPandas(fetch_partition, schema=out_schema)
 
 
-def _attempt(transport, url: str, referer: Optional[str], retries: int) -> FetchResponse:
+def _attempt(transport, url: str, referer: Optional[str], retries: int,
+             headers: Optional[dict] = None) -> FetchResponse:
     """get_response with retries (http.rb:205-216): any raise below the
     transport is retried up to `retries` times, then propagates."""
     last = None
     for _ in range(max(1, retries)):
         try:
-            return transport(url, referer)
+            return transport(url, referer, headers)
         except Exception as e:  # noqa: BLE001 — reference rescues Exception
             last = e
     raise last
 
 
 def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
-               keep_redirects: bool) -> list[dict]:
+               keep_redirects: bool, jar=None, accept_cookies: bool = False,
+               user_agent: Optional[str] = None) -> list[dict]:
     """Fetch one frontier row, following its redirect chain (≤ limit,
-    same-host or relative only). Returns the stored page rows."""
+    same-host or relative only). Returns the stored page rows.
+
+    jar: the host's CookieStore — its current contents ride the Cookie
+    header on every request; each response's Set-Cookie is merged back
+    when accept_cookies (http.rb:196), so a cookie set on hop 0 is
+    presented on hop 1 and on every later same-host fetch in this
+    partition."""
     out: list[dict] = []
     url, referer, orig_host = row["url"], row.get("referer"), row.get("host")
     cur = dict(row)
 
+    def _headers() -> Optional[dict]:
+        h = {}
+        if user_agent:
+            h["User-Agent"] = user_agent
+        cookie = jar.to_s() if jar is not None else ""
+        if cookie:
+            h["Cookie"] = cookie
+        return h or None
+
     for hop in range(redirect_limit + 1):
         try:
-            resp = _attempt(transport, cur["url"], referer, retries)
+            resp = _attempt(transport, cur["url"], referer, retries, _headers())
         except Exception as e:  # noqa: BLE001
             out.append(
                 {
@@ -261,6 +343,9 @@ def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
                 }
             )
             return out
+
+        if accept_cookies and jar is not None and resp.set_cookie:
+            jar.merge(resp.set_cookie)  # http.rb:196
 
         is_redirect = 300 <= resp.code < 400 and resp.redirect_to
         if not is_redirect:
