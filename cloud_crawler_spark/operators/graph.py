@@ -29,25 +29,15 @@ from pyspark.sql import functions as F
 from cloud_crawler_spark.functions.canon import absolutize_udf, canonicalize, with_canon
 
 
-def shortest_paths(
-    crawled: DataFrame,
-    root_url: str,
-    max_depth: int = 32,
-    redirect_limit: int = 5,
-) -> DataFrame:
-    """Single-source min-hop distances over a stored crawl.
+def link_edges_of(crawled: DataFrame) -> DataFrame:
+    """Distinct (src, dst) canon-URL link edges of a stored crawl.
 
-    `crawled` needs (canon_url, links array<string>, redirect_to).
-    Returns (canon_url, depth, visited) for every stored page: depth =
-    min link-hops from `root_url` (redirect hops free), NULL when
-    unreachable; visited = reached flag (page.rb:47).
+    Stored links are document-order raw hrefs (P2 keeps them as
+    extracted); resolve each against its page URL like the crawl's
+    link expansion does (base-tag info is not stored, so a rare
+    <base>-relative link may resolve differently than at crawl time).
     """
-    spark = crawled.sparkSession
-    # stored links are document-order raw hrefs (P2 keeps them as
-    # extracted); resolve each against its page URL like the crawl's
-    # link expansion does (base-tag info is not stored, so a rare
-    # <base>-relative link may resolve differently than at crawl time)
-    link_edges = (
+    return (
         with_canon(
             crawled.select(
                 F.col("canon_url").alias("src"),
@@ -64,8 +54,88 @@ def shortest_paths(
         .where(F.col("canon_url").isNotNull())
         .select("src", F.col("canon_url").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+
+
+def pagerank(
+    crawled: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a stored crawl's link graph —
+    the post-crawl analysis companion of ``shortest_paths`` (SURVEY
+    §2.10): which stored pages matter, for seed re-prioritization of
+    the next crawl (the reference's PageStore is where its README
+    floats "page rank" analysis; no implementation exists there, so
+    semantics are the standard power iteration).
+
+    Returns (canon_url, rank double) for every stored page; ranks sum
+    to 1 (dangling mass redistributed uniformly each step).
+
+    Scale shape: the edge set is built once (distinct + checkpoint);
+    every iteration is ONE equi-join ranks⋈edges shuffling on src and
+    ONE groupBy dst — both map-side-combinable, no driver collect (the
+    dangling-mass scalar rides a 1-row crossJoin, so the whole
+    iteration stays a distributed plan). Fixed small iteration count =
+    bounded BSP rounds, same envelope as the crawl itself.
+    """
+    nodes = crawled.select(F.col("canon_url").alias("id")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return crawled.sparkSession.createDataFrame(
+            [], "canon_url string, rank double"
+        )
+    edges = link_edges_of(crawled)
+    # rank only flows along edges between STORED pages (dst outside the
+    # store would leak mass to nodes the report never shows)
+    edges = edges.join(nodes.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    w_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(max(0, iterations)):
+        contrib = (
+            ranks.join(w_edges, ranks.id == w_edges.src, "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+        )
+        # mass parked on dangling nodes (no out-edges) spreads uniformly
+        dangling = (
+            ranks.join(deg, ranks.id == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("id").alias("canon_url"), "rank")
+
+
+def shortest_paths(
+    crawled: DataFrame,
+    root_url: str,
+    max_depth: int = 32,
+    redirect_limit: int = 5,
+) -> DataFrame:
+    """Single-source min-hop distances over a stored crawl.
+
+    `crawled` needs (canon_url, links array<string>, redirect_to).
+    Returns (canon_url, depth, visited) for every stored page: depth =
+    min link-hops from `root_url` (redirect hops free), NULL when
+    unreachable; visited = reached flag (page.rb:47).
+    """
+    spark = crawled.sparkSession
+    link_edges = link_edges_of(crawled).localCheckpoint(eager=True)
     redir_edges = (
         with_canon(
             crawled.where(F.col("redirect_to").isNotNull()).select(

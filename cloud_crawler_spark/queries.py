@@ -923,6 +923,60 @@ def q_shortest_paths(spark, sf_dir):
     )
 
 
+# PageRank oracle: 3 power iterations UNROLLED as plain CTE levels
+# (no recursion — each level is the exact relational algebra the Spark
+# operator runs: contribution join on src, sum by dst, damping blend).
+# The arithmetic graph has no dangling node (every page links out), so
+# the operator's dangling term is identically zero here; integer-ppm
+# output keeps last-ulp float drift out of the value hash (q03 lesson).
+_PR_ITER_SQL = """
+    c{t} AS (
+      SELECT l.dst AS id, sum(r{p}.r / deg.d) AS c
+      FROM r{p} JOIN links l ON l.src = r{p}.id JOIN deg ON deg.src = l.src
+      GROUP BY l.dst),
+    r{t} AS (
+      SELECT r{p}.id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c{t}.c, 0.0) AS r
+      FROM r{p} LEFT JOIN c{t} ON c{t}.id = r{p}.id)"""
+
+
+@_register(
+    "q_pagerank",
+    """
+    WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    mod_n AS (SELECT count(*) AS m FROM documents),
+    links AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT m FROM mod_n) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT m FROM mod_n) FROM documents)),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM links GROUP BY src),
+    r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r FROM documents),"""
+    + ",".join(_PR_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2, 3))
+    + """
+    SELECT 'http://ex.com/p' || id AS canon_url,
+           round(r * 1e6)::BIGINT AS rank_ppm
+    FROM r3
+    """,
+)
+def q_pagerank(spark, sf_dir):
+    """Post-crawl PageRank (operators/graph.pagerank): curl-store the
+    arithmetic web, run 3 distributed power iterations over the stored
+    link graph, report integer-ppm ranks. Companion analysis stage to
+    q_shortest_paths over the same store."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.operators.graph import pagerank
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    pr = pagerank(res.crawled, iterations=3, damping=0.85)
+    return pr.select(
+        "canon_url", F.round(F.col("rank") * 1e6).cast("long").alias("rank_ppm")
+    )
+
+
 # multimodal plumbing (mapInPandas feature extraction). The stub
 # feature is md5-derived, so the WHOLE output — including the feature
 # values (as the sortable permille CSV, arrays are unhashable in

@@ -61,3 +61,73 @@ def test_shortest_paths_finds_shorter_route_than_discovery(spark):
     visited = {r["canon_url"].replace(f"http://{HOST}/", ""): r["visited"]
                for r in sp.collect()}
     assert visited == {"0": False, "1": True, "2": True, "3": True}
+
+
+def _expected_pagerank(nodes, edges, iterations=3, damping=0.85):
+    """Plain-python power iteration with uniform dangling spread."""
+    n = len(nodes)
+    out = {u: [v for (s, v) in edges if s == u] for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(iterations):
+        contrib = {u: 0.0 for u in nodes}
+        dm = 0.0
+        for u in nodes:
+            if out[u]:
+                share = r[u] / len(out[u])
+                for v in out[u]:
+                    contrib[v] += share
+            else:
+                dm += r[u]
+        r = {u: (1 - damping) / n + damping * (contrib[u] + dm / n)
+             for u in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    from cloud_crawler_spark.operators.graph import pagerank
+
+    # 2 is dangling: its mass must spread uniformly, not vanish
+    graph = {
+        "0": {"links": ["1", "2"]},
+        "1": {"links": ["0"]},
+        "2": {"links": []},
+    }
+    res = crawl(
+        spark, make_corpus(spark, graph), make_seeds(spark, [f"http://{HOST}/0"]),
+        CrawlConfig(),
+    )
+    got = {
+        r["canon_url"].replace(f"http://{HOST}/", ""): r["rank"]
+        for r in pagerank(res.crawled, iterations=3).collect()
+    }
+    want = _expected_pagerank(
+        ["0", "1", "2"], [("0", "1"), ("0", "2"), ("1", "0")], iterations=3
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_ignores_edges_leaving_the_store(spark):
+    from cloud_crawler_spark.operators.graph import pagerank
+
+    # 1 links to an unfetched URL: that edge must not leak rank mass
+    graph = {
+        "0": {"links": ["1"]},
+        "1": {"links": ["0", "missing-from-corpus"]},
+    }
+    res = crawl(
+        spark, make_corpus(spark, graph), make_seeds(spark, [f"http://{HOST}/0"]),
+        CrawlConfig(),
+    )
+    stored = res.crawled.where("code = 200")
+    got = {
+        r["canon_url"].replace(f"http://{HOST}/", ""): r["rank"]
+        for r in pagerank(stored, iterations=2).collect()
+    }
+    assert set(got) == {"0", "1"}
+    # 1's only IN-STORE edge is to 0, so it behaves as out-degree 1
+    want = _expected_pagerank(["0", "1"], [("0", "1"), ("1", "0")], iterations=2)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
