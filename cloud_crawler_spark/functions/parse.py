@@ -20,12 +20,15 @@ All UDFs are Arrow-batched pandas UDFs over the BINARY ``html`` column
 
 from __future__ import annotations
 
+import os
 from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+from cloud_crawler_spark.functions.fastparse import fast_parse
 
 # Elements whose text Nokogiri's doc.text DOES include: all of them —
 # script/style/title contents are text nodes too. We match that.
@@ -159,28 +162,43 @@ def _decode(html) -> str:
     return str(html)
 
 
+_FAST_PARSE_OFF = bool(os.environ.get("SPARK_CRAWL_NO_FAST_PARSE"))
+
+
 def parse_page(html, within_tag: str | None = None,
                selector: list[tuple[str, bool]] | None = None) -> dict:
-    p = _PageParser(within_tag=within_tag, selector=selector)
-    try:
-        p.feed(_decode(html))
-        p.close()
-    except Exception:
-        pass
+    s = _decode(html)
+    fast = None
+    if within_tag is None and selector is None and not _FAST_PARSE_OFF:
+        # fastparse tokenizes clean documents ~5x faster and bails
+        # (returns None) on anything whose stdlib handling could
+        # diverge; semantics stay pinned to _PageParser either way
+        fast = fast_parse(s)
+    if fast is not None:
+        raw_links, base_href, title_parts, text_parts = fast
+    else:
+        p = _PageParser(within_tag=within_tag, selector=selector)
+        try:
+            p.feed(s)
+            p.close()
+        except Exception:
+            pass
+        raw_links, base_href = p.links, p.base_href
+        title_parts, text_parts = p.title_parts, p.text_parts
     # first-occurrence dedupe, document order (page.rb:134 uniq!)
     seen: set[str] = set()
     links: list[str] = []
-    for h in p.links:
+    for h in raw_links:
         if h not in seen:
             seen.add(h)
             links.append(h)
-    text = "".join(p.text_parts)
+    text = "".join(text_parts)
     # encode round trip: drop anything not UTF-8-encodable, then strip
     text = text.encode("utf-8", errors="ignore").decode("utf-8", errors="ignore").strip()
     return {
         "links": links,
-        "base_href": p.base_href,
-        "title": "".join(p.title_parts).strip(),
+        "base_href": base_href,
+        "title": "".join(title_parts).strip(),
         "text": text,
     }
 

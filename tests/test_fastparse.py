@@ -1,0 +1,192 @@
+"""fastparse <-> stdlib _PageParser equivalence.
+
+The fast tokenizer (functions/fastparse.py) must either produce
+byte-identical output to the stdlib parser or bail (return None).
+These tests pin both directions: constructed cases covering every
+accept/bail branch, and randomized documents built from a grammar that
+mixes clean markup with the nasty constructs the stdlib parser has
+quirky tolerances for. No Spark session needed — pure function tests.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+import cloud_crawler_spark.functions.parse as parse_mod
+from cloud_crawler_spark.functions.fastparse import fast_parse
+from cloud_crawler_spark.functions.parse import _PageParser, parse_page
+
+
+def stdlib_parse(s: str):
+    p = _PageParser()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        pass
+    return p.links, p.base_href, "".join(p.title_parts), "".join(p.text_parts)
+
+
+def assert_equiv(s: str):
+    """If the fast path accepts `s`, its output must be byte-identical
+    to the stdlib parse — both raw parser state and parse_page dicts."""
+    f = fast_parse(s)
+    if f is not None:
+        links, base, tp, xp = f
+        assert (links, base, "".join(tp), "".join(xp)) == stdlib_parse(s), s
+    fast_dict = parse_page(s)
+    old = parse_mod._FAST_PARSE_OFF
+    parse_mod._FAST_PARSE_OFF = True
+    try:
+        slow_dict = parse_page(s)
+    finally:
+        parse_mod._FAST_PARSE_OFF = old
+    assert fast_dict == slow_dict, s
+    return f is not None
+
+
+ACCEPT_CASES = [
+    '<html><head><title>T &amp; U</title></head><body>'
+    '<p>hi &lt;3</p><a href="http://x/a">l</a></body></html>',
+    "<A HREF=http://x/b>up</A><a href='q'>s</a>",
+    '<A HREF="http://x/B">simple-upper</A>',
+    '<a  href = "spaced">s</a>',
+    '<base href="http://b/"/><a href="r">x</a><base href="http://c/">',
+    '<a href="">empty</a><a>none</a><a href>bare</a>',
+    '<a href="x" href="y">dup wins last</a>',
+    '<a href="x" id="z">extra attr</a>',
+    '<a id="z" href="x">href not first</a>',
+    '<title>one</title><title>two</title>',
+    '<title/>selfclose cancels',
+    '<title id=3>attr title</title>',
+    'text & more &amp; &#65; &aacute &unknown; tail',
+    '<p class="a>b">quoted gt inside attr</p>',
+    '<br/><img src=x><input value="v">',
+    '<a href="x&amp;y=1">entity in attr</a>',
+    '<div data-x=bare>u</div>',
+    '<p =junk>stdlib tolerates this attr name</p>',
+    '<a/>selfclosed a<a href=u/>v</a>',
+    '<a href=http://x/>bare value keeps trailing slash</a>',
+    '</p></div></title></TITLE>',
+    '<a href="x"id=y>no space between attrs</a>',
+    '<UL><LI>upper</LI></UL>',
+    '<a href=\'sq&#39;uote\'>entity in single-quoted</a>',
+]
+
+BAIL_CASES = [
+    '<!DOCTYPE html><p>x</p>',
+    '<!-- comment --><p>x</p>',
+    '<script>var a = 1 < 2;</script>',
+    '<SCRIPT src=x></SCRIPT>',
+    '<STYLE>.x{}</STYLE>',
+    '<?pi data?>',
+    'a < b',
+    '<3 hearts',
+    '<a href="unterminated>',
+    '</title foo="a>b">',
+    '</ title>',
+    '<![CDATA[x]]>',
+]
+
+
+@pytest.mark.parametrize("s", ACCEPT_CASES)
+def test_fast_path_accepts_and_matches(s):
+    assert assert_equiv(s), f"expected fast path to accept: {s!r}"
+
+
+@pytest.mark.parametrize("s", BAIL_CASES)
+def test_fast_path_bails_and_fallback_matches(s):
+    assert not assert_equiv(s), f"expected fast path to bail: {s!r}"
+
+
+def test_webgen_shape_takes_fast_path():
+    """The synthetic corpus html (sources/webgen.py) — the bench hot
+    path — must be accepted by the fast tokenizer."""
+    anchors = "".join(
+        f'<a href="http://host{i}.example.com/p{i}">x</a>' for i in range(8)
+    )
+    html = (
+        "<html><head><title>Page 1 on host 2</title></head><body>"
+        "<p>spark crawl frontier</p>" + anchors + "</body></html>"
+    )
+    assert fast_parse(html) is not None
+    assert assert_equiv(html)
+
+
+def test_fake_page_shape_takes_fast_path():
+    from cloud_crawler_spark.sources.webgen import fake_page_html
+
+    html = fake_page_html("p", links=["a", "b"], base="http://base/x/")
+    assert fast_parse(html) is not None
+    assert assert_equiv(html)
+
+
+# ---------------------------------------------------------- randomized
+# Grammar-driven fuzz: random documents mixing clean tags, entities,
+# malformed fragments, and bail triggers. Every document must satisfy
+# fast==stdlib-or-bail; seeds are fixed for determinism.
+
+_FRAGMENTS = [
+    "plain text ",
+    "&amp; &lt; &#65; &aacute &bogus; & ",
+    '<a href="http://h/{i}">L</a>',
+    "<a href='single{i}'>s</a>",
+    "<a href=bare{i}>b</a>",
+    "<a href=\"\">e</a>",
+    "<a>nohref</a>",
+    "<A HREF=\"UP{i}\">u</A>",
+    "<a href=\"x\" href=\"y{i}\">d</a>",
+    "<base href=\"http://base{i}/\">",
+    "<title>t{i}</title>",
+    "<title/>",
+    "<div class=\"c{i}\"><p id=p{i}>inner</p></div>",
+    "<br/><hr><img src=i{i}.png>",
+    "<ul><li>item {i}</li></ul>",
+    "</div></p>",
+    "<span data-x='{i}'>sp</span>",
+    "<p =junk{i}>j</p>",
+    "<em>e &quot;q&quot;</em>",
+    # bail-trigger fragments (stdlib must win silently)
+    "<!-- hidden {i} -->",
+    "<!DOCTYPE html>",
+    "<script>if (1 < {i}) x();</script>",
+    "<style>.a{{}}</style>",
+    "<?php echo {i}; ?>",
+    "a < {i} stray",
+    "<a href=\"broken{i}>",
+    "</ sp>",
+]
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_randomized_documents_fast_matches_or_bails(seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 12)
+    doc = "".join(
+        rng.choice(_FRAGMENTS).replace("{i}", str(rng.randint(0, 99)))
+        for _ in range(n)
+    )
+    assert_equiv(doc)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_randomized_clean_documents_take_fast_path(seed):
+    """Documents built only from clean fragments must not bail —
+    pins the fast path's coverage, not just its correctness."""
+    clean = _FRAGMENTS[:19]
+    rng = random.Random(1000 + seed)
+    doc = "".join(
+        rng.choice(clean).replace("{i}", str(rng.randint(0, 99)))
+        for _ in range(rng.randint(1, 15))
+    )
+    assert assert_equiv(doc), doc
+
+
+def test_env_escape_hatch(monkeypatch):
+    """SPARK_CRAWL_NO_FAST_PARSE forces the stdlib path (read at
+    import; the module flag is the runtime switch)."""
+    monkeypatch.setattr(parse_mod, "_FAST_PARSE_OFF", True)
+    r = parse_page('<a href="x">l</a>')
+    assert r["links"] == ["x"]
