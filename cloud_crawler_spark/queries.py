@@ -977,6 +977,83 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def _synthetic_hosted_web_from_documents(spark, sf_dir, n_hosts: int = 16):
+    """Multi-host variant of the arithmetic web: page i lives on host
+    h{i % n_hosts}.ex.com and links (absolute hrefs, correct target
+    hosts) to pages (3i+1) mod N and (7i+3) mod N."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    l1 = (F.col("doc_id") * 3 + 1) % n
+    l2 = (F.col("doc_id") * 7 + 3) % n
+
+    def _u(pid):
+        return F.concat(
+            F.lit("http://h"), (pid % n_hosts).cast("string"),
+            F.lit(".ex.com/p"), pid.cast("string"),
+        )
+
+    html = F.concat(
+        F.lit('<html><body><a href="'), _u(l1),
+        F.lit('">a</a><a href="'), _u(l2),
+        F.lit('">b</a></body></html>'),
+    )
+    return docs.select(
+        _u(F.col("doc_id")).alias("url"),
+        F.lit("2013-04-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit("ab").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+@_register(
+    "q_host_graph",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents))
+    SELECT 'h' || (src % 16) || '.ex.com' AS src_host,
+           'h' || (dst % 16) || '.ex.com' AS dst_host,
+           count(*)::BIGINT AS n_links,
+           count(DISTINCT src)::BIGINT AS n_src_pages
+    FROM links
+    GROUP BY src_host, dst_host
+    """,
+)
+def q_host_graph(spark, sf_dir):
+    """Host-level link graph over a finished store: aggregate the
+    page-level canon edges (operators/graph.link_edges_of) to
+    (src_host, dst_host) with link and distinct-source-page counts —
+    the scheduling view a recrawl uses to budget hosts and pick seeds
+    (reference analog: per-host batching in batch_job.rb:120-158 keys
+    everything by host; this is that key's graph rollup). All JVM-side
+    after the parse: parse_url(HOST) + one groupBy."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.operators.graph import link_edges_of
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_hosted_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    edges = link_edges_of(res.crawled)  # distinct canon (src, dst)
+    return (
+        edges.select(
+            F.parse_url("src", F.lit("HOST")).alias("src_host"),
+            F.parse_url("dst", F.lit("HOST")).alias("dst_host"),
+            "src",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("src").alias("n_src_pages"),
+        )
+    )
+
+
 # multimodal plumbing (mapInPandas feature extraction). The stub
 # feature is md5-derived, so the WHOLE output — including the feature
 # values (as the sortable permille CSV, arrays are unhashable in
