@@ -445,3 +445,55 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding", id_col: str =
         .where(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])  # a pair may collide in several tables
     )
+
+
+# --------------------------------------------------- corpus clean pass
+
+
+def clean_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 min_tokens: int = 20,
+                 keep_langs: tuple[str, ...] = ("en", "de", "fr", "es")) -> DataFrame:
+    """C4-style training-corpus cleanup, composed from the oracled
+    primitives: language gate (functions/text.lang_id) -> quality gate
+    (min token count) -> exact dedup (min-id per md5) -> SimHash
+    near-dup collapse (min-id per 16-bit cluster).
+
+    Returns one row per surviving document:
+    (doc_id, lang_pred, n_tokens, n_near_dups) where n_near_dups is
+    the size of the survivor's simhash cluster after exact dedup.
+
+    Scale shape: one codegen'd filter pass, then TWO keyed groupBys
+    (md5 hash, simhash) — both map-side-combinable, no joins, no
+    Python. Survivor attributes ride a min(struct(id, ...)) aggregate
+    (id is the first struct field, so min == smallest-id row), which
+    avoids a join-back per stage. At 10^10 docs each shuffle key is
+    <= 32 bytes + the kept doc's attrs.
+    """
+    from cloud_crawler_spark.functions.text import lang_id, quality_features
+
+    n_tokens = quality_features(F.col(text_col))[1]
+    gated = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        n_tokens.cast("long").alias("n_tokens"),
+    ).where(
+        F.col("lang_pred").isin(*keep_langs) & (F.col("n_tokens") >= min_tokens)
+    )
+    exact = (
+        gated.groupBy(F.md5("_text").alias("_h"))
+        .agg(F.min(F.struct("doc_id", "_text", "lang_pred", "n_tokens")).alias("k"))
+        .select("k.*")
+    )
+    sims = exact.select(
+        "doc_id", "lang_pred", "n_tokens",
+        simhash16(F.col("_text")).cast("long").alias("simhash"),
+    )
+    return (
+        sims.groupBy("simhash")
+        .agg(
+            F.min(F.struct("doc_id", "lang_pred", "n_tokens")).alias("k"),
+            F.count("*").alias("n_near_dups"),
+        )
+        .select("k.doc_id", "k.lang_pred", "k.n_tokens", "n_near_dups")
+    )

@@ -1054,6 +1054,57 @@ def q_host_graph(spark, sf_dir):
     )
 
 
+@_register(
+    "q_corpus_clean",
+    f"""
+    WITH h AS (
+      SELECT doc_id, text,
+             {{en}} AS h_en,
+             {{de}} AS h_de,
+             {{fr}} AS h_fr,
+             {{es}} AS h_es,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT
+               AS n_tokens
+      FROM documents),
+    langed AS (
+      SELECT doc_id, text, n_tokens,
+             CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                  WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                  WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                  ELSE 'de' END AS lang_pred
+      FROM h),
+    gated AS (
+      SELECT * FROM langed
+      WHERE lang_pred IN ('en','de','fr','es') AND n_tokens >= 20),
+    exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+    kept AS (SELECT g.* FROM gated g JOIN exact e USING (doc_id)),
+    sims AS (
+      SELECT doc_id, lang_pred, n_tokens, ({_SIMHASH_BITS_SQL})::BIGINT AS simhash
+      FROM (SELECT doc_id, lang_pred, n_tokens,
+                   list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             t -> t <> '')) AS toks
+            FROM kept)),
+    surv AS (SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_near_dups
+             FROM sims GROUP BY simhash)
+    SELECT s.doc_id, k.lang_pred, k.n_tokens, s.n_near_dups
+    FROM surv s JOIN sims k USING (doc_id)
+    """.format(
+        en=_LANG_HITS_SQL["en"], de=_LANG_HITS_SQL["de"],
+        fr=_LANG_HITS_SQL["fr"], es=_LANG_HITS_SQL["es"],
+    ),
+)
+def q_corpus_clean(spark, sf_dir):
+    """C4-style corpus cleanup (operators/dedup.clean_corpus): lang
+    gate + min-token quality gate + exact dedup + simhash near-dup
+    collapse, one composed pipeline — the LLM-training-data pass the
+    brief mandates, built from the four individually-oracled
+    primitives."""
+    from cloud_crawler_spark.operators.dedup import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 # multimodal plumbing (mapInPandas feature extraction). The stub
 # feature is md5-derived, so the WHOLE output — including the feature
 # values (as the sortable permille CSV, arrays are unhashable in

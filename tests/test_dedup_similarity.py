@@ -212,3 +212,37 @@ def test_dedup_clusters_singletons_and_canonicals(spark, docs):
     # the exact dup pair (0,1) must share a cluster rooted at 0
     assert by_id[0] == (0, 1)
     assert by_id[1][0] == 0 and by_id[1][1] == 0
+
+
+def test_clean_corpus_gates_and_collapses(spark):
+    """clean_corpus: lang gate drops 'und', token gate drops short
+    docs, exact dedup keeps min id, simhash collapses reordered
+    token sets (same distinct-token set => same simhash)."""
+    en = "the cat and the dog ran to the house of the man in the rain " \
+         "and it was wet for the day is long that it stays"   # >20 toks, en
+    rows = [
+        (0, en),                                   # survivor (en)
+        (1, en),                                   # exact dup of 0
+        (2, " ".join(reversed(en.split()))),       # same token set: near-dup
+        (3, "xyzzy plugh " * 15),                  # no stopwords -> 'und'
+        (4, "the and of to in is that it for"),    # en but < 20 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.clean_corpus(df).collect()}
+    assert set(out) == {0}, out
+    r = out[0]
+    assert r["lang_pred"] == "en"
+    assert r["n_tokens"] >= 20
+    # 0 survives exact dedup (1 collapsed first), then absorbs 2 in
+    # the simhash cluster: cluster size 2
+    assert r["n_near_dups"] == 2
+
+
+def test_clean_corpus_keeps_distinct_languages(spark):
+    en = "the cat and the dog went to the house of the man in the rain " \
+         "and it was wet for all the day it is that long"
+    de = "der hund und die katze in das haus mit von ist der mann war " \
+         "nicht im regen und die der das ein eine zu den"
+    df = spark.createDataFrame([(7, en), (8, de)], "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"] for r in DD.clean_corpus(df).collect()}
+    assert out == {7: "en", 8: "de"}
