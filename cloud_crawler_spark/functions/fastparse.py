@@ -46,16 +46,21 @@ _BAIL_RE = re.compile(r"<!|<\?|<[sS][cC][rR][iI][pP][tT]|<[sS][tT][yY][lL][eE]")
 # attr area is quote-aware ('>' inside quoted values does not end the
 # tag), matching locatestarttagend_tolerant's quoting rules.
 # Alternation branches are first-char disjoint within each position =>
-# linear scan, no backtracking blowup. Anything this regex skips
-# leaves its '<' in a text span, which triggers the bail check.
+# linear scan, no backtracking blowup. The name quantifier is
+# POSSESSIVE (*+): the stdlib name is always the maximal run of
+# name-charset chars, so a backtrackable name could split name/attrs
+# at a quote where the stdlib would not (e.g. <base"'<a href=x>) and
+# silently re-attribute attrs to a different tag — possessive makes
+# such inputs fail the tag match and bail instead. Anything this regex
+# skips leaves its '<' in a text span, which triggers the bail check.
 # Dispatch on m.lastindex: 1 = simple anchor, 2 = simple end tag,
 # 3..5 = general (group 5, the attr area, matches even when empty, so
 # lastindex is always 5 there).
 _TAG_RE = re.compile(
     r"<(?:"
     r"[aA]\s+[hH][rR][eE][fF]\s*=\s*\"([^\"'<>&]*)\"\s*>"
-    r"|/([a-zA-Z][^\t\n\r\f />\x00]*)>"
-    r"|(/?)([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"|/([a-zA-Z][^\t\n\r\f />\x00]*+)>"
+    r"|(/?)([a-zA-Z][^\t\n\r\f />\x00]*+)"
     r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>"
     r")"
 )
@@ -147,8 +152,9 @@ def fast_parse(s: str):
             if base_href is None and has_href and href:
                 base_href = href
         elif tag == "title":
-            if not startend:  # <title/>: start+end cancel out
-                in_title = True
+            # <title/> fires start THEN end in stdlib: net state False
+            # even when a title was already open
+            in_title = not startend
     if pos < len(s):
         tail = s[pos:]
         if "<" in tail:

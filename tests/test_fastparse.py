@@ -73,6 +73,9 @@ ACCEPT_CASES = [
     '<a href="x"id=y>no space between attrs</a>',
     '<UL><LI>upper</LI></UL>',
     '<a href=\'sq&#39;uote\'>entity in single-quoted</a>',
+    # fuzz-found: <title/> INSIDE an open title fires start+end in the
+    # stdlib parser, so title mode must END (not "cancel out")
+    '<title>a<title/>b</title>c',
 ]
 
 BAIL_CASES = [
@@ -88,6 +91,10 @@ BAIL_CASES = [
     '</title foo="a>b">',
     '</ title>',
     '<![CDATA[x]]>',
+    # fuzz-found: a backtrackable name could split name/attrs at the
+    # quote (stdlib's tag name here is `base"'<a`, not `base`) and
+    # steal href= for <base>; the possessive name makes this bail
+    '<base"\'<a href=</">/>"/<title>"!',
 ]
 
 
@@ -190,3 +197,35 @@ def test_env_escape_hatch(monkeypatch):
     monkeypatch.setattr(parse_mod, "_FAST_PARSE_OFF", True)
     r = parse_page('<a href="x">l</a>')
     assert r["links"] == ["x"]
+
+
+# ------------------------------------------------------------ hypothesis
+# Property: for ANY input string, parse_page(fast) == parse_page(stdlib).
+# fast_parse may bail (fallback makes them trivially equal), so the
+# meaningful signal is the accept-path equality; the generator mixes
+# tag-ish fragments, quotes, entities, and raw unicode to maximize
+# accepted-but-tricky documents.
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _tagish = st.sampled_from(
+        ["<a href=", "<a href=\"", "'", "\"", ">", "</a>", "<p ", "<base href=",
+         "<title>", "</title>", "<br/>", "/>", "=", " ", "&amp;", "&", "&#65;",
+         "&lt", ";", "x", "<", "hre", "f", "<div", "</div >", "<A HREF=\"u\">"]
+    )
+    _doc = st.lists(
+        st.one_of(_tagish, st.text(max_size=8)), max_size=30
+    ).map("".join)
+
+    @given(_doc)
+    @settings(max_examples=300, deadline=None)
+    def test_hypothesis_fast_matches_stdlib(doc):
+        f = fast_parse(doc)
+        if f is not None:
+            links, base, tp, xp = f
+            assert (links, base, "".join(tp), "".join(xp)) == stdlib_parse(doc)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
