@@ -219,11 +219,12 @@ def _expand_links(
         F.col("host").alias("_page_host"),
         F.col("depth").alias("_page_depth"),
         F.col("rank").alias("_page_rank"),
-        F.explode("links").alias("_l"),
+        F.posexplode("links").alias("_lpos", "_l"),
     )
     # links were absolutized + canonicalized page-side inside the fused
     # parse UDF (functions/parse.py parse_resolve_udf) — no second
-    # Python stage over the exploded (much larger) link set. F9
+    # Python stage over the exploded (much larger) link set; element
+    # order is document order, so posexplode's index IS link_pos. F9
     # empty/nil hrefs never leave the parser; unresolvable hrefs
     # surface as canon_url NULL and drop here.
     links = parents.select(
@@ -233,7 +234,7 @@ def _expand_links(
         F.col("_l.canon_url").alias("canon_url"),
         F.col("_l.host").alias("host"),
         F.col("_l.path").alias("path"),
-        F.col("_l.pos").alias("link_pos"),
+        F.col("_lpos").cast("int").alias("link_pos"),
     ).where(F.col("canon_url").isNotNull())
     # F4 in_domain? (dsl_core.rb:246-252)
     same = F.col("host") == F.col("_page_host")
