@@ -33,7 +33,18 @@ from __future__ import annotations
 
 import re
 from html import unescape
-from html.parser import attrfind_tolerant, tagfind_tolerant
+# The fast path leans on two undocumented CPython html.parser
+# internals and on possessive quantifiers (3.11+). Either may vanish
+# in a CPython upgrade — degrade to the stdlib parser (fast_parse
+# returns None) instead of breaking the whole parse import.
+try:
+    from html.parser import attrfind_tolerant, tagfind_tolerant
+
+    re.compile(r"a*+")  # possessive quantifiers need 3.11+
+    _FAST_AVAILABLE = True
+except (ImportError, re.error):  # pragma: no cover — version-dependent
+    attrfind_tolerant = tagfind_tolerant = None
+    _FAST_AVAILABLE = False
 
 # comments/decls/PIs/CDATA and script/style content-mode: bail fast
 _BAIL_RE = re.compile(r"<!|<\?|<[sS][cC][rR][iI][pP][tT]|<[sS][tT][yY][lL][eE]")
@@ -56,13 +67,17 @@ _BAIL_RE = re.compile(r"<!|<\?|<[sS][cC][rR][iI][pP][tT]|<[sS][tT][yY][lL][eE]")
 # Dispatch on m.lastindex: 1 = simple anchor, 2 = simple end tag,
 # 3..5 = general (group 5, the attr area, matches even when empty, so
 # lastindex is always 5 there).
-_TAG_RE = re.compile(
-    r"<(?:"
-    r"[aA]\s+[hH][rR][eE][fF]\s*=\s*\"([^\"'<>&]*)\"\s*>"
-    r"|/([a-zA-Z][^\t\n\r\f />\x00]*+)>"
-    r"|(/?)([a-zA-Z][^\t\n\r\f />\x00]*+)"
-    r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>"
-    r")"
+_TAG_RE = (
+    re.compile(
+        r"<(?:"
+        r"[aA]\s+[hH][rR][eE][fF]\s*=\s*\"([^\"'<>&]*)\"\s*>"
+        r"|/([a-zA-Z][^\t\n\r\f />\x00]*+)>"
+        r"|(/?)([a-zA-Z][^\t\n\r\f />\x00]*+)"
+        r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>"
+        r")"
+    )
+    if _FAST_AVAILABLE
+    else None
 )
 
 
@@ -70,7 +85,7 @@ def fast_parse(s: str):
     """Tokenize `s`; return (links, base_href, title_parts, text_parts)
     exactly as _PageParser would produce them, or None to request the
     stdlib fallback."""
-    if _BAIL_RE.search(s):
+    if not _FAST_AVAILABLE or _BAIL_RE.search(s):
         return None
     links: list[str] = []
     base_href: str | None = None

@@ -56,9 +56,41 @@ def _fake_feature(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return (np.array(pm[:dim], dtype=np.float32) / np.float32(1000.0)).tolist()
 
 
-def extract_features(media: DataFrame, decode_stub: bool = True,
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _real_feature_pm(data: bytes, dim: int = FEATURE_DIM):
+    """Real image decode via PIL: grayscale-resize to `dim` pixels,
+    permille intensities. Returns None on undecodable bytes (the row
+    is kept with feature NULL — decode failures must not kill the
+    pipeline at scale). Audio/video would need pyav; they also yield
+    NULL features on the real path."""
+    import io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(data or b"")).convert("L").resize((dim, 1))
+        return [int(p * 1000 / 255) for p in img.getdata()]
+    except Exception:  # noqa: BLE001 — corrupt media is data, not a bug
+        return None
+
+
+def extract_features(media: DataFrame, decode_stub=True,
                      dim: int = FEATURE_DIM) -> DataFrame:
     """mapInPandas feature extraction over media bytes.
+
+    decode_stub: True = deterministic fake features (no media libs
+    needed); False = REAL decode (PIL for images; raises
+    NotImplementedError when PIL is absent); "auto" = real when PIL is
+    importable, else the stub — keeps a lib-less sandbox green while
+    making the operator real on any normal cluster.
 
     Batch shape: the iterator yields pandas DataFrames of whole Arrow
     record batches; each batch is processed vectorized. At cluster
@@ -70,14 +102,20 @@ def extract_features(media: DataFrame, decode_stub: bool = True,
     columns are unhashable in pandas-side canonical sorts, so any
     harness that sorts rows should project feature_csv instead.
     """
+    if decode_stub == "auto":
+        decode_stub = not _pil_available()
+    if not decode_stub and not _pil_available():
+        raise NotImplementedError(
+            "real media decode requires PIL — install it or pass "
+            "decode_stub=True/'auto'"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/pyav — plug in here"
-                )
-            pms = pdf["bytes"].map(_fake_feature_pm)
+            if decode_stub:
+                pms = pdf["bytes"].map(_fake_feature_pm)
+            else:
+                pms = pdf["bytes"].map(lambda b: _real_feature_pm(b, dim))
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -89,8 +127,12 @@ def extract_features(media: DataFrame, decode_stub: bool = True,
                     "feature": pms.map(
                         lambda pm: (np.array(pm[:dim], dtype=np.float32)
                                     / np.float32(1000.0)).tolist()
+                        if pm is not None else None
                     ),
-                    "feature_csv": pms.map(lambda pm: ",".join(map(str, pm[:dim]))),
+                    "feature_csv": pms.map(
+                        lambda pm: ",".join(map(str, pm[:dim]))
+                        if pm is not None else None
+                    ),
                 }
             )
             yield out

@@ -228,6 +228,7 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
@@ -252,6 +253,18 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # surfacing this matters: a silently unconverged run would
+        # label one component as several (duplicates kept) with no signal
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; components wider than the iteration budget are "
+            "split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -8,12 +8,14 @@ round-trips with coercions: ``to_i`` on code/depth/response_time (Ruby
 ``nil.to_i == 0``), redirect_to back to nil when empty.
 
 Our crawled table carries every to_hash field natively except:
-* ``headers`` — reconstructed as {'content-type': [content_type]}, the
-  one header the reference's gates consume (page.rb:66-67 defaults
-  headers['content-type'] to ['']; full response-header capture is a
-  live-fetch concern recorded as a non-goal in README).
 * ``data`` — the reference's schemaless user OpenStruct; emitted as an
   empty map (user state lives in real columns here).
+
+``headers`` is the crawled table's map<string,array<string>> column —
+the full Net::HTTPResponse#to_hash capture on live fetches
+(sources/http_fetch.FetchResponse.headers), the 1-key
+{'content-type': [...]} reconstruction on corpus fetches (page.rb:66-67
+defaults headers['content-type'] to ['']).
 """
 
 from __future__ import annotations
@@ -30,10 +32,19 @@ TO_HASH_FIELDS = [
 def to_hash_df(crawled: DataFrame) -> DataFrame:
     """Project a crawled DataFrame onto the reference's to_hash shape
     (one column per to_hash key, exact names, nil-to_s semantics)."""
+    headers_col = (
+        F.col("headers")
+        if "headers" in crawled.columns
+        else F.lit(None).cast("map<string,array<string>>")
+    )
     return crawled.select(
         F.col("url"),
-        F.create_map(
-            F.lit("content-type"), F.array(F.coalesce(F.col("content_type"), F.lit("")))
+        F.coalesce(
+            headers_col,
+            F.create_map(
+                F.lit("content-type"),
+                F.array(F.coalesce(F.col("content_type"), F.lit(""))),
+            ),
         ).alias("headers"),
         F.create_map().cast("map<string,string>").alias("data"),
         F.col("html").cast("string").alias("body"),
@@ -54,9 +65,14 @@ def page_to_hash(row) -> dict:
     body = d.get("html")
     if isinstance(body, (bytes, bytearray)):
         body = bytes(body).decode("utf-8", errors="ignore")
+    headers = d.get("headers")
+    if headers is not None:
+        headers = {k: list(v) for k, v in dict(headers).items()}
+    else:
+        headers = {"content-type": [d.get("content_type") or ""]}
     return {
         "url": d.get("url") or "",
-        "headers": {"content-type": [d.get("content_type") or ""]},
+        "headers": headers,
         "data": {},
         "body": body,
         "links": list(d.get("links") or []),

@@ -45,7 +45,7 @@ from cloud_crawler_spark.sources.corpus import Corpus
 CRAWLED_COLS = [
     "url", "canon_url", "host", "code", "depth", "referer", "redirect_to",
     "fetched", "visited", "error", "response_time", "content_type",
-    "links", "title", "text", "html", "round", "rank",
+    "headers", "links", "title", "text", "html", "round", "rank",
     "parent_rank", "link_pos", "priority",
 ]
 
@@ -139,6 +139,12 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
             F.col("_p_html").alias("html"),
             F.col("_p_html").isNotNull().alias("fetched"),
             F.col("_p_ctype").alias("content_type"),
+            # corpus rows have no wire headers: the 1-key to_hash
+            # default (page.rb:66-67)
+            F.when(
+                F.col("_p_ctype").isNotNull(),
+                F.create_map(F.lit("content-type"), F.array(F.col("_p_ctype"))),
+            ).alias("headers"),
             F.lit(0).alias("response_time"),  # corpus join: no wire time (page.rb to_hash parity)
             F.lit(None).cast("string").alias("error"),
             F.lit(hop).alias("hop"),
@@ -158,6 +164,7 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
                     F.lit(None).cast("binary").alias("html"),
                     F.lit(True).alias("fetched"),
                     F.lit(None).cast("string").alias("content_type"),
+                    F.lit(None).cast("map<string,array<string>>").alias("headers"),
                     F.lit(0).alias("response_time"),
                     F.lit(None).cast("string").alias("error"),
                     F.lit(hop).alias("hop"),
@@ -173,6 +180,7 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
                     F.lit(None).cast("binary").alias("html"),
                     F.lit(True).alias("fetched"),
                     F.lit(None).cast("string").alias("content_type"),
+                    F.lit(None).cast("map<string,array<string>>").alias("headers"),
                     F.lit(0).alias("response_time"),
                     F.lit(None).cast("string").alias("error"),
                     F.lit(hop).alias("hop"),
@@ -397,11 +405,13 @@ def run_round(
         _tick(f"fetch-join only n={_n}")
     # F8 content-type gate (page.rb:185-195 html?): only HTML bodies
     # are parsed — a non-HTML row is stored but yields no links/text,
-    # so it is never expanded
+    # so it is never expanded. Case-folded + trimmed: live servers
+    # reply `Text/HTML` / ` text/html` and must still parse.
     gated = fetched.withColumn(
         "_html_in",
         F.when(
-            F.col("content_type").rlike(HTML_CONTENT_TYPES), F.col("html")
+            F.lower(F.trim(F.col("content_type"))).rlike(HTML_CONTENT_TYPES),
+            F.col("html"),
         ).otherwise(F.lit(None).cast("binary")),
     )
     parsed = with_parsed_resolved(gated, "_html_in", "url").drop("_html_in")
@@ -418,7 +428,7 @@ def run_round(
         # shortest_paths!); under BSP rounds every stored row was by
         # construction visited this crawl
         F.lit(True).alias("visited"),
-        "error", "response_time", "content_type",
+        "error", "response_time", "content_type", "headers",
         "hop", "links", "title",
         F.col("page_text").alias("text"),
         (F.lit(None).cast("binary") if config.discard_page else F.col("html")).alias("html"),

@@ -822,11 +822,16 @@ def q05_local_supplier_volume(spark, sf_dir):
 _CRAWL_DEPTH = 5
 
 
-def _synthetic_web_from_documents(spark, sf_dir):
+def _synthetic_web_from_documents(spark, sf_dir, keep_below: int | None = None):
     """Corpus of exactly the input_hint shape derived from `documents`:
-    page i links to (3i+1) mod N and (7i+3) mod N on one host."""
+    page i links to (3i+1) mod N and (7i+3) mod N on one host.
+    keep_below: keep only pages with doc_id < keep_below (links still
+    computed mod the FULL N — targets beyond the cut 404), modeling an
+    earlier crawl of the same site before a new WARC dump landed."""
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
+    if keep_below is not None:
+        docs = docs.where(F.col("doc_id") < keep_below)
     l1 = (F.col("doc_id") * 3 + 1) % n
     l2 = (F.col("doc_id") * 7 + 3) % n
     html = F.concat(
@@ -921,6 +926,62 @@ def q_shortest_paths(spark, sf_dir):
         F.col("depth").cast("long").alias("depth"),
         F.col("visited").cast("int").alias("visited"),
     )
+
+
+@_register(
+    "q_recurring_delta",
+    f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    hh AS (SELECT (SELECT n FROM nn) // 2 AS h),
+    links AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+    reach1(id, depth) AS (
+      SELECT 0::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach1 r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH} AND r.id < (SELECT h FROM hh)),
+    reach2(id, depth) AS (
+      SELECT 0::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach2 r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH})
+    SELECT 'http://ex.com/p' || id AS canon_url
+    FROM (SELECT DISTINCT id FROM reach2)
+    WHERE id NOT IN (SELECT id FROM reach1)
+    """,
+)
+def q_recurring_delta(spark, sf_dir):
+    """S10 recurring source (driver.rb:214-226 queue.recur): run 1
+    crawls the site when only the first half of its pages exist (links
+    to the rest 404), run 2 re-crawls after the full dump landed; the
+    result is run 2's DELTA — canon_urls first seen in run 2. Oracle:
+    two recursive reachability CTEs (expansion gated on page existence
+    in run 1) differenced. Exercises recurring_crawl's cross-run seen
+    bookkeeping, not just one crawl."""
+    from cloud_crawler_spark import CrawlConfig
+    from cloud_crawler_spark.plans.crawler import recurring_crawl
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    n = _t(spark, sf_dir, "documents").count()
+    half = n // 2
+    loads = iter([half, None])  # run 1: half corpus; run 2: full
+
+    def loader():
+        return prepare_corpus(
+            _synthetic_web_from_documents(spark, sf_dir, keep_below=next(loads))
+        )
+
+    seeds = spark.createDataFrame(
+        [("http://ex.com/p0", 0.0)], "url string, priority double"
+    )
+    runs = recurring_crawl(
+        spark, loader, seeds, CrawlConfig(depth_limit=_CRAWL_DEPTH), n_runs=2
+    )
+    return runs[1][1].select("canon_url")
 
 
 # PageRank oracle: 3 power iterations UNROLLED as plain CTE levels

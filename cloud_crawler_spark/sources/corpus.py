@@ -72,34 +72,50 @@ def prepare_corpus(
     robots: DataFrame | None = None,
 ) -> Corpus:
     spark = pages.sparkSession
-    # the cached pages table is re-scanned by every round's fetch join;
-    # columnar-cache compression makes that scan ~13x slower on multi-KB
-    # html blobs (measured 10.6s -> 0.79s for a plain octet-length sum
-    # over the cached column) for ~2x memory saved. The cache is a hot
-    # working set, not cold storage — keep it uncompressed.
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     # optional content_type column (F8 gates, page.rb:185-195): an
     # HTML-only corpus omits it and every row is text/html
     if "content_type" not in pages.columns:
         pages = pages.withColumn("content_type", F.lit("text/html"))
-    p = (
-        with_canon(pages, "url")
-        .select(
-            "canon_url", "host", "url", "warc_ts", "html", "text", "lang",
-            "content_type",
+    # the cached pages table is re-scanned by every round's fetch join;
+    # columnar-cache compression makes that scan ~13x slower on multi-KB
+    # html blobs (measured 10.6s -> 0.79s for a plain octet-length sum
+    # over the cached column) for ~2x memory saved. The cache is a hot
+    # working set, not cold storage — keep it uncompressed. Scoped:
+    # set around cache registration + materialization only, then
+    # restored, so unrelated caches the caller builds later in the same
+    # session keep their configured compression.
+    ckey = "spark.sql.inMemoryColumnarStorage.compressed"
+    try:
+        old = spark.conf.get(ckey)
+    except Exception:  # noqa: BLE001 — unset: Spark default is "true"
+        old = "true"
+    spark.conf.set(ckey, "false")
+    try:
+        p = (
+            with_canon(pages, "url")
+            .select(
+                "canon_url", "host", "url", "warc_ts", "html", "text", "lang",
+                "content_type",
+            )
+            .dropDuplicates(["canon_url"])  # one fetchable body per canonical URL
+            .cache()  # probed by every round's fetch join — keep canon'd form hot
         )
-        .dropDuplicates(["canon_url"])  # one fetchable body per canonical URL
-        .cache()  # probed by every round's fetch join — keep canon'd form hot
-    )
-    if redirects is None:
-        redirects = spark.createDataFrame([], REDIRECTS_SCHEMA)
-    r = with_canon(redirects, "url").select("canon_url", "redirect_to", "code").cache()
-    # slim key cache for per-round miss detection (Corpus.keys): one
-    # string column in a handful of partitions instead of re-scanning
-    # the html-width cache — measured ~3s/round at local[8] and ~10s at
-    # local[2] on a 100k-page corpus, a pure fixed cost at every scale
-    kparts = max(p.rdd.getNumPartitions() // 8, 4)
-    page_keys = p.select("canon_url").coalesce(kparts).cache()
+        if redirects is None:
+            redirects = spark.createDataFrame([], REDIRECTS_SCHEMA)
+        r = with_canon(redirects, "url").select("canon_url", "redirect_to", "code").cache()
+        # slim key cache for per-round miss detection (Corpus.keys): one
+        # string column in a handful of partitions instead of re-scanning
+        # the html-width cache — measured ~3s/round at local[8] and ~10s at
+        # local[2] on a 100k-page corpus, a pure fixed cost at every scale
+        kparts = max(p.rdd.getNumPartitions() // 8, 4)
+        page_keys = p.select("canon_url").coalesce(kparts).cache()
+        # materialize inside the scope — the compression flag is read
+        # when the cached blocks are BUILT, not when .cache() registers
+        p.count()
+        page_keys.count()
+        r.count()
+    finally:
+        spark.conf.set(ckey, old)
     return Corpus(pages=p, redirects=r, robots=robots, page_keys=page_keys)
 
 

@@ -20,8 +20,9 @@ Re-expresses the reference's fetch substrate on Spark:
   does not exist anywhere and lands as code=404/fetched=false.
 
 The sandbox has no network, so the TRANSPORT is injectable: tests run
-an in-process fake (tests/test_http_fetch.py), and ``UrllibTransport``
-(per-partition opener reuse, no auto-redirect) is the real-world
+an in-process fake (tests/test_fetch_parity.py,
+tests/test_round3_features.py), and ``UrllibTransport`` (per-partition
+opener reuse, no auto-redirect, optional proxy) is the real-world
 default. Output schema matches the corpus fetch stage
 (plans/round._fetch) column-for-column, so
 
@@ -32,6 +33,7 @@ swaps the stage without touching the round pipeline.
 
 from __future__ import annotations
 
+import functools
 import time
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -53,6 +55,9 @@ FETCH_COLS = T.StructType(
         T.StructField("html", T.BinaryType()),
         T.StructField("fetched", T.BooleanType()),
         T.StructField("content_type", T.StringType()),
+        # full response headers, lowercased keys, multi-valued — the
+        # Net::HTTPResponse#to_hash shape page.rb:255-268 serializes
+        T.StructField("headers", T.MapType(T.StringType(), T.ArrayType(T.StringType()))),
         T.StructField("response_time", T.IntegerType()),
         T.StructField("error", T.StringType()),
         T.StructField("hop", T.IntegerType()),
@@ -72,15 +77,36 @@ class FetchResponse:
     redirect_to: Optional[str] = None  # Location header on 3xx
     response_time: int = 0             # milliseconds
     set_cookie: Optional[str] = None   # Set-Cookie header (http.rb:196)
+    # full response headers, lowercased keys -> value list (the
+    # Net::HTTPResponse#to_hash shape the reference stores whole,
+    # page.rb:255-268). None => reconstructed from content_type.
+    headers: Optional[dict] = None
+
+
+def _headers_to_hash(msg) -> dict:
+    """email.message.Message -> {lowercase_key: [values...]} — the
+    Net::HTTPResponse#to_hash shape (page.rb:255-268)."""
+    out: dict = {}
+    for k in msg.keys():
+        lk = k.lower()
+        if lk not in out:
+            out[lk] = msg.get_all(k) or []
+    return out
 
 
 class UrllibTransport:
     """Default real-network transport: one urllib opener per instance
     (instantiated once per partition => keep-alive/session reuse along
     the host-partitioned slice), redirects surfaced as FetchResponse
-    fields instead of being auto-followed (the crawl gate decides)."""
+    fields instead of being auto-followed (the crawl gate decides).
 
-    def __init__(self, timeout: float = 30.0, user_agent: str = "cloud-crawler-spark"):
+    ``timeout`` is the reference's ``:read_timeout`` knob and
+    ``proxy_host``/``proxy_port`` its ``:proxy_host``/``:proxy_port``
+    (dsl_front_end.rb:55-60); with no proxy configured, urllib's
+    default env-based proxy resolution applies."""
+
+    def __init__(self, timeout: float = 30.0, user_agent: str = "cloud-crawler-spark",
+                 proxy_host: Optional[str] = None, proxy_port: Optional[int] = None):
         import urllib.request
 
         class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -89,7 +115,13 @@ class UrllibTransport:
 
         self.timeout = timeout
         self.user_agent = user_agent
-        self.opener = urllib.request.build_opener(_NoRedirect())
+        handlers: list = [_NoRedirect()]
+        if proxy_host:
+            proxy = f"http://{proxy_host}:{proxy_port or 8080}"
+            handlers.append(
+                urllib.request.ProxyHandler({"http": proxy, "https": proxy})
+            )
+        self.opener = urllib.request.build_opener(*handlers)
 
     def __call__(self, url: str, referer: Optional[str],
                  headers: Optional[dict] = None) -> FetchResponse:
@@ -113,6 +145,7 @@ class UrllibTransport:
                 content_type=(resp.headers.get("Content-Type") or "").split(";")[0] or None,
                 response_time=ms,
                 set_cookie=resp.headers.get("Set-Cookie"),
+                headers=_headers_to_hash(resp.headers),
             )
         except urllib.error.HTTPError as e:  # non-2xx WITH a response
             ms = int((time.monotonic() - t0) * 1000)
@@ -123,6 +156,7 @@ class UrllibTransport:
                 redirect_to=e.headers.get("Location"),
                 response_time=ms,
                 set_cookie=e.headers.get("Set-Cookie"),
+                headers=_headers_to_hash(e.headers),
             )
 
 
@@ -170,6 +204,26 @@ class DictTransport:
         return resp
 
 
+class BasicAuthTransport:
+    """In-process 401/200 auth pair (spec/fakeweb_helper.rb:83-89): a
+    url in `site` serves 401 without an Authorization header and 200
+    (body echoes the header) with one. Lives in the package so Spark
+    python workers can unpickle it by reference."""
+
+    def __init__(self, site: dict):
+        self.site = site
+
+    def __call__(self, url: str, referer: Optional[str],
+                 headers: Optional[dict] = None) -> FetchResponse:
+        h = headers or {}
+        if url in self.site and not h.get("Authorization"):
+            return FetchResponse(code=401, body=b"denied", content_type="text/html")
+        if url in self.site:
+            body = f"<html>authed:{h['Authorization']}</html>".encode()
+            return FetchResponse(code=200, body=body, content_type="text/html")
+        return FetchResponse(code=404, body=b"nope", content_type="text/html")
+
+
 class FailingTransport:
     """Transport whose host is always down — every call raises."""
 
@@ -214,7 +268,20 @@ class HttpFetcher:
         accept_cookies: bool = False,           # opts_helper :accept_cookies
         user_agent: Optional[str] = None,       # opts_helper :user_agent
         agent_seed: Optional[int] = None,       # mozilla_agents.rb:33-54, seeded
+        credentials: Optional[dict] = None,     # host -> (user, pass); 401 => Basic retry
+        read_timeout: Optional[float] = None,   # dsl_front_end.rb :read_timeout
+        proxy_host: Optional[str] = None,       # dsl_front_end.rb :proxy_host
+        proxy_port: Optional[int] = None,       # dsl_front_end.rb :proxy_port
     ):
+        if transport_factory is UrllibTransport and (
+            read_timeout is not None or proxy_host
+        ):
+            transport_factory = functools.partial(
+                UrllibTransport,
+                timeout=read_timeout if read_timeout is not None else 30.0,
+                proxy_host=proxy_host,
+                proxy_port=proxy_port,
+            )
         self.transport_factory = transport_factory
         self.retries = retries
         self.delay = delay
@@ -223,6 +290,7 @@ class HttpFetcher:
         self.accept_cookies = accept_cookies
         self.user_agent = user_agent
         self.agent_seed = agent_seed
+        self.credentials = credentials
 
     def __call__(self, selected: DataFrame, config) -> DataFrame:
         in_schema = selected.schema
@@ -238,6 +306,7 @@ class HttpFetcher:
         accept_cookies = self.accept_cookies
         user_agent = self.user_agent
         agent_seed = self.agent_seed
+        credentials = self.credentials or {}
 
         def fetch_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from cloud_crawler_spark.functions.cookies import CookieStore, agent_for
@@ -267,6 +336,7 @@ class HttpFetcher:
                         _fetch_one(
                             transport, row, retries, redirect_limit, keep_redirects,
                             jar=jar, accept_cookies=accept_cookies, user_agent=ua,
+                            credentials=credentials.get(host),
                         )
                     )
                 # dtype=object: mixed int/None (error rows' code) must
@@ -293,7 +363,9 @@ def _attempt(transport, url: str, referer: Optional[str], retries: int,
     """get_response with retries (http.rb:205-216): any raise below the
     transport is retried up to `retries` times, then propagates."""
     last = None
-    for _ in range(max(1, retries)):
+    # http.rb:211-216: the INITIAL attempt plus `retries` retries
+    # (N+1 total attempts), not N attempts
+    for _ in range(1 + max(0, retries)):
         try:
             return transport(url, referer, headers)
         except Exception as e:  # noqa: BLE001 — reference rescues Exception
@@ -301,9 +373,21 @@ def _attempt(transport, url: str, referer: Optional[str], retries: int,
     raise last
 
 
+def _resp_headers(resp: FetchResponse) -> Optional[dict]:
+    """The stored headers map: the transport's full capture when it
+    provides one, else the 1-key reconstruction from content_type
+    (page.rb:66-67 default)."""
+    if resp.headers is not None:
+        return resp.headers
+    if resp.content_type is not None:
+        return {"content-type": [resp.content_type]}
+    return None
+
+
 def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
                keep_redirects: bool, jar=None, accept_cookies: bool = False,
-               user_agent: Optional[str] = None) -> list[dict]:
+               user_agent: Optional[str] = None,
+               credentials: Optional[tuple] = None) -> list[dict]:
     """Fetch one frontier row, following its redirect chain (≤ limit,
     same-host or relative only). Returns the stored page rows.
 
@@ -328,6 +412,16 @@ def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
     for hop in range(redirect_limit + 1):
         try:
             resp = _attempt(transport, cur["url"], referer, retries, _headers())
+            if resp.code == 401 and credentials:
+                # basic-auth retry (spec/fakeweb_helper.rb:83-89: the
+                # same URL serves 401 bare, 200 with credentials)
+                import base64
+
+                h = _headers() or {}
+                h["Authorization"] = "Basic " + base64.b64encode(
+                    f"{credentials[0]}:{credentials[1]}".encode()
+                ).decode()
+                resp = _attempt(transport, cur["url"], referer, retries, h)
         except Exception as e:  # noqa: BLE001
             out.append(
                 {
@@ -337,6 +431,7 @@ def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
                     "html": None,
                     "fetched": False,  # fetched = !code.nil? (page.rb:78)
                     "content_type": None,
+                    "headers": None,
                     "response_time": None,
                     "error": f"{type(e).__name__}: {e}",
                     "hop": hop,
@@ -357,6 +452,7 @@ def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
                     "html": resp.body,
                     "fetched": True,
                     "content_type": resp.content_type,
+                    "headers": _resp_headers(resp),
                     "response_time": resp.response_time,
                     "error": None,
                     "hop": hop,
@@ -375,6 +471,7 @@ def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
                     "html": None,
                     "fetched": True,
                     "content_type": resp.content_type,
+                    "headers": _resp_headers(resp),
                     "response_time": resp.response_time,
                     "error": None,
                     "hop": hop,

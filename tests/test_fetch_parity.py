@@ -104,10 +104,13 @@ class TestHttpFetcher:
         assert r["fetched"] is True and r["code"] == 200 and r["error"] is None
 
     def test_retries_exhausted_is_error_row(self, spark):
+        # http.rb:211-216: retries=3 means 1 initial + 3 retries = 4
+        # attempts; 4 failures exhaust it (3 would recover — see
+        # tests/test_round3_features.py::TestRetryParity)
         corpus = make_corpus(spark, {"0": {}})
         site = _site_from_graph({"0": {}})
         fetcher = HttpFetcher(
-            transport_factory=functools.partial(DictTransport, site, 3), retries=3
+            transport_factory=functools.partial(DictTransport, site, 4), retries=3
         )
         res = crawl(spark, corpus, make_seeds(spark, [_u("0")]),
                     CrawlConfig(fetcher=fetcher))
