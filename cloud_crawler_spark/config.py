@@ -23,9 +23,12 @@ class CrawlConfig:
       skip_query_strings, inside_domain, outside_domain,
       skip_link_patterns (skip_links_like), discard_page, job_limit,
       batch_size (MAX_BATCH_SIZE, batch_job.rb:46), delay (politeness).
-    Dropped (meaningless without live HTTP / Redis): user_agent, proxy,
-      cookies, accept_cookies, read_timeout, verbose, save_batch,
-      auto_increment, checkpoint (always on via the store).
+    Live-fetch knobs (user_agent, cookies, accept_cookies, proxy_host/
+      proxy_port, read_timeout, basic-auth credentials) live on
+      sources/http_fetch.HttpFetcher — they configure the transport,
+      not the plan, and are meaningless in corpus mode.
+    Dropped: verbose, save_batch, auto_increment, checkpoint (always
+      on via the store).
     """
 
     # ---- link gating (visit_link? chain, dsl_core.rb:216-230) ----

@@ -195,8 +195,12 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def _jaccard(a, b):
+    # both inputs are array_distinct'd at build (norm_tokens /
+    # char_shingles), so |A ∪ B| = |A| + |B| − |A ∩ B| — one set
+    # operation instead of two (array_union built a second hash set
+    # per row for a number the sizes already determine)
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -348,24 +352,35 @@ def simhash16(col):
 
     Bit j weight = sum over distinct tokens of +-1 depending on the
     j-th hex char of md5(token) (>= '8' => +1). Bit set iff weight > 0.
+
+    Shape: ONE md5 per token (the old form ran 16 separate aggregates,
+    each recomputing md5 per token — 16x the hashing for the same
+    result). A single aggregate folds each token's digest into a
+    16-wide weight array via zip_with; bit extraction is then pure
+    arithmetic over the final array. Same bits, same oracle.
     """
     toks = norm_tokens(col)
 
-    def _bit_weight(j: int):
-        # factory, not a default-arg lambda: F.aggregate's merge fn must
-        # take exactly (acc, element)
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), j + 1, 1).isin(*"89abcdef"), 1
-        ).otherwise(-1)
+    def _fold(acc, t):
+        m = F.md5(t)  # hashed once; 16 substr reads below share it
+        contrib = F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda j: F.when(
+                m.substr(j, F.lit(1)).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        return F.zip_with(acc, contrib, lambda a, c: a + c)
 
-    bits = []
-    for j in range(16):
-        w = F.aggregate(toks, F.lit(0), _bit_weight(j))
-        bits.append(F.when(w > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    weights = F.aggregate(toks, F.array_repeat(F.lit(0), 16), _fold)
+    powers = F.array(*[F.lit(1 << j) for j in range(16)])
+    return F.aggregate(
+        F.zip_with(
+            weights, powers,
+            lambda w, p: F.when(w > 0, p).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
