@@ -407,6 +407,18 @@ def main():
         hw_parse = round((parse_pre + parse_post) / 2, 3)
         hw_ceils.append(hw)
         parse_ceils.append(hw_parse)
+        if not runs[wb.cpus] or not runs[ws.cpus]:
+            # no qualifying run on one level (e.g. the small window
+            # closed before any big-level run finished inside it) —
+            # the pair carries no valid co-window contrast. Skip it
+            # rather than crash; the pair log keeps only completed
+            # pairs, so aggregates stay run-picking-free.
+            print(f"pair {i}: SKIPPED (no qualifying runs on one level: "
+                  f"big={len(runs[wb.cpus])}, small={len(runs[ws.cpus])})",
+                  flush=True)
+            hw_ceils.pop()
+            parse_ceils.pop()
+            continue
         sec_b, cores_b = min(runs[wb.cpus])
         sec_s, cores_s = min(runs[ws.cpus])
         big_runs.append(sec_b)
