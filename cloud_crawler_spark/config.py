@@ -34,6 +34,13 @@ class CrawlConfig:
     # ---- link gating (visit_link? chain, dsl_core.rb:216-230) ----
     depth_limit: Optional[int] = None          # None = unlimited (ref default false)
     obey_robots_txt: bool = True               # dsl_front_end.rb:42
+    # live robots.txt (Robotex parity, dsl_core.rb:237-241): fetch each
+    # newly-discovered host's robots.txt through the live fetcher's
+    # transport at link-expansion time and gate with the accumulated
+    # rules (operators/robots.fetch_robots). Requires `fetcher` with a
+    # transport_factory; opt-in so corpus-mode crawls (robots as a
+    # corpus dim table) and transport test doubles are unaffected.
+    live_robots: bool = False
     skip_query_strings: bool = False           # dsl_front_end.rb:53-54
     inside_domain: bool = True                 # follow same-host links (dsl_front_end.rb:62-65)
     outside_domain: bool = False               # follow off-host links

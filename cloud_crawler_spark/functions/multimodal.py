@@ -141,12 +141,22 @@ def extract_features(media: DataFrame, decode_stub=True,
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4,
-                  decode_stub: bool = True) -> DataFrame:
+                  decode_stub=True) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled frame.
 
     The stub slices the raw bytes at fixed offsets (deterministic); a
     real implementation decodes the container and samples keyframes.
+    decode_stub: True = stub; False = real (requires pyav, which no
+    environment here ships — raises); "auto" = real if pyav is
+    importable, else the stub.
     """
+    if decode_stub == "auto":
+        try:
+            import av  # noqa: F401
+
+            decode_stub = False
+        except ImportError:
+            decode_stub = True
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

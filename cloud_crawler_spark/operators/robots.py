@@ -71,6 +71,56 @@ def parse_robots_udf(bodies: pd.Series) -> pd.Series:
     )
 
 
+def fetch_robots(hosts: DataFrame, transport_factory,
+                 n_partitions: int | None = None,
+                 scheme: str = "http") -> DataFrame:
+    """Live robots.txt fetch: hosts(host) -> robots(host, body).
+
+    The live twin of the corpus `robots` table (reference: the Robotex
+    gem fetches each host's robots.txt on first use,
+    dsl_core.rb:237-241). Same transport contract as HttpFetcher (S6):
+    one transport instance per host-partition, so robots fetches share
+    the crawl's connection-locality model. Distributed end to end —
+    hosts stay a DataFrame, bodies never pass through the driver.
+
+    Semantics per host:
+      2xx  -> the served body (parsed by build_rules later);
+      other codes (incl. 404) -> NO row — a missing robots.txt allows
+        everything (Robotex behavior, and spec/crawl_job_spec.rb's
+        robots-less hosts crawl freely);
+      transport exception -> a synthetic disallow-all body — the
+        reference's `rescue -> false` (dsl_core.rb:240) turns a robots
+        FAILURE into "disallowed", and so do we.
+    """
+    out_schema = T.StructType(
+        [T.StructField("host", T.StringType()), T.StructField("body", T.StringType())]
+    )
+
+    def gen(pdfs):
+        transport = transport_factory()
+        for pdf in pdfs:
+            rows = []
+            for host in pdf["host"]:
+                if not host:
+                    continue
+                url = f"{scheme}://{host}/robots.txt"
+                try:
+                    resp = transport(url, None, None)
+                except Exception:  # noqa: BLE001 — rescue->false parity
+                    rows.append((host, "User-agent: *\nDisallow: /"))
+                    continue
+                if resp.code and 200 <= resp.code < 300 and resp.body is not None:
+                    body = resp.body
+                    if isinstance(body, (bytes, bytearray)):
+                        body = bytes(body).decode("utf-8", errors="ignore")
+                    rows.append((host, body))
+            yield pd.DataFrame(rows, columns=["host", "body"])
+
+    h = hosts.select("host").distinct()
+    h = h.repartition(n_partitions, "host") if n_partitions else h.repartition("host")
+    return h.mapInPandas(gen, out_schema)
+
+
 def build_rules(spark, robots_df: DataFrame | None) -> DataFrame:
     """robots(host, body) -> rules(host, prefix, allow, prefix_len).
 

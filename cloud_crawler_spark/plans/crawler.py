@@ -87,6 +87,54 @@ class Crawler:
         self.robots_broadcast = (
             self.robots_rules is not None and self.robots_rules.count() <= 2_000_000
         )
+        # live robots (Robotex parity, dsl_core.rb:237-241): fetch each
+        # newly-discovered host's robots.txt through the live fetcher's
+        # transport, accumulated across rounds (fetch-once-per-host)
+        self._live_robots = bool(
+            self.config.live_robots
+            and self.config.obey_robots_txt
+            and self.config.fetcher is not None
+            and getattr(self.config.fetcher, "transport_factory", None) is not None
+        )
+        if self.config.live_robots and not self._live_robots:
+            raise ValueError(
+                "live_robots requires obey_robots_txt and a fetcher "
+                "with a transport_factory (sources/http_fetch.HttpFetcher)"
+            )
+        self._robots_hosts = spark.createDataFrame([], "host string")
+
+    def _refresh_robots(self, links: DataFrame):
+        """Fetch robots.txt for hosts in `links` not yet covered; fold
+        their rules into the accumulated table. Fully distributed: the
+        new-host set is an anti-join, bodies are fetched and parsed
+        executor-side, and the growing rules table is checkpointed so
+        the per-round plan stays flat."""
+        new_hosts = (
+            links.select("host").distinct()
+            .join(self._robots_hosts, "host", "left_anti")
+            .cache()
+        )
+        try:
+            if not new_hosts.isEmpty():
+                bodies = robots_ops.fetch_robots(
+                    new_hosts, self.config.fetcher.transport_factory
+                )
+                new_rules = robots_ops.build_rules(self.spark, bodies)
+                base = self.robots_rules
+                merged = (
+                    new_rules if base is None else base.unionByName(new_rules)
+                ).localCheckpoint(eager=True)
+                self.robots_rules = None if merged.isEmpty() else merged
+                self._robots_hosts = self._robots_hosts.unionByName(
+                    new_hosts.select("host")
+                ).localCheckpoint(eager=True)
+                self.robots_broadcast = (
+                    self.robots_rules is not None
+                    and self.robots_rules.count() <= 2_000_000
+                )
+        finally:
+            new_hosts.unpersist()
+        return self.robots_rules, self.robots_broadcast
 
     # ------------------------------------------------------------ run
     def run(
@@ -156,6 +204,7 @@ class Crawler:
                 expand=expand, dedup_gate=dedup_gate,
                 seen_nonempty=seen_nonempty,
                 robots_broadcast=self.robots_broadcast,
+                robots_refresh=self._refresh_robots if self._live_robots else None,
             )
             # run_round localCheckpoints the fetched+parsed block (plan
             # truncation at the round boundary — without it an iterative
@@ -257,7 +306,8 @@ def _empty_crawled_schema() -> str:
     return (
         "url string, canon_url string, host string, code int, depth int, "
         "referer string, redirect_to string, fetched boolean, visited boolean, "
-        "error string, response_time int, content_type string, hop int, "
+        "error string, response_time int, content_type string, "
+        "headers map<string,array<string>>, hop int, "
         "links array<string>, title string, text string, html binary, "
         "round int, rank long, parent_rank long, link_pos int, priority double"
     )

@@ -215,7 +215,7 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
 
 def _expand_links(
     crawled: DataFrame, corpus: Corpus, config: CrawlConfig, robots_rules: DataFrame,
-    robots_broadcast: bool = True,
+    robots_broadcast: bool = True, robots_refresh=None,
 ) -> DataFrame:
     """Extracted links -> gated, canonicalized child frontier rows."""
     parents = crawled.where(
@@ -256,7 +256,15 @@ def _expand_links(
     # F2 skip_query_strings (dsl_core.rb:269-271)
     if config.skip_query_strings:
         links = links.where(~F.col("path").contains("?"))
-    # F3 robots (broadcast rules; dsl_core.rb:237-241)
+    # F3 robots (broadcast rules; dsl_core.rb:237-241). In live mode
+    # (config.live_robots) the refresh hook first fetches robots.txt
+    # for any host in this round's candidate links not yet covered —
+    # the BSP analog of Robotex's fetch-on-first-use-per-host — and
+    # returns the accumulated (rules, broadcast?) to gate with. The
+    # links here derive from the round's checkpointed parse block, so
+    # the refresh's distinct-hosts probe is a cheap scan, not a reparse.
+    if config.obey_robots_txt and robots_refresh is not None:
+        robots_rules, robots_broadcast = robots_refresh(links)
     if config.obey_robots_txt and robots_rules is not None:
         links = robots_ops.filter_allowed(
             links, robots_rules, "host", "path", broadcast=robots_broadcast
@@ -309,6 +317,7 @@ def run_round(
     dedup_gate: bool = True,
     seen_nonempty: bool = True,
     robots_broadcast: bool = True,
+    robots_refresh=None,
 ) -> RoundResult:
     """Execute round `round_no`. `expand=False` = curl mode (C5):
     fetch-only, no link following; `dedup_gate=False` also skips the
@@ -447,7 +456,8 @@ def run_round(
 
     if expand:
         children = _expand_links(
-            crawled_ck, corpus, config, robots_rules, robots_broadcast=robots_broadcast
+            crawled_ck, corpus, config, robots_rules,
+            robots_broadcast=robots_broadcast, robots_refresh=robots_refresh,
         )
         # D2: drop children already seen, already stored this round, or
         # already pending (first discovery wins across rounds)
