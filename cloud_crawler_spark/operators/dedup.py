@@ -318,7 +318,11 @@ def char_shingles(col, n: int = 3):
 def ngram_jaccard_consecutive(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Character n-gram shingle Jaccard between consecutive doc ids."""
-    grams = df.select(F.col(id_col), char_shingles(F.col(text_col), n).alias("g"))
+    # cache: the self-join below references this frame on BOTH sides
+    # with different join keys (no exchange reuse), so without the
+    # cache every document's shingle set is built twice — measured
+    # ~2x the query's kernel cost at sf0.1
+    grams = df.select(F.col(id_col), char_shingles(F.col(text_col), n).alias("g")).cache()
     a = grams.select(F.col(id_col).alias("doc_a"), F.col("g").alias("g_a"))
     b = grams.select((F.col(id_col) - 1).alias("doc_a"), F.col("g").alias("g_b"),
                      F.col(id_col).alias("doc_b"))
@@ -333,7 +337,9 @@ def token_jaccard_consecutive(df: DataFrame, text_col: str = "text",
     """Token-set Jaccard between consecutive doc ids (a cheap, fully
     SQL-expressible near-dup screen used as the oracle-checked slice of
     the n-gram/Jaccard machinery)."""
-    toks = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("toks"))
+    # same self-join shape as ngram_jaccard_consecutive: cache so the
+    # tokenization runs once, not once per join side
+    toks = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("toks")).cache()
     a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select((F.col(id_col) - 1).alias("doc_a"), F.col("toks").alias("toks_b"),
                     F.col(id_col).alias("doc_b"))
@@ -387,7 +393,9 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 2) -> DataFrame:
     """SimHash near-dup: bucket by simhash value (exact match) plus
     verify Hamming distance for half-key collisions."""
-    sh = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    # cache: referenced as FOUR join sides below (lo/hi bands x a/b) —
+    # without it every document's simhash evaluates four times
+    sh = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash")).cache()
     # two half-keys: near-dups within hamming<=2 share at least one half
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
                   (F.col("simhash") % 256).alias("half"))
