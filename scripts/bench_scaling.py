@@ -606,6 +606,22 @@ samples a different window than a minutes-long crawl, so this is a
 context diagnostic, not the headline."""
 
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
+    # Hand-written analysis sections (phase decomposition follow-ups,
+    # round notes) live below this marker in the existing file and are
+    # preserved verbatim across regenerations.
+    notes_marker = "<!-- MANUAL NOTES below: preserved across harness runs -->"
+    manual_notes = ""
+    try:
+        with open(out_md) as f:
+            prev = f.read()
+        if notes_marker in prev:
+            manual_notes = prev.split(notes_marker, 1)[1]
+        elif "## Round-3 notes" in prev:
+            # legacy file without the marker: keep the notes section
+            manual_notes = "\n## Round-3 notes" + prev.split(
+                "## Round-3 notes", 1)[1]
+    except OSError:
+        pass
     with open(out_md, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured crawl throughput & scaling
 
@@ -716,7 +732,8 @@ multi-executor scaling additionally pays network shuffle but gains
 independent memory/IO lanes. The crawl's per-round driver barrier is
 the main serial fraction; it amortizes with round size (Gustafson
 scaling) — the hot-host budget + salting keeps round sizes balanced.
-""")
+
+{notes_marker}{manual_notes}""")
     print(json.dumps({
         f"rate{n_small}": rate_s, f"rate{n_big}": rate_b, "efficiency": eff,
         "pair_effs": pair_effs, "effective_core_effs": eff_effs,
