@@ -45,6 +45,10 @@ class CrawlConfig:
     inside_domain: bool = True                 # follow same-host links (dsl_front_end.rb:62-65)
     outside_domain: bool = False               # follow off-host links
     skip_link_patterns: Sequence[str] = field(default_factory=tuple)  # skip_links_like
+    link_selector: Optional[str] = None        # select_links_by (page.rb:123-136) wired to
+                                               # frontier expansion like focus_crawl
+                                               # (dsl_core.rb:195, examples/link_selector.rb):
+                                               # XPath //div[@id='m']//a[@href] or CSS div.cls a
 
     # ---- redirects (http.rb) ----
     redirect_limit: int = 5                    # REDIRECT_LIMIT, http.rb:35

@@ -41,96 +41,235 @@ _VOID = frozenset(
 
 _TAG_NAME_OK = re.compile(r"^(\*|[a-zA-Z][a-zA-Z0-9_-]*)$")
 
+# XPath attribute predicate: @name, @name='v', @name="v"
+_XPATH_PRED = re.compile(
+    r"^@([a-zA-Z][a-zA-Z0-9_:-]*)"
+    r"(?:\s*=\s*(?:'([^']*)'|\"([^\"]*)\"))?$"
+)
+# CSS compound-selector suffixes: .cls, #id, [attr], [attr=v] (v
+# optionally quoted)
+_CSS_PART = re.compile(r"([.#][A-Za-z0-9_-]+|\[[^\]]*\])")
+_CSS_ATTR = re.compile(
+    r"^([a-zA-Z][a-zA-Z0-9_:-]*)"
+    r"(?:\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|([^'\"\]]*)))?$"
+)
 
-def _step_tag(token: str, expr: str) -> str:
-    """One step token -> tag name. The ONLY predicate this subset
-    supports is ``[@href]`` (href-bearing <a> is what link extraction
-    collects anyway); anything else — ``[@class=...]``, positional
-    ``[1]``, CSS ``.cls``/``#id`` — raises instead of silently
-    over-matching (round-2 VERDICT 'What's wrong' #1)."""
+# A predicate is (attr_name, op, value) with op:
+#   'has'   — attribute present (XPath [@name], CSS [name])
+#   'eq'    — attribute == value, whole string (XPath [@name='v'],
+#             CSS [name=v], CSS #id)
+#   'token' — value is a whitespace-separated token of the attribute
+#             (CSS .cls semantics on @class)
+
+
+def _parse_step(token: str, expr: str) -> tuple[str, tuple]:
+    """One XPath step token -> (tag, predicates). Supported predicates:
+    ``[@name]`` (presence) and ``[@name='v']`` / ``[@name="v"]``
+    (whole-string equality, Nokogiri/libxml2 semantics). Anything
+    else — positional ``[1]``, functions like ``contains()`` — raises
+    instead of silently over-matching (round-2 VERDICT)."""
     tok = token.strip()
-    if "[" in tok:
-        tag, _, pred = tok.partition("[")
-        if pred.rstrip() != "@href]":
+    preds: list[tuple] = []
+    while "[" in tok:
+        if not tok.endswith("]"):
             raise ValueError(
-                f"unsupported selector predicate {token!r} in {expr!r}: "
-                "only [@href] is supported"
+                f"malformed selector predicate {token!r} in {expr!r}"
             )
-        tok = tag.strip()
+        tok, _, pred = tok.rpartition("[")
+        m = _XPATH_PRED.match(pred[:-1].strip())
+        if not m:
+            raise ValueError(
+                f"unsupported selector predicate [{pred[:-1]}] in {expr!r}: "
+                "only [@attr] and [@attr='value'] are supported"
+            )
+        name, v1, v2 = m.groups()
+        val = v1 if v1 is not None else v2
+        preds.append((name, "has" if val is None else "eq", val))
+        tok = tok.strip()
     tag = tok or "*"
     if not _TAG_NAME_OK.match(tag):
         raise ValueError(
             f"unsupported selector step {token!r} in {expr!r}: "
-            "only plain tag names, '*', and [@href] are supported"
+            "only plain tag names, '*', [@attr] and [@attr='value'] "
+            "are supported"
         )
-    return tag
+    return tag, tuple(reversed(preds))
 
 
-def parse_selector(expr: str) -> list[tuple[str, bool]]:
+def _parse_css_compound(token: str, expr: str) -> tuple[str, tuple]:
+    """One CSS compound selector -> (tag, predicates). Supported:
+    ``tag``, ``.cls`` (token membership in @class), ``#id`` (@id
+    equality), ``[attr]``, ``[attr=v]`` (quoted or bare value), in any
+    combination (``div.cls#id[data-x='1']``). Pseudo-classes and
+    combinator-free descendant syntax beyond these raise."""
+    tok = token.strip()
+    first = len(tok)
+    for ch in ".#[":
+        i = tok.find(ch)
+        if i != -1:
+            first = min(first, i)
+    tag = tok[:first] or "*"
+    if not _TAG_NAME_OK.match(tag):
+        raise ValueError(
+            f"unsupported selector step {token!r} in {expr!r}: "
+            "only tag names, '*', .class, #id, [attr], [attr=value] "
+            "are supported"
+        )
+    rest = tok[first:]
+    preds: list[tuple] = []
+    consumed = 0
+    for m in _CSS_PART.finditer(rest):
+        if m.start() != consumed:
+            break
+        part = m.group(1)
+        consumed = m.end()
+        if part.startswith("."):
+            preds.append(("class", "token", part[1:]))
+        elif part.startswith("#"):
+            preds.append(("id", "eq", part[1:]))
+        else:  # [attr] / [attr=v]
+            am = _CSS_ATTR.match(part[1:-1].strip())
+            if not am:
+                raise ValueError(
+                    f"unsupported attribute selector {part!r} in {expr!r}"
+                )
+            name, v1, v2, v3 = am.groups()
+            if v1 is None and v2 is None and v3 is None:
+                preds.append((name, "has", None))
+            else:
+                val = v1 if v1 is not None else (v2 if v2 is not None else v3.strip())
+                preds.append((name, "eq", val))
+    if consumed != len(rest):
+        raise ValueError(
+            f"unsupported selector step {token!r} in {expr!r}: "
+            "only tag names, '*', .class, #id, [attr], [attr=value] "
+            "are supported"
+        )
+    return tag, tuple(preds)
+
+
+def parse_selector(expr: str) -> list[tuple[str, bool, tuple]]:
     """Compile a link-selection expression (P3, page.rb:123-136
-    select_links_by) to ancestor-path steps [(tag, direct_child)].
+    select_links_by) to ancestor-path steps
+    ``[(tag, direct_child, predicates)]``.
 
     Supported subset — covers the reference's DSL usage
     (examples/count_listings.rb:30-34 "//h4/a[@href]"):
       XPath: //t1/t2/a[@href], //t1//a, leading // or /, '*' wildcard,
-             the [@href] predicate (others REJECTED with ValueError)
-      CSS:   "t1 a" (descendant), "t1 > a" (direct child)
+             [@attr] presence and [@attr='value'] whole-string equality
+             predicates (positional [1] / functions REJECTED with
+             ValueError)
+      CSS:   "t1 a" (descendant), "t1 > a" (direct child), ".cls"
+             (class-token membership), "#id", "[attr]", "[attr=value]"
     Matching is EXACT (dynamic program over the open-element stack in
     _match_steps) — '//' gaps of any width and '/' direct steps both
     match precisely, no greedy approximation.
     """
     expr = expr.strip()
-    steps: list[tuple[str, bool]] = []
+    steps: list[tuple[str, bool, tuple]] = []
     if expr.startswith("/"):
-        parts = expr.split("/")
+        # '[' may contain '/' only in attribute values — split on '/'
+        # outside brackets
+        parts: list[str] = []
+        depth = 0
+        cur = ""
+        for ch in expr:
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth = max(depth - 1, 0)
+            if ch == "/" and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        parts.append(cur)
         # '' gaps mark descendant ('//') steps: ['', '', 'h4', 'a']
         direct = False
         for p in parts:
             if p == "":
                 direct = False  # a // separator
                 continue
-            steps.append((_step_tag(p, expr), direct))
+            tag, preds = _parse_step(p, expr)
+            steps.append((tag, direct, preds))
             direct = True  # single '/' between named steps
         if steps:
-            steps[0] = (steps[0][0], False)  # leading // or / anchors nowhere
+            steps[0] = (steps[0][0], False, steps[0][2])  # leading // or / anchors nowhere
     else:
         direct_next = False
         for tok in expr.split():
             if tok == ">":
                 direct_next = True
                 continue
-            steps.append((_step_tag(tok, expr), direct_next))
+            tag, preds = _parse_css_compound(tok, expr)
+            steps.append((tag, direct_next, preds))
             direct_next = False
         if steps:
-            steps[0] = (steps[0][0], False)
+            steps[0] = (steps[0][0], False, steps[0][2])
     if not steps or steps[-1][0] not in ("a", "*"):
-        steps.append(("a", False))
+        steps.append(("a", False, ()))
     return steps
 
 
-def _match_steps(stack: list[str], steps: list[tuple[str, bool]]) -> bool:
+def selector_needs_attrs(steps: list[tuple[str, bool, tuple]]) -> bool:
+    """True when any step carries attribute predicates (the parser then
+    maintains a parallel attribute stack)."""
+    return any(preds for _, _, preds in steps)
+
+
+def _pred_ok(attrs: dict, preds: tuple) -> bool:
+    for name, op, val in preds:
+        if name not in attrs:
+            return False
+        v = attrs[name] or ""
+        if op == "eq":
+            if v != val:
+                return False
+        elif op == "token":
+            if val not in v.split():
+                return False
+        # 'has': presence is enough
+    return True
+
+
+def _match_steps(
+    stack: list[str],
+    steps: list[tuple[str, bool, tuple]],
+    attrs_stack: list[dict] | None = None,
+) -> bool:
     """EXACT match of selector steps against the open-element stack
     (stack[-1] is the <a> itself): positions p_0 < ... < p_{n-1} with
-    stack[p_k] == tag_k, p_{n-1} == len(stack)-1, and step k's direct
-    flag forcing p_k == p_{k-1}+1 ('/' between k-1 and k). Dynamic
+    stack[p_k] == tag_k, p_{n-1} == len(stack)-1, step k's direct
+    flag forcing p_k == p_{k-1}+1 ('/' between k-1 and k), and step
+    k's predicates satisfied by element p_k's attributes. Dynamic
     program, O(len(steps) * len(stack)) — no greedy approximation."""
     m = len(stack)
     if m == 0:
         return False
-    tag0 = steps[0][0]
-    prev = [tag0 == "*" or stack[i] == tag0 for i in range(m)]
+
+    def ok(i: int, tag: str, preds: tuple) -> bool:
+        if tag != "*" and stack[i] != tag:
+            return False
+        if preds:
+            if attrs_stack is None:
+                return False
+            return _pred_ok(attrs_stack[i], preds)
+        return True
+
+    tag0, _, preds0 = steps[0]
+    prev = [ok(i, tag0, preds0) for i in range(m)]
     for k in range(1, len(steps)):
-        tag, direct = steps[k]
+        tag, direct, preds = steps[k]
         cur = [False] * m
         if direct:
             for i in range(1, m):
-                if prev[i - 1] and (tag == "*" or stack[i] == tag):
+                if prev[i - 1] and ok(i, tag, preds):
                     cur[i] = True
         else:
             any_prev = False
             for i in range(1, m):
                 any_prev = any_prev or prev[i - 1]
-                if any_prev and (tag == "*" or stack[i] == tag):
+                if any_prev and ok(i, tag, preds):
                     cur[i] = True
         prev = cur
     return prev[m - 1]
@@ -148,16 +287,30 @@ class _PageParser(HTMLParser):
         self.text_parts: list[str] = []
         self._in_title = False
         self._stack: list[str] = []
-        # back-compat scope: 'h4' == selector [('h4',False),('a',False)]
+        # back-compat scope: 'h4' == selector [('h4',False,()),('a',False,())]
         self._steps = selector if selector is not None else (
-            [(within_tag, False), ("a", False)] if within_tag else None
+            [(within_tag, False, ()), ("a", False, ())] if within_tag else None
+        )
+        # parallel attribute stack, maintained only when some step has
+        # attribute predicates (keeps the predicate-free path allocation-
+        # free); pushes/pops mirror self._stack exactly
+        self._attrs: list[dict] | None = (
+            [] if self._steps and selector_needs_attrs(self._steps) else None
         )
 
     def handle_starttag(self, tag, attrs):
         if tag not in _VOID:
             self._stack.append(tag)
+            if self._attrs is not None:
+                d: dict = {}
+                for k, v in attrs:  # first occurrence wins (libxml2 parity)
+                    if k not in d:
+                        d[k] = v
+                self._attrs.append(d)
         if tag == "a":
-            if self._steps is None or _match_steps(self._stack, self._steps):
+            if self._steps is None or _match_steps(
+                self._stack, self._steps, self._attrs
+            ):
                 href = dict(attrs).get("href")
                 if href:  # skip nil/empty (page.rb:127-129)
                     self.links.append(href)
@@ -168,14 +321,19 @@ class _PageParser(HTMLParser):
         elif tag == "title":
             self._in_title = True
 
+    def _pop(self):
+        self._stack.pop()
+        if self._attrs is not None:
+            self._attrs.pop()
+
     def handle_endtag(self, tag):
         if self._stack and self._stack[-1] == tag:
-            self._stack.pop()
+            self._pop()
         elif tag in self._stack:
             while self._stack and self._stack[-1] != tag:
-                self._stack.pop()
+                self._pop()
             if self._stack:
-                self._stack.pop()
+                self._pop()
         if tag == "title":
             self._in_title = False
 
@@ -298,12 +456,13 @@ def make_scoped_links_udf(selector: str):
     """select_links_by equivalent (page.rb:123-136): restrict link
     extraction by an XPath/CSS selector expression — e.g.
     "//h4/a[@href]" (examples/count_listings.rb:30-34), "div a",
-    "ul > a" — or a bare enclosing tag name like 'h4'
+    "ul > a", "div.listing a", "//div[@id='m']//a" — or a bare
+    enclosing tag name like 'h4'
     (see parse_selector for the supported subset)."""
     steps = (
         parse_selector(selector)
-        if any(ch in selector for ch in "/> [")
-        else [(selector, False), ("a", False)]
+        if any(ch in selector for ch in "/> [.#")
+        else [(selector, False, ()), ("a", False, ())]
     )
 
     @pandas_udf(_LINKS_TYPE)
@@ -358,11 +517,26 @@ _PR_COLS = ["href", "abs_url", "canon_url", "host", "path",
             "base_href", "title", "text"]
 
 
-@pandas_udf(_PARSED_RESOLVED_TYPE)
-def parse_resolve_udf(html: pd.Series, page_urls: pd.Series) -> pd.DataFrame:
-    """FUSED hot-path UDF: parse (P1/P2/P5) + absolutize + canonicalize
-    + host + path (P4, canon.resolve_link) for every extracted link in
-    ONE Arrow round trip per page row.
+def make_parse_resolve_udf(selector: str | None = None):
+    """Build the fused parse+resolve UDF, optionally restricted to a
+    link selector (select_links_by semantics, page.rb:123-136, wired to
+    frontier expansion the way focus_crawl is at dsl_core.rb:195 —
+    examples/link_selector.rb). selector=None is the hot default:
+    all ``//a[@href]`` links (page.rb:116)."""
+    steps = parse_selector(selector) if selector else None
+
+    @pandas_udf(_PARSED_RESOLVED_TYPE)
+    def _parse_resolve_udf(html: pd.Series, page_urls: pd.Series) -> pd.DataFrame:
+        return _parse_resolve_batch(html, page_urls, steps)
+
+    return _parse_resolve_udf
+
+
+def _parse_resolve_batch(html: pd.Series, page_urls: pd.Series,
+                         steps=None) -> pd.DataFrame:
+    """FUSED hot-path kernel: parse (P1/P2/P5) + absolutize +
+    canonicalize + host + path (P4, canon.resolve_link) for every
+    extracted link in ONE Arrow round trip per page row.
 
     The unfused pipeline paid two Python stages per round — parse over
     page rows, then resolve over EXPLODED link rows (an order of
@@ -376,7 +550,7 @@ def parse_resolve_udf(html: pd.Series, page_urls: pd.Series) -> pd.DataFrame:
     hrefs, abss, canons, hosts, paths = [], [], [], [], []
     bases, titles, texts = [], [], []
     for h, purl in zip(html, page_urls):
-        r = parse_page(h)
+        r = parse_page(h, selector=steps)
         base = r["base_href"] if r["base_href"] else None
         links = r["links"]
         col_a: list = [None] * len(links)
@@ -406,12 +580,19 @@ def parse_resolve_udf(html: pd.Series, page_urls: pd.Series) -> pd.DataFrame:
     )
 
 
-def with_parsed_resolved(df, html_col: str = "html", url_col: str = "url"):
+# default (unscoped) instance — the crawl hot path
+parse_resolve_udf = make_parse_resolve_udf(None)
+
+
+def with_parsed_resolved(df, html_col: str = "html", url_col: str = "url",
+                         selector: str | None = None):
     """Attach parsed+resolved struct columns: links carry
     (href, abs_url, canon_url, host, path) per element — element order
-    is document order, so posexplode recovers link position."""
+    is document order, so posexplode recovers link position. selector
+    restricts extracted links (select_links_by, page.rb:123-136)."""
+    udf = parse_resolve_udf if selector is None else make_parse_resolve_udf(selector)
     return (
-        df.withColumn("_parsed", parse_resolve_udf(F.col(html_col), F.col(url_col)))
+        df.withColumn("_parsed", udf(F.col(html_col), F.col(url_col)))
         .withColumn(
             "links",
             F.arrays_zip(

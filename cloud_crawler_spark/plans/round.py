@@ -423,7 +423,9 @@ def run_round(
             F.col("html"),
         ).otherwise(F.lit(None).cast("binary")),
     )
-    parsed = with_parsed_resolved(gated, "_html_in", "url").drop("_html_in")
+    parsed = with_parsed_resolved(
+        gated, "_html_in", "url", selector=config.link_selector
+    ).drop("_html_in")
 
     # one materialization per round: fetch+parse lands in the local
     # checkpoint, plan truncated; link expansion and the stored output

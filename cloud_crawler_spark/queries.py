@@ -834,9 +834,12 @@ def _synthetic_web_from_documents(spark, sf_dir, keep_below: int | None = None):
         docs = docs.where(F.col("doc_id") < keep_below)
     l1 = (F.col("doc_id") * 3 + 1) % n
     l2 = (F.col("doc_id") * 7 + 3) % n
+    # the l1 edge is wrapped in <div class="nav">: invisible to the
+    # default crawl (text/links identical), but a link_selector like
+    # ".nav a" can restrict expansion to the l1 edges (q_link_selector)
     html = F.concat(
-        F.lit('<html><body><a href="/p'), l1.cast("string"),
-        F.lit('">a</a><a href="/p'), l2.cast("string"),
+        F.lit('<html><body><div class="nav"><a href="/p'), l1.cast("string"),
+        F.lit('">a</a></div><a href="/p'), l2.cast("string"),
         F.lit('">b</a></body></html>'),
     )
     pages = docs.select(
@@ -879,6 +882,41 @@ def q_crawl_bfs(spark, sf_dir):
     corpus = prepare_corpus(pages)
     seeds = spark.createDataFrame([("http://ex.com/p0", 0.0)], "url string, priority double")
     res = crawl(spark, corpus, seeds, CrawlConfig(depth_limit=_CRAWL_DEPTH))
+    return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
+
+
+@_register(
+    "q_link_selector",
+    f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst
+      FROM documents),
+    reach(id, depth) AS (
+      SELECT 0::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH})
+    SELECT 'http://ex.com/p' || id AS canon_url, min(depth)::BIGINT AS depth
+    FROM reach GROUP BY id
+    """,
+)
+def q_link_selector(spark, sf_dir):
+    """P3/DSL select_links_by wired as focus_crawl (page.rb:123-136,
+    dsl_core.rb:195): the corpus pages carry the 3i+1 edge inside
+    <div class="nav"> and the 7i+3 edge bare; crawling with
+    link_selector='.nav a' must reach exactly the single-edge BFS
+    closure (oracle: recursive CTE over the l1 edges only), proving
+    the selector gates frontier expansion, not just extraction."""
+    from cloud_crawler_spark import CrawlConfig, crawl
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    seeds = spark.createDataFrame([("http://ex.com/p0", 0.0)], "url string, priority double")
+    res = crawl(spark, corpus, seeds,
+                CrawlConfig(depth_limit=_CRAWL_DEPTH, link_selector=".nav a"))
     return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
 
 

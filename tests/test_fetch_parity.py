@@ -223,10 +223,12 @@ class TestSelectors:
     )
 
     def test_parse_selector_xpath(self):
-        assert parse_selector("//h4/a[@href]") == [("h4", False), ("a", True)]
-        assert parse_selector("//div//a") == [("div", False), ("a", False)]
+        assert parse_selector("//h4/a[@href]") == [
+            ("h4", False, ()), ("a", True, (("href", "has", None),))
+        ]
+        assert parse_selector("//div//a") == [("div", False, ()), ("a", False, ())]
         assert parse_selector("/html/body/h4/a") == [
-            ("html", False), ("body", True), ("h4", True), ("a", True)
+            ("html", False, ()), ("body", True, ()), ("h4", True, ()), ("a", True, ())
         ]
 
     def test_xpath_direct_child(self):

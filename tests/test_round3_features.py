@@ -235,29 +235,109 @@ class TestExactSelectors:
         steps = parse_selector("//h4/a[@href]")
         assert parse_page(html, selector=steps)["links"] == ["/in"]
 
-    def test_unsupported_attribute_predicate_rejected(self):
-        from cloud_crawler_spark.functions.parse import parse_selector
+    def test_xpath_attribute_equality_predicate(self):
+        from cloud_crawler_spark.functions.parse import parse_page, parse_selector
 
-        with pytest.raises(ValueError):
-            parse_selector("//div[@class='x']//p/a")
+        html = (
+            '<div class="x"><p><a href="/in">t</a></p></div>'
+            '<div class="y"><p><a href="/out">t</a></p></div>'
+        )
+        steps = parse_selector("//div[@class='x']//p/a")
+        assert parse_page(html, selector=steps)["links"] == ["/in"]
+        # XPath @class equality is WHOLE-string (libxml2 semantics)
+        html2 = '<div class="x top"><p><a href="/multi">t</a></p></div>'
+        assert parse_page(html2, selector=steps)["links"] == []
+        assert parse_page(
+            html2, selector=parse_selector("//div[@class='x top']//p/a")
+        )["links"] == ["/multi"]
+
+    def test_xpath_attribute_presence_predicate(self):
+        from cloud_crawler_spark.functions.parse import parse_page, parse_selector
+
+        html = (
+            '<div data-k="1"><a href="/in">t</a></div>'
+            "<div><a href='/out'>t</a></div>"
+        )
+        steps = parse_selector("//div[@data-k]/a")
+        assert parse_page(html, selector=steps)["links"] == ["/in"]
+
+    def test_xpath_multi_predicates_one_step(self):
+        from cloud_crawler_spark.functions.parse import parse_page, parse_selector
+
+        html = (
+            '<div id="m" data-k="1"><a href="/in">t</a></div>'
+            '<div id="m"><a href="/out">t</a></div>'
+        )
+        steps = parse_selector("//div[@id='m'][@data-k]/a")
+        assert parse_page(html, selector=steps)["links"] == ["/in"]
 
     def test_positional_predicate_rejected(self):
         from cloud_crawler_spark.functions.parse import parse_selector
 
         with pytest.raises(ValueError):
             parse_selector("//div[1]/a")
-
-    def test_css_class_selector_rejected(self):
-        from cloud_crawler_spark.functions.parse import parse_selector
-
         with pytest.raises(ValueError):
-            parse_selector("div.cls a")
+            parse_selector("//a[contains(@href,'x')]")
+
+    def test_css_class_selector(self):
+        from cloud_crawler_spark.functions.parse import parse_page, parse_selector
+
+        # CSS .cls is TOKEN membership (unlike XPath @class equality)
+        html = (
+            '<div class="cls top"><a href="/in">t</a></div>'
+            '<div class="other"><a href="/out">t</a></div>'
+        )
+        assert parse_page(html, selector=parse_selector("div.cls a"))["links"] == ["/in"]
+        assert parse_page(html, selector=parse_selector(".top > a"))["links"] == ["/in"]
+
+    def test_css_id_and_attr_selectors(self):
+        from cloud_crawler_spark.functions.parse import parse_page, parse_selector
+
+        html = (
+            '<div id="main"><span><a href="/in">t</a></span></div>'
+            '<div id="nav"><a href="/out" rel="nofollow">t</a></div>'
+        )
+        assert parse_page(html, selector=parse_selector("#main a"))["links"] == ["/in"]
+        assert parse_page(html, selector=parse_selector("a[rel='nofollow']"))["links"] == ["/out"]
+        assert parse_page(html, selector=parse_selector("a[rel]"))["links"] == ["/out"]
+        # pseudo-classes still rejected
+        with pytest.raises(ValueError):
+            parse_selector("div:hover a")
 
     def test_href_predicate_accepted(self):
         from cloud_crawler_spark.functions.parse import parse_selector
 
         steps = parse_selector("//h4/a[@href]")
         assert steps[-1][0] == "a"
+
+    def test_link_selector_gates_frontier_expansion(self, spark):
+        """select_links_by wired as focus_crawl (dsl_core.rb:195,
+        examples/link_selector.rb): only selector-matched links expand,
+        and the stored page's links column holds only those."""
+        body0 = (
+            "<html><body>"
+            '<div class="follow"><a href="http://www.example.com/1">in</a></div>'
+            '<a href="http://www.example.com/2">out</a>'
+            "</body></html>"
+        )
+        graph = {"0": {"body": body0}, "1": {}, "2": {}}
+        seeds = make_seeds(spark, ["http://www.example.com/0"])
+
+        res = crawl(spark, make_corpus(spark, graph), seeds,
+                    CrawlConfig(link_selector="div.follow a"))
+        assert crawled_names(res) == {"0", "1"}
+        links0 = res.crawled.where("canon_url = 'http://www.example.com/0'") \
+            .select(F.explode("links")).collect()
+        assert [r[0] for r in links0] == ["http://www.example.com/1"]
+
+        # same crawl unselected follows both
+        res_all = crawl(spark, make_corpus(spark, graph), seeds)
+        assert crawled_names(res_all) == {"0", "1", "2"}
+
+        # XPath form, attribute-equality predicate
+        res_x = crawl(spark, make_corpus(spark, graph), seeds,
+                      CrawlConfig(link_selector="//div[@class='follow']/a[@href]"))
+        assert crawled_names(res_x) == {"0", "1"}
 
 
 # ------------------------------------------- content-type gate case (F8)
