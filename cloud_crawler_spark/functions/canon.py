@@ -50,6 +50,12 @@ _DEFAULT_PORTS = {"http": "80", "https": "443"}
 #   params segment — "http://x/a;" -> "http://x/a")
 _FAST_ABS_RE = re.compile(r"^https?://[A-Za-z0-9.-]+/[A-Za-z0-9._~!$&'()*+,=:@/-]*$")
 _FAST_CANON_RE = re.compile(r"^http://[a-z0-9.-]+/[a-z0-9._~!$&'()*+,;=:@/-]*$")
+# intersection of the two (lowercase http, no ';'): an href matching
+# this is its OWN abs_url and canon_url — resolve_parts collapses its
+# three regex gates (to_absolute, canonicalize, canonical-shape) into
+# this single match on the raw href. ~40% of the per-link kernel at
+# Common-Crawl-style absolute-link density.
+_FAST_RESOLVED_RE = re.compile(r"^http://[a-z0-9.-]+/[a-z0-9._~!$&'()*+,=:@/-]*$")
 
 
 def strip_fragment(url: str) -> str:
@@ -137,7 +143,14 @@ def resolve_parts(
     construction to to_absolute -> canonicalize -> host_of/path_of
     (which it calls on the slow path), but a canonical-shaped URL pays
     one regex match instead of three urlsplits."""
-    a = to_absolute(href, page_url, base_href) if isinstance(href, str) else None
+    if not isinstance(href, str):
+        return None, None, None, None
+    if _FAST_RESOLVED_RE.match(href):
+        # already absolute AND canonical (and ';'-free, so urljoin's
+        # empty-params-segment drop can't apply): one match, no calls
+        i = href.index("/", 7)
+        return href, href, href[7:i] or None, href[i:]
+    a = to_absolute(href, page_url, base_href)
     if a is None:
         return None, None, None, None
     c = canonicalize(a)

@@ -158,13 +158,23 @@ class TestFastPathEquivalence:
     def test_fast_path_hits_common_shapes(self):
         """The shapes a web corpus is made of must actually take the
         fast path (guard against regex rot silently degrading perf)."""
-        from cloud_crawler_spark.functions.canon import _FAST_ABS_RE, _FAST_CANON_RE
+        from cloud_crawler_spark.functions.canon import (
+            _FAST_ABS_RE,
+            _FAST_CANON_RE,
+            _FAST_RESOLVED_RE,
+        )
 
         for u in ("http://host0.example.com/p123",
                   "http://a.b.c/x/y/z.html",
                   "http://x.com/"):
             assert _FAST_CANON_RE.match(u) and _FAST_ABS_RE.match(u)
+            assert _FAST_RESOLVED_RE.match(u)
         for u in ("https://x.com/p", "http://X.com/p", "http://x.com/p?q=1",
                   "http://x.com/p#f", "http://x.com", "http://x.com/a b",
                   "http://x.com:8080/p", "http://x.com/%7Euser"):
             assert not _FAST_CANON_RE.match(u)
+            assert not _FAST_RESOLVED_RE.match(u)
+        # ';' is canonical-safe but NOT resolve-safe (urljoin drops an
+        # empty trailing params segment)
+        assert _FAST_CANON_RE.match("http://x.com/a;b")
+        assert not _FAST_RESOLVED_RE.match("http://x.com/a;b")
