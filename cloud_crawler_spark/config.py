@@ -49,6 +49,11 @@ class CrawlConfig:
                                                # frontier expansion like focus_crawl
                                                # (dsl_core.rb:195, examples/link_selector.rb):
                                                # XPath //div[@id='m']//a[@href] or CSS div.cls a
+    anchor_pattern: Optional[str] = None       # focus_crawl text_for gate: keep a link only
+                                               # when its anchor text matches this regex
+                                               # (crossfit_crawl.rb:56-60 `text_for(lnk) =~
+                                               # /Level 1/i` — pass "(?i)level 1"). Composes
+                                               # with link_selector (both must pass).
 
     # ---- redirects (http.rb) ----
     redirect_limit: int = 5                    # REDIRECT_LIMIT, http.rb:35

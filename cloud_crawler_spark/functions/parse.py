@@ -279,12 +279,20 @@ class _PageParser(HTMLParser):
     """One pass: links (document order), base href, title, text."""
 
     def __init__(self, within_tag: str | None = None,
-                 selector: list[tuple[str, bool]] | None = None):
+                 selector: list[tuple[str, bool]] | None = None,
+                 collect_anchors: bool = False):
         super().__init__(convert_charrefs=True)
         self.links: list[str] = []
         self.base_href: str | None = None
         self.title_parts: list[str] = []
         self.text_parts: list[str] = []
+        # text_for support (page.rb @doms_for_link, crossfit_crawl.rb):
+        # href -> anchor text, LAST occurrence wins per href (the
+        # reference's hash assignment), collected only on request
+        self.anchor_map: dict[str, str] = {}
+        self._collect_anchors = collect_anchors
+        self._open_href: str | None = None
+        self._anchor_parts: list[str] = []
         self._in_title = False
         self._stack: list[str] = []
         # back-compat scope: 'h4' == selector [('h4',False,()),('a',False,())]
@@ -308,12 +316,17 @@ class _PageParser(HTMLParser):
                         d[k] = v
                 self._attrs.append(d)
         if tag == "a":
+            if self._collect_anchors and self._open_href is not None:
+                self._finish_anchor()  # implicit close of an unclosed <a>
             if self._steps is None or _match_steps(
                 self._stack, self._steps, self._attrs
             ):
                 href = dict(attrs).get("href")
                 if href:  # skip nil/empty (page.rb:127-129)
                     self.links.append(href)
+                    if self._collect_anchors:
+                        self._open_href = href
+                        self._anchor_parts = []
         elif tag == "base" and self.base_href is None:
             href = dict(attrs).get("href")
             if href:
@@ -326,7 +339,14 @@ class _PageParser(HTMLParser):
         if self._attrs is not None:
             self._attrs.pop()
 
+    def _finish_anchor(self):
+        self.anchor_map[self._open_href] = "".join(self._anchor_parts)
+        self._open_href = None
+        self._anchor_parts = []
+
     def handle_endtag(self, tag):
+        if tag == "a" and self._open_href is not None:
+            self._finish_anchor()
         if self._stack and self._stack[-1] == tag:
             self._pop()
         elif tag in self._stack:
@@ -337,10 +357,17 @@ class _PageParser(HTMLParser):
         if tag == "title":
             self._in_title = False
 
+    def close(self):
+        super().close()
+        if self._open_href is not None:
+            self._finish_anchor()  # EOF inside an unclosed <a>
+
     def handle_data(self, data):
         self.text_parts.append(data)
         if self._in_title:
             self.title_parts.append(data)
+        if self._open_href is not None:
+            self._anchor_parts.append(data)
 
 
 def _decode(html) -> str:
@@ -357,18 +384,22 @@ _FAST_PARSE_OFF = bool(os.environ.get("SPARK_CRAWL_NO_FAST_PARSE"))
 
 
 def parse_page(html, within_tag: str | None = None,
-               selector: list[tuple[str, bool]] | None = None) -> dict:
+               selector: list[tuple[str, bool]] | None = None,
+               collect_anchors: bool = False) -> dict:
     s = _decode(html)
     fast = None
-    if within_tag is None and selector is None and not _FAST_PARSE_OFF:
+    if (within_tag is None and selector is None and not collect_anchors
+            and not _FAST_PARSE_OFF):
         # fastparse tokenizes clean documents ~5x faster and bails
         # (returns None) on anything whose stdlib handling could
         # diverge; semantics stay pinned to _PageParser either way
         fast = fast_parse(s)
+    anchor_map: dict[str, str] = {}
     if fast is not None:
         raw_links, base_href, title_parts, text_parts = fast
     else:
-        p = _PageParser(within_tag=within_tag, selector=selector)
+        p = _PageParser(within_tag=within_tag, selector=selector,
+                        collect_anchors=collect_anchors)
         try:
             p.feed(s)
             p.close()
@@ -376,6 +407,7 @@ def parse_page(html, within_tag: str | None = None,
             pass
         raw_links, base_href = p.links, p.base_href
         title_parts, text_parts = p.title_parts, p.text_parts
+        anchor_map = p.anchor_map
     # first-occurrence dedupe, document order (page.rb:134 uniq!)
     seen: set[str] = set()
     links: list[str] = []
@@ -386,12 +418,17 @@ def parse_page(html, within_tag: str | None = None,
     text = "".join(text_parts)
     # encode round trip: drop anything not UTF-8-encodable, then strip
     text = text.encode("utf-8", errors="ignore").decode("utf-8", errors="ignore").strip()
-    return {
+    out = {
         "links": links,
         "base_href": base_href,
         "title": "".join(title_parts).strip(),
         "text": text,
     }
+    if collect_anchors:
+        # aligned with links; per-href text is the LAST occurrence's
+        # (page.rb @doms_for_link hash assignment), stripped like text
+        out["anchors"] = [anchor_map.get(h, "").strip() for h in links]
+    return out
 
 
 def extract_text_py(html) -> str:
@@ -517,23 +554,28 @@ _PR_COLS = ["href", "abs_url", "canon_url", "host", "path",
             "base_href", "title", "text"]
 
 
-def make_parse_resolve_udf(selector: str | None = None):
+def make_parse_resolve_udf(selector: str | None = None,
+                           anchor_pattern: str | None = None):
     """Build the fused parse+resolve UDF, optionally restricted to a
     link selector (select_links_by semantics, page.rb:123-136, wired to
     frontier expansion the way focus_crawl is at dsl_core.rb:195 —
-    examples/link_selector.rb). selector=None is the hot default:
-    all ``//a[@href]`` links (page.rb:116)."""
+    examples/link_selector.rb) and/or an anchor-text regex
+    (focus_crawl text_for filtering, examples/crossfit_crawl.rb:56-60:
+    ``page.links.keep_if { text_for(lnk) =~ /Level 1/i }``).
+    selector=None, anchor_pattern=None is the hot default: all
+    ``//a[@href]`` links (page.rb:116), no anchor collection."""
     steps = parse_selector(selector) if selector else None
+    anchor_re = re.compile(anchor_pattern) if anchor_pattern else None
 
     @pandas_udf(_PARSED_RESOLVED_TYPE)
     def _parse_resolve_udf(html: pd.Series, page_urls: pd.Series) -> pd.DataFrame:
-        return _parse_resolve_batch(html, page_urls, steps)
+        return _parse_resolve_batch(html, page_urls, steps, anchor_re)
 
     return _parse_resolve_udf
 
 
 def _parse_resolve_batch(html: pd.Series, page_urls: pd.Series,
-                         steps=None) -> pd.DataFrame:
+                         steps=None, anchor_re=None) -> pd.DataFrame:
     """FUSED hot-path kernel: parse (P1/P2/P5) + absolutize +
     canonicalize + host + path (P4, canon.resolve_link) for every
     extracted link in ONE Arrow round trip per page row.
@@ -549,10 +591,17 @@ def _parse_resolve_batch(html: pd.Series, page_urls: pd.Series,
 
     hrefs, abss, canons, hosts, paths = [], [], [], [], []
     bases, titles, texts = [], [], []
+    collect = anchor_re is not None
     for h, purl in zip(html, page_urls):
-        r = parse_page(h, selector=steps)
+        r = parse_page(h, selector=steps, collect_anchors=collect)
         base = r["base_href"] if r["base_href"] else None
         links = r["links"]
+        if collect:
+            # focus_crawl text_for gate (crossfit_crawl.rb:56-60):
+            # keep only links whose anchor text matches
+            links = [
+                l for l, a in zip(links, r["anchors"]) if anchor_re.search(a)
+            ]
         col_a: list = [None] * len(links)
         col_c: list = [None] * len(links)
         col_h: list = [None] * len(links)
@@ -585,12 +634,18 @@ parse_resolve_udf = make_parse_resolve_udf(None)
 
 
 def with_parsed_resolved(df, html_col: str = "html", url_col: str = "url",
-                         selector: str | None = None):
+                         selector: str | None = None,
+                         anchor_pattern: str | None = None):
     """Attach parsed+resolved struct columns: links carry
     (href, abs_url, canon_url, host, path) per element — element order
     is document order, so posexplode recovers link position. selector
-    restricts extracted links (select_links_by, page.rb:123-136)."""
-    udf = parse_resolve_udf if selector is None else make_parse_resolve_udf(selector)
+    restricts extracted links (select_links_by, page.rb:123-136);
+    anchor_pattern keeps only links whose anchor text matches
+    (focus_crawl text_for, crossfit_crawl.rb:56-60)."""
+    if selector is None and anchor_pattern is None:
+        udf = parse_resolve_udf
+    else:
+        udf = make_parse_resolve_udf(selector, anchor_pattern)
     return (
         df.withColumn("_parsed", udf(F.col(html_col), F.col(url_col)))
         .withColumn(

@@ -424,7 +424,8 @@ def run_round(
         ).otherwise(F.lit(None).cast("binary")),
     )
     parsed = with_parsed_resolved(
-        gated, "_html_in", "url", selector=config.link_selector
+        gated, "_html_in", "url", selector=config.link_selector,
+        anchor_pattern=config.anchor_pattern,
     ).drop("_html_in")
 
     # one materialization per round: fetch+parse lands in the local

@@ -504,3 +504,96 @@ class TestMultimodalAuto:
         media = self._media(spark)
         out = extract_features(media, decode_stub=False)
         assert out.count() == media.count()
+
+
+# ---------------------------------------- anchor text (text_for gate)
+
+
+class TestAnchorText:
+    """focus_crawl text_for filtering (crossfit_crawl.rb:56-60:
+    ``page.links.keep_if { |lnk| @page.text_for(lnk) =~ /Level 1/i }``)
+    — the reference's @doms_for_link maps href -> dom, LAST occurrence
+    per href wins (page.rb @doms_for_link hash assignment)."""
+
+    def test_collect_anchors_basic(self):
+        from cloud_crawler_spark.functions.parse import parse_page
+
+        html = (
+            "<html><body>"
+            '<a href="/a">Alpha text</a>'
+            '<a href="/b"><b>Bold</b> beta</a>'
+            '<a href="/c"></a>'
+            "</body></html>"
+        )
+        r = parse_page(html, collect_anchors=True)
+        assert r["links"] == ["/a", "/b", "/c"]
+        assert r["anchors"] == ["Alpha text", "Bold beta", ""]
+
+    def test_last_occurrence_wins_and_unclosed(self):
+        from cloud_crawler_spark.functions.parse import parse_page
+
+        # duplicate href: links dedupe first-occurrence (page.rb:134),
+        # anchor text is the LAST occurrence's (hash assignment)
+        html = (
+            '<a href="/x">first</a> mid <a href="/x">second</a>'
+            '<a href="/y">tail with no close'
+        )
+        r = parse_page(html, collect_anchors=True)
+        assert r["links"] == ["/x", "/y"]
+        assert r["anchors"][0] == "second"
+        assert r["anchors"][1] == "tail with no close"
+
+    def test_implicit_close_by_next_anchor(self):
+        from cloud_crawler_spark.functions.parse import parse_page
+
+        html = '<a href="/p">one<a href="/q">two</a>'
+        r = parse_page(html, collect_anchors=True)
+        assert r["links"] == ["/p", "/q"]
+        assert r["anchors"] == ["one", "two"]
+
+    def test_no_anchor_key_without_flag(self):
+        from cloud_crawler_spark.functions.parse import parse_page
+
+        r = parse_page('<a href="/a">t</a>')
+        assert "anchors" not in r
+
+    def test_anchor_pattern_gates_frontier_expansion(self, spark):
+        body0 = (
+            "<html><body>"
+            '<a href="http://www.example.com/1">Level 1 Cert</a>'
+            '<a href="http://www.example.com/2">About us</a>'
+            '<a href="http://www.example.com/3">level 1 trainers</a>'
+            "</body></html>"
+        )
+        graph = {"0": {"body": body0}, "1": {}, "2": {}, "3": {}}
+        seeds = make_seeds(spark, [f"{_U}/0"])
+
+        res = crawl(spark, make_corpus(spark, graph), seeds,
+                    CrawlConfig(anchor_pattern="(?i)level 1"))
+        assert crawled_names(res) == {"0", "1", "3"}
+        links0 = res.crawled.where(f"canon_url = '{_U}/0'") \
+            .select(F.explode("links")).collect()
+        assert sorted(r[0] for r in links0) == [
+            f"{_U}/1", f"{_U}/3"
+        ]
+
+        # unfiltered crawl follows all three
+        res_all = crawl(spark, make_corpus(spark, graph), seeds)
+        assert crawled_names(res_all) == {"0", "1", "2", "3"}
+
+    def test_anchor_pattern_composes_with_selector(self, spark):
+        body0 = (
+            "<html><body>"
+            '<div class="follow">'
+            '<a href="http://www.example.com/1">keep me</a>'
+            '<a href="http://www.example.com/2">drop me</a>'
+            "</div>"
+            '<a href="http://www.example.com/3">keep me</a>'
+            "</body></html>"
+        )
+        graph = {"0": {"body": body0}, "1": {}, "2": {}, "3": {}}
+        seeds = make_seeds(spark, [f"{_U}/0"])
+        res = crawl(spark, make_corpus(spark, graph), seeds,
+                    CrawlConfig(link_selector="div.follow a",
+                                anchor_pattern="keep"))
+        assert crawled_names(res) == {"0", "1"}
