@@ -91,6 +91,50 @@ def fingerprint(col) -> Column:
     return F.substring(F.md5(norm), 1, 16)
 
 
+def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id",
+                       max_dup_frac: float = 0.2):
+    """Gopher-style repetition removal signals over word 2-grams
+    (Rae et al. 2021 §A1.1 "repetition removal"): per document, the
+    fraction of duplicated 2-gram occurrences and the share of the
+    single most frequent 2-gram, plus the keep/drop gate.
+
+    Scale shape: build the 2-gram array JVM-side (zip_with of two
+    slices — no Python), explode_outer (a null row keeps zero-gram
+    documents alive, so NO restore-join is needed), then TWO keyed
+    groupBys, both with map-side partial aggregation. No join, no
+    driver state, no UDF.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_gram = (
+        df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .count()
+    )
+    real = F.col("gram").isNotNull()
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(real, F.col("count")).otherwise(0)).alias("_n2"),
+        F.sum(F.when(real, 1).otherwise(0)).alias("_nd"),
+        F.max(F.when(real, F.col("count")).otherwise(0)).alias("_top"),
+    )
+    nz = F.greatest(F.col("_n2"), F.lit(1))  # degenerate docs: fracs are 0/1
+    dup_frac = F.round((F.col("_n2") - F.col("_nd")) / nz, 6)
+    return agg.select(
+        F.col(id_col),
+        F.col("_n2").cast("long").alias("n_2grams"),
+        dup_frac.alias("dup_2gram_frac"),
+        F.round(F.col("_top") / nz, 6).alias("top_2gram_frac"),
+        F.when(dup_frac <= max_dup_frac, 1).otherwise(0)
+        .cast("long")
+        .alias("keep_repetition"),
+    )
+
+
 # ------------------------------------------------- rolling hash (UDF path)
 
 _B = 1000003

@@ -1,0 +1,133 @@
+"""Corpus curation operators: deterministic sampling and quality
+bucketing for training-data mixture construction.
+
+A 100 TB corpus is never trained on whole: pipelines re-weight strata
+(language, source domain) by *deterministic* hash sampling — so the
+sample is reproducible across runs and machines, needs no shuffle, and
+composes with any downstream filter — and bucket documents by a quality
+signal into head/middle/tail tiers (CCNet, Wenzek et al. 2020 §4.4)
+so mixtures can oversample the head.
+
+Everything here is built-in pyspark.sql.functions (JVM, codegen):
+sampling is a pure narrow filter (no shuffle at any scale); bucketing
+is one window per stratum — the partition key is the stratum, so skew
+is bounded by the largest language, and the sort is (int, id), not
+floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark.functions import text as TX
+
+
+def hash_permille(col) -> Column:
+    """Deterministic 0..999 bucket: first 4 hex digits of md5 of the
+    column's string form, mod 1000. Stable across engines (the DuckDB
+    oracle reproduces it with strpos arithmetic) and across runs —
+    unlike ``df.sample()``, whose seed interacts with partitioning."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+        % 1000
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 1000,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows: a row
+    survives iff hash_permille(id) < the stratum's permille rate.
+    rates_permille maps stratum value -> 0..1000; unlisted strata get
+    default_permille (1000 = keep all). Narrow filter: no shuffle."""
+    pm = hash_permille(F.col(id_col))
+    thresh = None
+    for k in sorted(rates_permille):
+        cond = F.col(stratum_col) == k
+        rate = F.lit(int(rates_permille[k]))
+        thresh = F.when(cond, rate) if thresh is None else thresh.when(cond, rate)
+    thresh = (
+        F.lit(int(default_permille))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(default_permille)))
+    )
+    return df.where(pm < thresh)
+
+
+def quality_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail tiers: within each language,
+    rank documents by their own-language stopword-hit count (the
+    fluency proxy standing in for CCNet's LM perplexity) and ntile
+    into n_buckets; bucket 1 is the head. Ties break on id so the
+    assignment is total and engine-independent. Languages without a
+    stopword inventory score with the 'en' list (deterministic
+    fallback).
+
+    Scale shape: a naive ``ntile() OVER (PARTITION BY lang)`` funnels
+    every document of a language through ONE reducer — dead at 100 TB.
+    Instead the exact same assignment is computed with the prefix-sum
+    decomposition (operators/rank.py pattern): (1) tiny per-(lang,
+    score) histogram -> cumulative offsets + totals (a few-hundred-row
+    window, broadcast back); (2) row_number within (lang, score) —
+    thousands of fine partitions instead of one per language; (3)
+    global rank = offset + local rank, bucket from the closed-form
+    ntile formula. Output is bit-identical to the window version."""
+    hits = {lang: TX.stopword_hits(F.col(text_col), lang) for lang in TX.STOPWORDS}
+    expr = None
+    for lang in sorted(TX.STOPWORDS):
+        if lang == "en":
+            continue
+        cond = F.col(lang_col) == lang
+        expr = F.when(cond, hits[lang]) if expr is None else expr.when(cond, hits[lang])
+    n_stop = expr.otherwise(hits["en"])
+    scored = df.select(
+        F.col(id_col), F.col(lang_col), n_stop.cast("long").alias("n_stop")
+    )
+
+    # (1) per-(lang, score) histogram: tiny (|langs| x |score values|)
+    hist = scored.groupBy(lang_col, "n_stop").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_cum = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("n_stop").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        lang_col,
+        "n_stop",
+        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy(lang_col)).alias("_total"),
+    )
+
+    # (2) local rank within the fine (lang, score) key
+    w_loc = Window.partitionBy(lang_col, "n_stop").orderBy(F.col(id_col))
+    ranked = (
+        scored.withColumn("_loc", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), [lang_col, "n_stop"])
+    )
+
+    # (3) closed-form ntile over global rank r in 1..total:
+    # the first (total % n) buckets hold (total div n)+1 rows each
+    r = F.col("_off") + F.col("_loc")
+    base = F.floor(F.col("_total") / n_buckets)
+    rem = F.col("_total") % n_buckets
+    big = rem * (base + 1)  # rows covered by the size-(base+1) buckets
+    bucket = F.when(r <= big, F.ceil(r / (base + 1))).otherwise(
+        rem + F.ceil((r - big) / F.greatest(base, F.lit(1)))
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_stop"),
+        bucket.cast("long").alias("bucket"),
+    )

@@ -707,6 +707,97 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@_register(
+    "q_gopher_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+               AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM toks),
+    c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram),
+    agg AS (SELECT doc_id, sum(n) AS n2, count(*) AS nd, max(n) AS topn
+            FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(a.n2, 0)::BIGINT AS n_2grams,
+           round(coalesce((a.n2 - a.nd) * 1.0 / a.n2, 0), 6) AS dup_2gram_frac,
+           round(coalesce(a.topn * 1.0 / a.n2, 0), 6) AS top_2gram_frac,
+           (CASE WHEN round(coalesce((a.n2 - a.nd) * 1.0 / a.n2, 0), 6) <= 0.2
+                 THEN 1 ELSE 0 END)::BIGINT AS keep_repetition
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition-removal signals (Rae et al. 2021 §A1.1): per
+    document, duplicated-2-gram occurrence fraction, top-2-gram share,
+    and the keep gate at dup_frac <= 0.2."""
+    return TX.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+# deterministic permille for sampling: first 4 md5 hex digits mod 1000
+# (DuckDB twin of operators/sampling.hash_permille)
+_HEXD_S = "'0123456789abcdef'"
+
+
+def _permille_sql(expr: str) -> str:
+    digits = " + ".join(
+        f"(strpos({_HEXD_S}, substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({digits}) % 1000)"
+
+
+@_register(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM (SELECT doc_id, lang, source,
+                 {_permille_sql("doc_id::VARCHAR")} AS pm
+          FROM documents)
+    WHERE pm < (CASE WHEN lang = 'en' THEN 300 ELSE 800 END)
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Training-mixture re-weighting: deterministic hash sample keeping
+    30% of English and 80% of every other language — reproducible
+    across runs/engines, zero shuffle (operators/sampling.py)."""
+    from cloud_crawler_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, rates_permille={"en": 300}, default_permille=800
+    ).select("doc_id", "lang", "source")
+
+
+@_register(
+    "q_quality_buckets",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             (CASE lang WHEN 'de' THEN {_LANG_HITS_SQL['de']}
+                        WHEN 'fr' THEN {_LANG_HITS_SQL['fr']}
+                        WHEN 'es' THEN {_LANG_HITS_SQL['es']}
+                        ELSE {_LANG_HITS_SQL['en']} END)::BIGINT AS n_stop
+      FROM documents)
+    SELECT doc_id, lang, n_stop,
+           ntile(3) OVER (PARTITION BY lang ORDER BY n_stop DESC, doc_id)::BIGINT
+             AS bucket
+    FROM h
+    """,
+)
+def q_quality_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail tiers per language (Wenzek et al.
+    2020 §4.4), stopword fluency proxy, ntile(3), id tie-break."""
+    from cloud_crawler_spark.operators.sampling import quality_buckets
+
+    return quality_buckets(_t(spark, sf_dir, "documents"))
+
+
 # ======================================================================
 # 4. Classic relational coverage (agg/join/sort pipelines)
 # ======================================================================

@@ -114,3 +114,85 @@ def test_frame_sampling_plumbing(spark):
     for r in rows:
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == list(range(len(v))) for v in per.values())
+
+
+# ------------------------------------------- curation ops (round 3)
+
+
+def test_repetition_metrics_edges(spark):
+    from cloud_crawler_spark.functions.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # grams: ab ba ab ba ab -> 5 occ, 2 distinct
+            (1, "all tokens are unique here"),
+            (2, "one"),                  # no 2-grams
+            (3, ""),                     # empty text
+            (4, "x x x x"),              # single gram repeated 3x
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert rows[0]["n_2grams"] == 5
+    assert rows[0]["dup_2gram_frac"] == round(3 / 5, 6)
+    assert rows[0]["top_2gram_frac"] == round(3 / 5, 6)
+    assert rows[0]["keep_repetition"] == 0
+    assert rows[1]["dup_2gram_frac"] == 0.0
+    assert rows[1]["keep_repetition"] == 1
+    for d in (2, 3):  # degenerate docs: zero grams, kept
+        assert rows[d]["n_2grams"] == 0
+        assert rows[d]["dup_2gram_frac"] == 0.0
+        assert rows[d]["keep_repetition"] == 1
+    assert rows[4]["n_2grams"] == 3
+    assert rows[4]["dup_2gram_frac"] == round(2 / 3, 6)
+    assert rows[4]["top_2gram_frac"] == 1.0
+
+
+def test_stratified_sample_deterministic(spark):
+    from cloud_crawler_spark.operators.sampling import (
+        hash_permille, stratified_sample)
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    kept = stratified_sample(df, {"en": 250}, default_permille=750)
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in kept.collect())
+    assert ids1 == ids2  # same plan, same rows — no RNG
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang")
+               .agg(F.count("*").alias("n")).collect()}
+    # ~25% of 1000 en, ~75% of 1000 zh (hash-uniform within +-6%)
+    assert 190 <= by_lang["en"] <= 310
+    assert 690 <= by_lang["zh"] <= 810
+    # survival is a pure function of doc_id: subset input -> subset output
+    sub = stratified_sample(df.where("doc_id < 500"), {"en": 250}, 750)
+    assert set(r["doc_id"] for r in sub.collect()) == {
+        i for i in ids1 if i < 500}
+    # permille itself is stable and in range
+    pm = df.select(hash_permille(F.col("doc_id")).alias("p")).collect()
+    assert all(0 <= r["p"] <= 999 for r in pm)
+
+
+def test_quality_buckets_shape(spark):
+    from cloud_crawler_spark.operators.sampling import quality_buckets
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "the and of to in is that it for was"[: 3 + 4 * (i % 9)],
+          "en" if i % 2 == 0 else "de") for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    out = quality_buckets(df, n_buckets=3)
+    rows = out.collect()
+    assert len(rows) == 60
+    sizes = {(r["lang"], r["bucket"]) for r in rows}
+    assert sizes == {(l, b) for l in ("en", "de") for b in (1, 2, 3)}
+    per = out.groupBy("lang", "bucket").count().collect()
+    assert all(r["count"] == 10 for r in per)  # 30 per lang / 3 buckets
+    # head bucket has the max-stopword docs
+    for lang in ("en", "de"):
+        b1 = [r["n_stop"] for r in rows if r["lang"] == lang and r["bucket"] == 1]
+        b3 = [r["n_stop"] for r in rows if r["lang"] == lang and r["bucket"] == 3]
+        assert min(b1) >= max(b3)
