@@ -30,6 +30,9 @@ HEADLINE = [
     "q_token_stats",
     "q_lang_id",
     "q_fingerprint",
+    "q_gopher_repetition",
+    "q_stratified_sample",
+    "q_quality_buckets",
     "q_events_hourly",
     "q_politeness_topk",
     "q_crawl_bfs",
