@@ -1,0 +1,236 @@
+"""WARC (ISO 28500) source/sink — the Common Crawl wire format.
+
+At 100 TB the corpus doesn't arrive as parquet: it arrives as tens of
+thousands of ~1 GB ``.warc.gz`` segment files, one gzip member per
+record (the Common Crawl convention, which is what makes per-record
+random access via CDX offsets possible). This module maps that shape
+onto Spark's execution model:
+
+- ``read_warc``: ``spark.read.format("binaryFile")`` gives ONE task per
+  WARC file — exactly the parallelism grain the format supports (a
+  member-gzip stream cannot be split mid-file without an index), and at
+  Common Crawl scale the file count (~64k/crawl) dwarfs any cluster's
+  core count, so per-file tasks saturate it. Records are parsed
+  streaming (``gzip.GzipFile`` over the file bytes), yielded in bounded
+  pandas batches via ``mapInPandas`` — peak memory per task is one
+  decompressed record + one output batch, never the whole file.
+- ``write_warc``: a ``mapInPandas`` sink writing one ``.warc.gz`` per
+  input partition (member-per-record), returning a 1-row-per-file
+  manifest — the distributed inverse used by tests and by re-export
+  pipelines.
+- ``warc_to_pages``: adapts parsed records to the engine's corpus
+  ``pages`` schema (sources/corpus.py PAGES_SCHEMA) so a WARC crawl is
+  ``crawl(spark, prepare_corpus(warc_to_pages(read_warc(...))), ...)``.
+
+Only ``WARC-Type: response`` records carry pages; request/metadata/
+warcinfo records are skipped. The HTTP payload is split at the first
+CRLFCRLF into response headers (status + Content-Type extracted) and
+the raw body bytes. No external libs — stdlib gzip + email-free manual
+header parsing, deterministic and byte-faithful.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("warc_file", T.StringType()),
+    ]
+)
+
+_CRLF = b"\r\n"
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Parse a CRLF header block (WARC or HTTP) into a lowercase-keyed
+    dict; continuation lines (obs-fold) are appended with a space."""
+    out: dict[str, str] = {}
+    last = None
+    for line in block.split(_CRLF):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            out[last] += " " + line.strip().decode("latin-1")
+            continue
+        k, sep, v = line.partition(b":")
+        if not sep:
+            continue
+        last = k.strip().decode("latin-1").lower()
+        out[last] = v.strip().decode("latin-1")
+    return out
+
+
+def _iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
+    """Stream WARC records from a (decompressed) byte stream: version
+    line, CRLF headers, Content-Length payload, CRLFCRLF trailer."""
+    while True:
+        # skip inter-record blank lines
+        line = stream.readline()
+        while line in (_CRLF, b"\n"):
+            line = stream.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line: {line[:40]!r}")
+        header_lines = []
+        while True:
+            hl = stream.readline()
+            if hl in (_CRLF, b"\n", b""):
+                break
+            header_lines.append(hl)
+        headers = _parse_headers(b"".join(header_lines))
+        length = int(headers.get("content-length", "0"))
+        payload = stream.read(length)
+        if len(payload) != length:
+            raise ValueError("truncated WARC payload")
+        yield {"headers": headers, "payload": payload}
+
+
+def _split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """HTTP response payload -> (status, content_type, body)."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head, body = payload[:sep], payload[sep + 4:]
+    status_line, _, rest = head.partition(_CRLF)
+    parts = status_line.split(b" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = _parse_headers(rest).get("content-type")
+    return status, ctype, body
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``.warc`` / ``.warc.gz`` files under `path` into the
+    WARC_RECORD_SCHEMA DataFrame (response records only). One task per
+    file; records stream out in bounded batches."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if fpath.endswith(".gz"):
+                    stream: io.BufferedIOBase = gzip.GzipFile(
+                        fileobj=io.BytesIO(raw)
+                    )  # member-concatenated gzip streams read seamlessly
+                else:
+                    stream = io.BytesIO(raw)
+                rows: list[dict] = []
+                for rec in _iter_warc_records(stream):
+                    h = rec["headers"]
+                    if h.get("warc-type") != "response":
+                        continue
+                    status, ctype, body = _split_http_payload(rec["payload"])
+                    rows.append(
+                        {
+                            "url": h.get("warc-target-uri"),
+                            "warc_ts": pd.Timestamp(h.get("warc-date")),
+                            "warc_type": h.get("warc-type"),
+                            "http_status": status,
+                            "content_type": ctype,
+                            "html": body,
+                            "warc_file": os.path.basename(fpath),
+                        }
+                    )
+                    if len(rows) >= 500:  # bounded output batches
+                        yield pd.DataFrame(rows)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse_files, WARC_RECORD_SCHEMA)
+
+
+def warc_to_pages(records: DataFrame) -> DataFrame:
+    """Adapt WARC response records to the corpus `pages` schema
+    (url, warc_ts, html, text, lang); text/lang are not carried by
+    WARC — downstream extraction fills them."""
+    return records.where(F.col("http_status") == 200).select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def _format_record(url: str, ts, html: bytes, content_type: str) -> bytes:
+    date = pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: "
+        + content_type.encode("latin-1")
+        + b"\r\nContent-Length: "
+        + str(len(html)).encode()
+        + b"\r\n\r\n"
+        + html
+    )
+    # record id derives from the url so output is deterministic
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, url)
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("latin-1")
+    return head + http + b"\r\n\r\n"
+
+
+def write_warc(pages: DataFrame, out_dir: str,
+               content_type: str = "text/html") -> DataFrame:
+    """Distributed WARC sink: each input partition writes one
+    ``part-<n>.warc.gz`` (one gzip member per record, the Common Crawl
+    layout) under `out_dir`. Returns the materialized manifest
+    (warc_file, n_records) — the action that runs the write."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_schema = "warc_file string, n_records long"
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.warc.gz"
+        n = 0
+        buf = io.BytesIO()
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                if url is None or html is None:
+                    continue
+                rec = _format_record(str(url), ts, bytes(html), content_type)
+                with gzip.GzipFile(fileobj=buf, mode="ab", mtime=0) as gz:
+                    gz.write(rec)  # one member per record
+                n += 1
+        if n:
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(buf.getvalue())
+        yield pd.DataFrame({"warc_file": [fname], "n_records": [n]})
+
+    sel = pages.select("url", "warc_ts", "html")
+    out = sel.mapInPandas(write_partition, manifest_schema)
+    return out.where(F.col("n_records") > 0).localCheckpoint(eager=True)
