@@ -21,6 +21,16 @@ onto Spark's execution model:
 - ``warc_to_pages``: adapts parsed records to the engine's corpus
   ``pages`` schema (sources/corpus.py PAGES_SCHEMA) so a WARC crawl is
   ``crawl(spark, prepare_corpus(warc_to_pages(read_warc(...))), ...)``.
+- CDX index (the Common Crawl random-access contract): ``write_warc``
+  emits one ``part-<n>.cdx`` beside each warc part — one tab-separated
+  line per record carrying ``(url, ts, member offset, member length,
+  sha1(body), warc_file)``. ``read_cdx`` loads the index as a
+  DataFrame; ``record_at`` slice-reads ONE record from a warc file by
+  (offset, length) without touching the rest (each record is its own
+  gzip member); ``fetch_records`` is the distributed version — shuffle
+  the wanted index rows by warc_file, then one pass of offset-ordered
+  seeks per file. On object storage the same access pattern maps to
+  ranged GETs, which is exactly how Common Crawl serves record lookups.
 
 Only ``WARC-Type: response`` records carry pages; request/metadata/
 warcinfo records are skipped. The HTTP payload is split at the first
@@ -32,6 +42,7 @@ header parsing, deterministic and byte-faithful.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
 import os
 import uuid
@@ -118,6 +129,24 @@ def _split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+def _response_row(rec: dict, warc_file: str) -> dict | None:
+    """WARC record dict -> a WARC_RECORD_SCHEMA row (None for
+    non-response records)."""
+    h = rec["headers"]
+    if h.get("warc-type") != "response":
+        return None
+    status, ctype, body = _split_http_payload(rec["payload"])
+    return {
+        "url": h.get("warc-target-uri"),
+        "warc_ts": pd.Timestamp(h.get("warc-date")),
+        "warc_type": h.get("warc-type"),
+        "http_status": status,
+        "content_type": ctype,
+        "html": body,
+        "warc_file": warc_file,
+    }
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read ``.warc`` / ``.warc.gz`` files under `path` into the
     WARC_RECORD_SCHEMA DataFrame (response records only). One task per
@@ -141,21 +170,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     stream = io.BytesIO(raw)
                 rows: list[dict] = []
                 for rec in _iter_warc_records(stream):
-                    h = rec["headers"]
-                    if h.get("warc-type") != "response":
+                    row = _response_row(rec, os.path.basename(fpath))
+                    if row is None:
                         continue
-                    status, ctype, body = _split_http_payload(rec["payload"])
-                    rows.append(
-                        {
-                            "url": h.get("warc-target-uri"),
-                            "warc_ts": pd.Timestamp(h.get("warc-date")),
-                            "warc_type": h.get("warc-type"),
-                            "http_status": status,
-                            "content_type": ctype,
-                            "html": body,
-                            "warc_file": os.path.basename(fpath),
-                        }
-                    )
+                    rows.append(row)
                     if len(rows) >= 500:  # bounded output batches
                         yield pd.DataFrame(rows)
                         rows = []
@@ -218,19 +236,128 @@ def write_warc(pages: DataFrame, out_dir: str,
         fname = f"part-{pid:05d}.warc.gz"
         n = 0
         buf = io.BytesIO()
+        cdx_lines: list[str] = []
         for pdf in batches:
             for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
                 if url is None or html is None:
                     continue
-                rec = _format_record(str(url), ts, bytes(html), content_type)
+                body = bytes(html)
+                rec = _format_record(str(url), ts, body, content_type)
+                offset = buf.tell()
                 with gzip.GzipFile(fileobj=buf, mode="ab", mtime=0) as gz:
                     gz.write(rec)  # one member per record
+                cdx_lines.append("\t".join((
+                    str(url),
+                    pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    str(offset),
+                    str(buf.tell() - offset),
+                    hashlib.sha1(body).hexdigest(),
+                    fname,
+                )))
                 n += 1
         if n:
             with open(os.path.join(out_dir, fname), "wb") as f:
                 f.write(buf.getvalue())
+            cdx_name = fname[: -len(".warc.gz")] + ".cdx"
+            with open(os.path.join(out_dir, cdx_name), "w") as f:
+                f.write("\n".join(cdx_lines) + "\n")
         yield pd.DataFrame({"warc_file": [fname], "n_records": [n]})
 
     sel = pages.select("url", "warc_ts", "html")
     out = sel.mapInPandas(write_partition, manifest_schema)
     return out.where(F.col("n_records") > 0).localCheckpoint(eager=True)
+
+
+_CDX_RAW_SCHEMA = ("url string, ts string, offset long, length long, "
+                   "digest string, warc_file string")
+_WARC_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Load ``*.cdx`` index files under `path` into a DataFrame
+    ``(url, warc_ts, offset, length, digest, warc_file)``. The index is
+    tiny relative to the warcs (~100 bytes/record vs ~10 KB/record), so
+    filters/joins against it never touch page bytes — prune on the CDX,
+    then ``fetch_records`` only what survived."""
+    raw = (
+        spark.read.schema(_CDX_RAW_SCHEMA)
+        .option("sep", "\t")
+        .option("pathGlobFilter", "*.cdx")
+        .csv(path)
+    )
+    return raw.select(
+        "url",
+        F.to_timestamp("ts", _WARC_TS_FMT).alias("warc_ts"),
+        "offset",
+        "length",
+        "digest",
+        "warc_file",
+    )
+
+
+def record_at(warc_path: str, offset: int, length: int) -> dict:
+    """Random-access ONE record: read `length` bytes at `offset` (one
+    gzip member), decompress, parse. This is the CDX contract — on
+    object storage the same slice is a ranged GET. Driver-side utility;
+    the distributed twin is ``fetch_records``."""
+    with open(warc_path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    rec = next(_iter_warc_records(gzip.GzipFile(fileobj=io.BytesIO(blob))))
+    row = _response_row(rec, os.path.basename(warc_path))
+    if row is None:
+        raise ValueError(f"record at {offset} is not a response record")
+    return row
+
+
+def fetch_records(cdx: DataFrame, warc_dir: str) -> DataFrame:
+    """Distributed CDX random access: fetch exactly the records named
+    by the `cdx` rows (any subset/filter of ``read_cdx`` output) from
+    the warc files under `warc_dir`.
+
+    Scale shape: shuffle the index rows by ``warc_file`` so each task
+    owns whole files, then read that file's wanted members in offset
+    order — one open + monotonic forward seeks per file (sequential I/O
+    on disk, coalescible ranged GETs on object storage). Only the
+    selected members are ever read or decompressed.
+    """
+    sel = (
+        cdx.select("warc_file", "offset", "length")
+        .repartition("warc_file")
+        .sortWithinPartitions("warc_file", "offset")
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        open_path: str | None = None
+        fh = None
+        rows: list[dict] = []
+        try:
+            for pdf in batches:
+                for wf, off, ln in zip(
+                    pdf["warc_file"], pdf["offset"], pdf["length"]
+                ):
+                    path = os.path.join(warc_dir, str(wf))
+                    if path != open_path:
+                        if fh is not None:
+                            fh.close()
+                        fh = open(path, "rb")
+                        open_path = path
+                    fh.seek(int(off))
+                    blob = fh.read(int(ln))
+                    rec = next(
+                        _iter_warc_records(gzip.GzipFile(fileobj=io.BytesIO(blob)))
+                    )
+                    row = _response_row(rec, str(wf))
+                    if row is None:
+                        continue
+                    rows.append(row)
+                    if len(rows) >= 500:  # bounded output batches
+                        yield pd.DataFrame(rows)
+                        rows = []
+        finally:
+            if fh is not None:
+                fh.close()
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return sel.mapInPandas(fetch, WARC_RECORD_SCHEMA)

@@ -4,13 +4,15 @@ crawl over the parquet-shaped corpus."""
 
 import gzip
 import glob
+import hashlib
 import io
 
 import pytest
 from pyspark.sql import functions as F
 
 from cloud_crawler_spark.sources.warc import (
-    _iter_warc_records, read_warc, warc_to_pages, write_warc)
+    _iter_warc_records, fetch_records, read_cdx, read_warc, record_at,
+    warc_to_pages, write_warc)
 from tests.helpers import crawled_names, make_corpus, make_seeds
 
 _U = "http://www.example.com"
@@ -81,6 +83,53 @@ class TestWarcRoundTrip:
         assert len(rows) == 1
         assert rows[0]["url"] == "http://a.example/x"
         assert bytes(rows[0]["html"]) == b"<html>x</html>"
+
+
+class TestCdx:
+    def test_read_cdx_matches_manifest_and_digests(self, spark, tmp_path):
+        out = str(tmp_path / "warc")
+        pages = _pages(spark).repartition(3)
+        manifest = {r["warc_file"]: r["n_records"]
+                    for r in write_warc(pages, out).collect()}
+        assert len(glob.glob(out + "/*.cdx")) == len(manifest)
+
+        cdx = read_cdx(spark, out)
+        per_file = {r["warc_file"]: r["n"]
+                    for r in cdx.groupBy("warc_file")
+                               .agg(F.count("*").alias("n")).collect()}
+        assert per_file == manifest
+
+        html = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+        for r in cdx.collect():
+            assert r["digest"] == hashlib.sha1(html[r["url"]]).hexdigest()
+            assert r["warc_ts"] is not None
+
+    def test_record_at_slices_exact_record(self, spark, tmp_path):
+        out = str(tmp_path / "warc")
+        write_warc(_pages(spark, 9).coalesce(1), out)
+        rows = read_cdx(spark, out).collect()
+        assert len(rows) == 9
+        for r in rows:
+            rec = record_at(f"{out}/{r['warc_file']}", r["offset"], r["length"])
+            assert rec["url"] == r["url"]
+            assert hashlib.sha1(rec["html"]).hexdigest() == r["digest"]
+            assert rec["http_status"] == 200
+
+    def test_fetch_records_subset(self, spark, tmp_path):
+        out = str(tmp_path / "warc")
+        pages = _pages(spark, 23).repartition(4)
+        write_warc(pages, out)
+        wanted = read_cdx(spark, out).where(
+            F.regexp_extract("url", r"p(\d+)$", 1).cast("int") % 3 == 0)
+        want_urls = {r["url"] for r in wanted.select("url").collect()}
+        assert 0 < len(want_urls) < 23
+
+        got = {r["url"]: r for r in fetch_records(wanted, out).collect()}
+        assert set(got) == want_urls
+        orig = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+        for url in want_urls:
+            assert bytes(got[url]["html"]) == orig[url]  # byte-identical
+            assert got[url]["warc_type"] == "response"
 
 
 class TestWarcCrawl:
