@@ -135,6 +135,49 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# ------------------------------------------------- PII scrubbing
+
+# RE2-safe patterns (no backrefs / lookaround) so the exact same regex
+# runs in Spark (Java regex) and in the DuckDB oracle (RE2) with
+# identical leftmost-first greedy semantics.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# >= 9 chars of digits/separators starting and ending on a digit; run
+# AFTER email+IP scrubbing (longer dotted IPs would otherwise match)
+PII_PHONE_RE = r"\+?\d[\d\-\s().]{7,}\d"
+
+_PII_STAGES = (
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("ip", PII_IPV4_RE, "<IP>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def scrub_pii(col) -> Column:
+    """Redact emails, IPv4 addresses, and phone-number-shaped digit
+    runs (in that order — the order is load-bearing, see PII_PHONE_RE).
+    Pure regexp_replace chain: whole-stage codegen, no Python, and
+    byte-for-byte reproducible by the SQL oracle."""
+    out = col
+    for _, pat, tag in _PII_STAGES:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(col) -> list[Column]:
+    """Per-stage match counts [n_emails, n_ips, n_phones], each counted
+    on the text AFTER the previous stages' redactions (mirrors what
+    scrub_pii actually removes)."""
+    cur = col
+    counts = []
+    for name, pat, tag in _PII_STAGES:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}s")
+        )
+        cur = F.regexp_replace(cur, pat, tag)
+    return counts
+
+
 # ------------------------------------------------- rolling hash (UDF path)
 
 _B = 1000003

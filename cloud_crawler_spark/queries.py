@@ -798,6 +798,62 @@ def q_quality_buckets(spark, sf_dir):
     return quality_buckets(_t(spark, sf_dir, "documents"))
 
 
+# The PII operator must be exercised on text that actually CONTAINS
+# PII; the synthetic documents are plain words. Both engines therefore
+# append the same deterministic doc_id-derived email / IPv4 / phone
+# before scrubbing — the operator (functions/text.py scrub_pii) is
+# general, the augmentation is only the test vector.
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@example.com'"
+    " || ' from 10.1.' || (doc_id % 256) || '.7'"
+    " || ' tel +1 (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+
+@_register(
+    "q_pii_scrub",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+    s1 AS (SELECT doc_id,
+                  len(regexp_extract_all(t, '{TX.PII_EMAIL_RE}')) AS n_emails,
+                  regexp_replace(t, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g') AS t
+           FROM aug),
+    s2 AS (SELECT doc_id, n_emails,
+                  len(regexp_extract_all(t, '{TX.PII_IPV4_RE}')) AS n_ips,
+                  regexp_replace(t, '{TX.PII_IPV4_RE}', '<IP>', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, n_emails, n_ips,
+                  len(regexp_extract_all(t, '{TX.PII_PHONE_RE}')) AS n_phones,
+                  regexp_replace(t, '{TX.PII_PHONE_RE}', '<PHONE>', 'g') AS t
+           FROM s2)
+    SELECT doc_id, n_emails::BIGINT AS n_emails, n_ips::BIGINT AS n_ips,
+           n_phones::BIGINT AS n_phones,
+           substr(md5(t), 1, 16) AS scrubbed_fp
+    FROM s3
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails / IPv4s / phone-shaped digit runs) as a
+    pure regexp_replace chain — training-data pipelines redact PII
+    before anything else touches the text. Narrow codegen projection:
+    no shuffle, no Python, trivially 100 TB-safe."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.lit(" from 10.1."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+        F.lit(" tel +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        *TX.pii_counts(aug),
+        F.substring(F.md5(TX.scrub_pii(aug)), 1, 16).alias("scrubbed_fp"),
+    )
+
+
 # ======================================================================
 # 4. Classic relational coverage (agg/join/sort pipelines)
 # ======================================================================

@@ -196,3 +196,32 @@ def test_quality_buckets_shape(spark):
         b1 = [r["n_stop"] for r in rows if r["lang"] == lang and r["bucket"] == 1]
         b3 = [r["n_stop"] for r in rows if r["lang"] == lang and r["bucket"] == 3]
         assert min(b1) >= max(b3)
+
+
+class TestPiiScrub:
+    def test_scrub_and_counts(self, spark):
+        rows = spark.createDataFrame(
+            [
+                (0, "mail me at jo.doe+x@sub.example.co.uk today"),
+                (1, "server 192.168.001.100 and 10.0.0.1 are up"),
+                (2, "call +1 (555) 010-4242 or 555-0100-22334"),
+                (3, "clean text with no pii at all"),
+                (4, None),
+            ],
+            "id long, t string",
+        ).select(
+            "id", "t",
+            TX.scrub_pii(F.col("t")).alias("s"),
+            *TX.pii_counts(F.col("t")),
+        ).collect()
+        by = {r["id"]: r for r in rows}
+        assert by[0]["s"] == "mail me at <EMAIL> today"
+        assert (by[0]["n_emails"], by[0]["n_ips"], by[0]["n_phones"]) == (1, 0, 0)
+        # IPs scrubbed BEFORE phones: the 15-char dotted IP must come
+        # out as <IP>, not match the phone-shaped digit-run pattern
+        assert by[1]["s"] == "server <IP> and <IP> are up"
+        assert (by[1]["n_emails"], by[1]["n_ips"], by[1]["n_phones"]) == (0, 2, 0)
+        assert by[2]["s"] == "call <PHONE> or <PHONE>"
+        assert by[2]["n_phones"] == 2
+        assert by[3]["s"] == by[3]["t"]
+        assert by[4]["s"] is None
