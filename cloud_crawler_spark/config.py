@@ -72,6 +72,12 @@ class CrawlConfig:
     job_limit: Optional[int] = None
     host_budget: Optional[int] = None          # per-host fetches per round (politeness);
                                                # None = unlimited within batch_size
+    # honor robots.txt Crawl-delay (Robotex exposes it as #delay): each
+    # declaring host's per-round budget becomes
+    # max(1, floor(round_window_sec / delay)), overriding host_budget
+    # for that host (operators/robots.delay_budgets)
+    honor_crawl_delay: bool = False
+    round_window_sec: float = 60.0             # wall-clock seconds one round stands in for
     max_rounds: int = 1000                     # driver-loop safety bound
 
     # ---- projections ----

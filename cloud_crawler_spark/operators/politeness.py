@@ -43,16 +43,21 @@ def select_budget(
     host_budget: int | None,
     batch_size: int | None,
     salt_buckets: int = 8,
+    host_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split pending frontier rows into (selected, deferred).
 
     host_budget: max fetches per host per round (None = unlimited).
     batch_size:  global max fetches per round (None = unlimited).
+    host_budgets: optional per-host overrides (host, budget) — e.g.
+      robots Crawl-delay translated by operators/robots.delay_budgets.
+      A listed host uses its own budget; unlisted hosts fall back to
+      host_budget (or no per-host cap when host_budget is None).
     Deferred rows keep all columns and re-compete next round in the
     same deterministic order — the no-loss guarantee the reference's
     checkpoint specs assert.
     """
-    if host_budget is None and batch_size is None:
+    if host_budget is None and batch_size is None and host_budgets is None:
         # no budgets: everything pending is selected, nothing deferred —
         # skip the windows entirely
         empty = frontier.sparkSession.createDataFrame([], frontier.schema)
@@ -62,20 +67,42 @@ def select_budget(
     deferred_parts = []
     selected = frontier
 
-    if host_budget is not None:
+    if host_budget is not None or host_budgets is not None:
         salted = selected.withColumn(
             "_salt", F.pmod(F.xxhash64("canon_url"), F.lit(salt_buckets))
         )
+        default_cap = (
+            F.lit(host_budget).cast("int")
+            if host_budget is not None
+            else F.lit(None).cast("int")
+        )
+        if host_budgets is not None:
+            overrides = F.broadcast(
+                host_budgets.select(
+                    F.col("host").alias("_bhost"),
+                    F.col("budget").cast("int").alias("_hb"),
+                )
+            )
+            salted = salted.join(
+                overrides, F.col("host") == F.col("_bhost"), "left"
+            )
+            cap = F.coalesce(F.col("_hb"), default_cap)
+        else:
+            cap = default_cap
+        # cap NULL = this host has no per-host limit this round; the
+        # two-stage top-k stays valid per host because each host's cap
+        # is a single value on all its rows
         w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols())
         stage1 = salted.withColumn("_r1", F.row_number().over(w1))
-        deferred_parts.append(stage1.where(F.col("_r1") > host_budget).select(*cols))
+        over1 = cap.isNotNull() & (F.col("_r1") > cap)
+        deferred_parts.append(stage1.where(over1).select(*cols))
         w2 = Window.partitionBy("host").orderBy(*order_cols())
-        stage2 = (
-            stage1.where(F.col("_r1") <= host_budget)
-            .withColumn("_r2", F.row_number().over(w2))
-        )
-        deferred_parts.append(stage2.where(F.col("_r2") > host_budget).select(*cols))
-        selected = stage2.where(F.col("_r2") <= host_budget).select(*cols)
+        # over1/over2 are never NULL: FALSE AND NULL = FALSE, so a
+        # null cap (uncapped host) always lands in `selected`
+        stage2 = stage1.where(~over1).withColumn("_r2", F.row_number().over(w2))
+        over2 = cap.isNotNull() & (F.col("_r2") > cap)
+        deferred_parts.append(stage2.where(over2).select(*cols))
+        selected = stage2.where(~over2).select(*cols)
 
     if batch_size is not None:
         # global cap: two-stage again — top batch_size per host-bucket,

@@ -52,6 +52,33 @@ def parse_robots_body(body: str) -> list[tuple[str, bool]]:
     return rules
 
 
+def parse_crawl_delay(body: str) -> float | None:
+    """robots.txt body -> Crawl-delay (seconds) for the User-agent: *
+    group, or None. Same group-selection logic as parse_robots_body
+    (the Robotex gem exposes the same directive as `#delay`)."""
+    delay: float | None = None
+    applies = False
+    seen_any_group = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            applies = val == "*"
+            seen_any_group = True
+        elif key == "crawl-delay" and (applies or not seen_any_group):
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d > 0:
+                delay = d
+    return delay
+
+
 _RULES_TYPE = T.ArrayType(
     T.StructType(
         [T.StructField("prefix", T.StringType()), T.StructField("allow", T.BooleanType())]
@@ -68,6 +95,47 @@ def parse_robots_udf(bodies: pd.Series) -> pd.Series:
             for b in bodies
         ],
         dtype="object",
+    )
+
+
+@pandas_udf(T.DoubleType())
+def crawl_delay_udf(bodies: pd.Series) -> pd.Series:
+    """Arrow-batched Crawl-delay extractor (executor-side)."""
+    return pd.Series(
+        [parse_crawl_delay(b) for b in bodies], dtype="float64"
+    )
+
+
+def crawl_delays(robots_df: DataFrame | None) -> DataFrame | None:
+    """robots(host, body) -> (host, crawl_delay double) for hosts that
+    declare a positive Crawl-delay. Executor-side parse, tiny output."""
+    if robots_df is None:
+        return None
+    return (
+        robots_df.select("host", crawl_delay_udf(F.col("body")).alias("crawl_delay"))
+        .where(F.col("crawl_delay").isNotNull())
+    )
+
+
+def delay_budgets(delays: DataFrame | None, window_sec: float) -> DataFrame | None:
+    """Translate per-host Crawl-delay into the batch engine's politeness
+    currency: a per-host fetch budget per round. One round stands in for
+    ``window_sec`` seconds of wall clock, so a host asking for one fetch
+    every ``d`` seconds gets ``max(1, floor(window_sec / d))`` fetches
+    per round (never 0 — progress stays guaranteed; a delay larger than
+    the window just degrades to one fetch per round).
+
+    Output (host, budget int) joins into select_budget as a broadcast
+    dimension — the reference's per-worker ``sleep(delay)``
+    (batch_job.rb:181) re-expressed set-at-a-time."""
+    if delays is None:
+        return None
+    return delays.select(
+        "host",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(float(window_sec)) / F.col("crawl_delay")),
+        ).cast("int").alias("budget"),
     )
 
 

@@ -102,6 +102,15 @@ class Crawler:
                 "with a transport_factory (sources/http_fetch.HttpFetcher)"
             )
         self._robots_hosts = spark.createDataFrame([], "host string")
+        # robots Crawl-delay -> per-host budget overrides (host, budget)
+        self.host_budgets = None
+        if self.config.honor_crawl_delay and corpus.robots is not None:
+            hb = robots_ops.delay_budgets(
+                robots_ops.crawl_delays(corpus.robots),
+                self.config.round_window_sec,
+            )
+            if not hb.isEmpty():
+                self.host_budgets = hb.cache()
 
     def _refresh_robots(self, links: DataFrame):
         """Fetch robots.txt for hosts in `links` not yet covered; fold
@@ -119,6 +128,19 @@ class Crawler:
                 bodies = robots_ops.fetch_robots(
                     new_hosts, self.config.fetcher.transport_factory
                 )
+                if self.config.honor_crawl_delay:
+                    # two consumers (rules + delays): pin the fetched
+                    # bodies so hosts are not fetched twice
+                    bodies = bodies.localCheckpoint(eager=True)
+                    new_b = robots_ops.delay_budgets(
+                        robots_ops.crawl_delays(bodies),
+                        self.config.round_window_sec,
+                    )
+                    base_b = self.host_budgets
+                    merged_b = (
+                        new_b if base_b is None else base_b.unionByName(new_b)
+                    ).localCheckpoint(eager=True)
+                    self.host_budgets = None if merged_b.isEmpty() else merged_b
                 new_rules = robots_ops.build_rules(self.spark, bodies)
                 base = self.robots_rules
                 merged = (
@@ -205,6 +227,7 @@ class Crawler:
                 seen_nonempty=seen_nonempty,
                 robots_broadcast=self.robots_broadcast,
                 robots_refresh=self._refresh_robots if self._live_robots else None,
+                host_budgets=self.host_budgets,
             )
             # run_round localCheckpoints the fetched+parsed block (plan
             # truncation at the round boundary — without it an iterative

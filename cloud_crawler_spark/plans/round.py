@@ -318,6 +318,7 @@ def run_round(
     seen_nonempty: bool = True,
     robots_broadcast: bool = True,
     robots_refresh=None,
+    host_budgets: DataFrame | None = None,
 ) -> RoundResult:
     """Execute round `round_no`. `expand=False` = curl mode (C5):
     fetch-only, no link following; `dedup_gate=False` also skips the
@@ -344,7 +345,8 @@ def run_round(
     )
 
     selected, deferred = select_budget(
-        pending, config.host_budget, config.batch_size, config.salt_buckets
+        pending, config.host_budget, config.batch_size, config.salt_buckets,
+        host_budgets=host_budgets,
     )
     deferred = deferred.cache()
 
