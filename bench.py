@@ -33,6 +33,7 @@ HEADLINE = [
     "q_gopher_repetition",
     "q_stratified_sample",
     "q_quality_buckets",
+    "q_pii_scrub",
     "q_events_hourly",
     "q_politeness_topk",
     "q_crawl_bfs",
