@@ -122,8 +122,11 @@ def _canonicalize_slow(url: str) -> str | None:
     except ValueError:
         return None
     scheme = "http" if parts.scheme in ("http", "https") else parts.scheme
-    host = parts.hostname or ""
-    port = parts.port
+    try:
+        host = parts.hostname or ""
+        port = parts.port
+    except ValueError:  # malformed netloc, e.g. '//::' (port=':')
+        return None
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(parts.scheme, ""):
         netloc = f"{host}:{port}"
