@@ -34,6 +34,10 @@ HEADLINE = [
     "q_stratified_sample",
     "q_quality_buckets",
     "q_pii_scrub",
+    "q_decontaminate",
+    "q_span_dedup",
+    "q_semdedup",
+    "q_blocklist",
     "q_events_hourly",
     "q_politeness_topk",
     "q_crawl_bfs",

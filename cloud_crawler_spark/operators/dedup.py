@@ -533,3 +533,109 @@ def clean_corpus(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
         .select("k.doc_id", "k.lang_pred", "k.n_tokens", "n_near_dups")
     )
+
+
+# ------------------------------------------------------------ decontamination
+
+
+def token_ngrams(col, n: int):
+    """Consecutive (overlapping) token n-grams of a text column,
+    space-joined — built-in sequence+transform+slice, no UDF. Tokens
+    are lowercased whitespace splits with empties removed (NOT
+    deduplicated — n-grams need the original sequence). Documents
+    shorter than `n` tokens yield an empty array."""
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8,
+                  bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token n-gram with an evaluation/benchmark set (the GPT-3/Pile-style
+    13-gram rule, `n` configurable).
+
+    Plan shape for 100 TB: the benchmark side is eval data — small by
+    construction (thousands of docs) — so its distinct n-gram set is
+    BROADCAST; the corpus side is a projection + explode + LEFT SEMI
+    broadcast-hash join, i.e. a single map-side pass over the corpus
+    with no shuffle of corpus data at all. The contaminated-id set
+    (small) then LEFT-joins back to annotate.
+
+    Returns df's rows plus `contaminated` (1 if any shared n-gram).
+    """
+    bcol = bench_text_col or text_col
+    bench_g = (
+        benchmark.select(F.explode(token_ngrams(F.col(bcol), n)).alias("_ng"))
+        .distinct()
+    )
+    doc_g = df.select(F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("_ng"))
+    hit = (
+        doc_g.join(F.broadcast(bench_g), "_ng", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return df.join(hit, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(0))
+    )
+
+
+# ------------------------------------------------------------ span dedup
+
+
+def span_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               window: int = 10) -> DataFrame:
+    """Span-level (line-level analogue) corpus dedup, CCNet/RefinedWeb
+    style: chunk each document's token stream into NON-overlapping
+    `window`-token spans, drop every span whose exact text occurs in
+    more than one document, and reassemble the survivors in order.
+
+    Plan shape for 100 TB: span doc-frequency is a groupBy on
+    xxhash64(span) — an 8-byte shuffle key instead of the span string
+    (the span text itself never shuffles for the frequency count); the
+    keep/drop decision joins back on the same 8-byte key. Collision
+    odds at 2^64 are negligible for dedup semantics (a collision
+    deletes one extra span). Reassembly is one groupBy(doc) with an
+    array_sort over (idx, span) structs — no window function, no
+    driver state.
+
+    Returns one row per input doc: (id, clean_text, n_spans,
+    n_spans_dropped). Docs whose spans were all dropped keep a row
+    with clean_text = ''.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.ceil(F.size(toks) / window) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+    )
+    spans = df.select(
+        F.col(id_col), F.posexplode(spans_arr).alias("_idx", "_span")
+    ).where(F.col("_span") != "")
+    spans = spans.withColumn("_h", F.xxhash64("_span"))
+    freq = spans.groupBy("_h").agg(F.countDistinct(id_col).alias("_ndocs"))
+    marked = spans.join(freq, "_h").withColumn("_keep", F.col("_ndocs") == 1)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_idx", "_span"))
+                        )
+                    ),
+                    lambda s: s["_span"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_spans_dropped"),
+        )
+    )

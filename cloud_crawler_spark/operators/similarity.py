@@ -243,3 +243,60 @@ def lsh_knn(
     return scored.withColumn("knn_rank", F.row_number().over(w)).where(
         F.col("knn_rank") <= k
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    n_iters: int = 0,
+    sample_mod: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023 semantics): cluster embeddings with the IVF
+    coarse quantizer, then within each cluster drop any vector that has
+    a LOWER-id neighbor with cosine >= threshold (deterministic
+    keep-first rule; cosine rounded to 6 digits before the comparison
+    so the decision is reproducible across engines).
+
+    Plan shape for 100 TB: identical to IVF — centroids train on a
+    deterministic sample, the corpus gets ONE Arrow-batched assignment
+    pass, and candidate pairs come from a self equi-join on list_id
+    (cluster size ~ N/n_lists; n_lists grows with N so per-cluster
+    pair fanout stays bounded). No all-pairs join, no driver state
+    beyond the n_lists x dim centroid matrix.
+
+    Returns (id, list_id, is_dup) for every input vector — survivors
+    are the is_dup = 0 rows.
+    """
+    from cloud_crawler_spark.operators.dedup import cosine
+
+    cents = train_ivf_centroids(
+        corpus, n_lists=n_lists, n_iters=n_iters, sample_mod=sample_mod,
+        vec_col=vec_col, id_col=id_col,
+    )
+    assign = _assign_list_udf(cents)
+    assigned = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("list_id", assign(F.col("_v")))
+    a = assigned.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "list_id")
+    b = assigned.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "list_id")
+    dups = (
+        a.join(b, "list_id")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dups, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "list_id",
+            F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+        )
+    )

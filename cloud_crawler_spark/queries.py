@@ -854,6 +854,156 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+@_register(
+    "q_decontaminate",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\\s+'),
+                                     t -> t <> '') AS t
+                  FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 4
+                      THEN [array_to_string(t[i:i+3], ' ')
+                            for i in range(1, len(t) - 3 + 1)]
+                      ELSE [] END AS gs
+          FROM toks),
+    bench AS (SELECT DISTINCT unnest(gs) AS ng FROM g WHERE doc_id % 37 = 0),
+    hit AS (SELECT DISTINCT doc_id
+            FROM (SELECT doc_id, unnest(gs) AS ng FROM g WHERE doc_id % 37 <> 0)
+            WHERE ng IN (SELECT ng FROM bench))
+    SELECT doc_id,
+           (doc_id IN (SELECT doc_id FROM hit))::INT AS contaminated
+    FROM documents WHERE doc_id % 37 <> 0
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 App. C / Pile-style shared
+    token-n-gram rule): flag training docs sharing any 4-gram with the
+    held-out benchmark slice (doc_id % 37 == 0). Benchmark n-grams are
+    broadcast; the corpus side is one map-side semi-join pass
+    (operators/dedup.decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return DD.decontaminate(train, bench, n=4).select(
+        "doc_id", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+@_register(
+    "q_span_dedup",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\\s+'),
+                                     t -> t <> '') AS t
+                  FROM documents),
+    s AS (SELECT doc_id, u['idx'] AS idx, u['span'] AS span
+          FROM (SELECT doc_id,
+                       unnest([{'idx': i,
+                                'span': array_to_string(t[i*10+1:i*10+10], ' ')}
+                               for i in range(0, greatest(cast(ceil(len(t)/10.0)
+                                                                AS BIGINT), 1))]) AS u
+                FROM toks)
+          WHERE u['span'] <> ''),
+    f AS (SELECT span, count(DISTINCT doc_id) AS ndocs FROM s GROUP BY span),
+    m AS (SELECT s.doc_id, s.idx, s.span, f.ndocs = 1 AS keep
+          FROM s JOIN f USING (span))
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY idx),
+                    '') AS clean_text,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_spans_dropped
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_span_dedup(spark, sf_dir):
+    """Span-level corpus dedup (CCNet/RefinedWeb line-dedup analogue):
+    drop every non-overlapping 10-token span occurring in more than one
+    document, reassemble survivors in order. Frequency count shuffles
+    only an 8-byte xxhash64 key (operators/dedup.span_dedup)."""
+    return DD.span_dedup(_t(spark, sf_dir, "documents"), window=10)
+
+
+@_register(
+    "q_semdedup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v
+      FROM e WHERE vec_id % {_IVF_SAMPLE_MOD} = 0
+      ORDER BY vec_id LIMIT {_IVF_LISTS}),
+    assign AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT e.vec_id, e.v, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.v) DESC,
+                                           c.list_id) AS rn
+        FROM e CROSS JOIN cent c)
+      WHERE rn = 1),
+    dup AS (SELECT DISTINCT b.vec_id
+            FROM assign a JOIN assign b
+              ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+    SELECT vec_id, list_id::INT AS list_id,
+           (vec_id IN (SELECT vec_id FROM dup))::INT AS is_dup
+    FROM assign
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF-cluster the embeddings, drop
+    any vector with a lower-id >= 0.4-cosine neighbor in its cluster.
+    One Arrow assignment pass + a per-cluster equi-join — no all-pairs
+    (operators/similarity.semantic_dedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        emb, threshold=0.4, n_lists=_IVF_LISTS, n_iters=0,
+        sample_mod=_IVF_SAMPLE_MOD,
+    ).select("vec_id", F.col("list_id").cast("int").alias("list_id"),
+             F.col("is_dup").cast("int").alias("is_dup"))
+
+
+@_register(
+    "q_blocklist",
+    """
+    WITH h AS (SELECT doc_id,
+                      'h' || (doc_id % 11) || '.' ||
+                      CASE WHEN doc_id % 3 = 0 THEN 'ads.example.com'
+                           WHEN doc_id % 3 = 1 THEN 'cdn.shop.net'
+                           ELSE 'blog.example.org' END AS host
+               FROM documents),
+    bl AS (SELECT unnest(['ads.example.com', 'spam.tk']) AS d)
+    SELECT doc_id, host,
+           (EXISTS (SELECT 1 FROM bl
+                    WHERE h.host = bl.d OR h.host LIKE '%.' || bl.d))::INT
+             AS blocked
+    FROM h
+    """,
+)
+def q_blocklist(spark, sf_dir):
+    """UT1-style domain-suffix blocklist gate: a blocked domain blocks
+    itself and every subdomain, never lookalikes. Hosts expand to their
+    label suffixes JVM-side and probe a broadcast blocklist
+    (operators/blocklist.apply_blocklist)."""
+    from cloud_crawler_spark.operators.blocklist import apply_blocklist
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 11).cast("string"), F.lit("."),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("ads.example.com"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("cdn.shop.net"))
+            .otherwise(F.lit("blog.example.org")),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("ads.example.com",), ("spam.tk",)], "domain string"
+    )
+    return apply_blocklist(hosts, bl).select(
+        "doc_id", "host", F.col("blocked").cast("int").alias("blocked")
+    )
+
+
 # ======================================================================
 # 4. Classic relational coverage (agg/join/sort pipelines)
 # ======================================================================

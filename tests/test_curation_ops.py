@@ -1,0 +1,116 @@
+"""Semantics tests for the round-3 curation operators: benchmark
+decontamination, span-level dedup, SemDeDup, and the domain blocklist.
+The query/oracle parity lives in test_queries_oracle.py; these pin the
+hand-checkable edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark.operators.blocklist import apply_blocklist, domain_suffixes
+from cloud_crawler_spark.operators.dedup import decontaminate, span_dedup, token_ngrams
+from cloud_crawler_spark.operators.similarity import semantic_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTokenNgrams:
+    def test_basic_and_short_doc(self, spark):
+        df = spark.createDataFrame(
+            [("A b  c d",), ("x y",)], "t string"
+        ).select(token_ngrams(F.col("t"), 3).alias("g"))
+        got = [r["g"] for r in df.collect()]
+        assert got[0] == ["a b c", "b c d"]
+        assert got[1] == []  # shorter than n -> empty, never [1,0] sequence
+
+
+class TestDecontaminate:
+    def test_flags_shared_ngram_only(self, spark):
+        train = _docs(spark, [
+            (1, "alpha beta gamma delta epsilon"),   # shares 4-gram w/ bench
+            (2, "one two three four five"),          # clean
+            (3, "alpha beta gamma"),                 # too short for any 4-gram
+        ])
+        bench = _docs(spark, [(100, "zz alpha beta gamma delta yy")])
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(train, bench, n=4).collect()
+        }
+        assert got == {1: 1, 2: 0, 3: 0}
+
+    def test_all_rows_preserved(self, spark):
+        train = _docs(spark, [(i, f"tok{i} a b c") for i in range(10)])
+        bench = _docs(spark, [(99, "nothing shared here at all")])
+        out = decontaminate(train, bench, n=4)
+        assert out.count() == 10
+        assert out.agg(F.sum("contaminated")).first()[0] == 0
+
+
+class TestSpanDedup:
+    def test_shared_span_dropped_order_kept(self, spark):
+        # both docs OPEN with the same 10 tokens, so their first spans
+        # are exact duplicates; the tails differ and must survive
+        shared = " ".join(f"s{i}" for i in range(10))
+        df = _docs(spark, [
+            (1, f"{shared} tail1 x"),
+            (2, f"{shared} tail2 y"),
+            (3, "unique tokens entirely here"),
+        ])
+        got = {r["doc_id"]: r for r in span_dedup(df, window=10).collect()}
+        assert got[1]["clean_text"] == "tail1 x"
+        assert got[2]["clean_text"] == "tail2 y"
+        assert got[1]["n_spans_dropped"] == 1 and got[1]["n_spans"] == 2
+        assert got[3]["clean_text"] == "unique tokens entirely here"
+        assert got[3]["n_spans_dropped"] == 0
+
+    def test_all_spans_dropped_keeps_row(self, spark):
+        t = " ".join(f"w{i}" for i in range(10))
+        df = _docs(spark, [(1, t), (2, t)])
+        got = {r["doc_id"]: r for r in span_dedup(df, window=10).collect()}
+        assert got[1]["clean_text"] == "" and got[2]["clean_text"] == ""
+        assert got[1]["n_spans_dropped"] == 1
+
+
+class TestSemanticDedup:
+    def test_near_identical_in_cluster_dropped(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 0.01, 0.0]),   # ~ vec 0 -> same cluster, cos ~1
+            (3, [0.0, 0.0, 1.0]),
+            (4, [0.0, 0.0, -1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # n_lists=2: centroids are vecs 0 and 1, so the near-identical
+        # pair (0, 2) lands in the same cluster instead of vec 2
+        # becoming its own centroid
+        out = semantic_dedup(df, threshold=0.95, n_lists=2, n_iters=0)
+        got = {r["vec_id"]: r["is_dup"] for r in out.collect()}
+        assert got[2] == 1          # higher id of the near-identical pair
+        assert got[0] == 0          # lower id survives
+        assert got[1] == 0 and got[3] == 0 and got[4] == 0
+        assert out.count() == 5     # every input vector gets a row
+
+
+class TestBlocklist:
+    def test_suffix_semantics(self, spark):
+        hosts = spark.createDataFrame(
+            [(1, "ads.example.com"),        # exact -> blocked
+             (2, "a.b.ads.example.com"),    # subdomain -> blocked
+             (3, "notads.example.com"),     # lookalike -> clean
+             (4, "example.com"),            # parent of blocked -> clean
+             (5, "Ads.Example.COM"),        # case-insensitive -> blocked
+             (6, "com")],                   # bare TLD, single label -> clean
+            "doc_id long, host string",
+        )
+        bl = spark.createDataFrame([("ads.example.com",)], "domain string")
+        got = {r["doc_id"]: r["blocked"]
+               for r in apply_blocklist(hosts, bl).collect()}
+        assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 1, 6: 0}
+
+    def test_tld_cannot_be_blocklisted(self, spark):
+        df = spark.createDataFrame([("x.com",)], "host string").select(
+            domain_suffixes(F.col("host")).alias("s")
+        )
+        assert df.first()["s"] == ["x.com"]  # 'com' alone never emitted
