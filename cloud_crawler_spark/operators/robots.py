@@ -249,3 +249,29 @@ def filter_allowed(
         .where(F.col("_robots_ok"))
         .drop("_rhost", "_rset", "_robots_ok")
     )
+
+
+# ------------------------------------------------------- Sitemap discovery
+
+
+def sitemap_urls(robots_df: DataFrame) -> DataFrame:
+    """robots(host, body) -> (host, sitemap_url): the ``Sitemap:``
+    cross-reference directive (sitemaps.org). Per the robots spec the
+    directive is GLOBAL — independent of any User-agent group — so this
+    is a plain line extraction, not group-scoped parsing. Pure codegen
+    (regexp_extract_all over the body), no Python; feed the result
+    (or its ``sitemap_url`` column) to sources/sitemap.sitemap_seeds
+    as roots for a robots-bootstrapped seed list."""
+    body = F.col("body").cast("string")
+    return (
+        robots_df.select(
+            "host",
+            F.explode(
+                F.regexp_extract_all(
+                    body, F.lit(r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"), 1
+                )
+            ).alias("sitemap_url"),
+        )
+        .where(F.col("sitemap_url") != "")
+        .distinct()
+    )

@@ -1004,6 +1004,55 @@ def q_blocklist(spark, sf_dir):
     )
 
 
+@_register(
+    "q_anchor_text",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    t AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+    a AS (SELECT doc_id, array_to_string(t[1:2], ' ') AS anchor FROM t),
+    e AS (SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst,
+                 anchor
+          FROM a
+          UNION ALL
+          SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn), anchor FROM a)
+    SELECT dst AS dst_doc,
+           count(DISTINCT src)::BIGINT AS n_sources,
+           array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+    FROM e GROUP BY dst
+    """,
+)
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text index: aggregate the anchor strings of every inlink
+    per target page — the classic web-corpus signal (search ranking,
+    query/title training pairs). One groupBy(dst) with collect_set;
+    anchors ride the same shuffle as the inlink count. Edges reuse the
+    host-graph synthesis; anchor = source doc's first two tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar (table size), not data-shaped
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    a = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("anchor"),
+    )
+    e = a.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 1) % n).alias("dst"), "anchor",
+    ).unionAll(a.select(
+        F.col("doc_id"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"), "anchor",
+    ))
+    return (
+        e.groupBy(F.col("dst").alias("dst_doc"))
+        .agg(
+            F.countDistinct("src").alias("n_sources"),
+            F.concat_ws("|", F.array_sort(F.collect_set("anchor"))).alias("anchors"),
+        )
+    )
+
+
 # ======================================================================
 # 4. Classic relational coverage (agg/join/sort pipelines)
 # ======================================================================

@@ -361,3 +361,109 @@ def fetch_records(cdx: DataFrame, warc_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return sel.mapInPandas(fetch, WARC_RECORD_SCHEMA)
+
+
+# ------------------------------------------------------------ WET (text)
+
+WET_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("wet_file", T.StringType()),
+    ]
+)
+
+
+def _format_wet_record(url: str, ts, text: str) -> bytes:
+    """One WET 'conversion' record (the Common Crawl extracted-text
+    companion format): Content-Type text/plain, WARC-Refers-To pointing
+    at the uuid5 id write_warc gives the same URL's response record —
+    so a (WARC, WET) pair written by this engine cross-references
+    exactly like a Common Crawl segment pair does."""
+    body = text.encode("utf-8")
+    date = pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, "wet:" + url)
+    refers = uuid.uuid5(uuid.NAMESPACE_URL, url)
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:{refers}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("latin-1")
+    return head + body + b"\r\n\r\n"
+
+
+def write_wet(pages: DataFrame, out_dir: str, text_col: str = "text") -> DataFrame:
+    """Distributed WET sink: one ``part-<n>.warc.wet.gz`` per input
+    partition (member-gzip, mirroring write_warc). Input needs
+    (url, warc_ts, `text_col`); rows with NULL url/text are skipped.
+    Returns the (wet_file, n_records) manifest, materialized."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}.warc.wet.gz"
+        n = 0
+        buf = io.BytesIO()
+        for pdf in batches:
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["_t"]):
+                if url is None or text is None:
+                    continue
+                rec = _format_wet_record(str(url), ts, str(text))
+                with gzip.GzipFile(fileobj=buf, mode="ab", mtime=0) as gz:
+                    gz.write(rec)
+                n += 1
+        if n:
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(buf.getvalue())
+        yield pd.DataFrame({"wet_file": [fname], "n_records": [n]})
+
+    sel = pages.select("url", "warc_ts", F.col(text_col).alias("_t"))
+    out = sel.mapInPandas(write_partition, "wet_file string, n_records long")
+    return out.where(F.col("n_records") > 0).localCheckpoint(eager=True)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Read WET conversion records under `path` into
+    WET_RECORD_SCHEMA. Same parallelism grain as read_warc: one task
+    per file, streaming parse, bounded output batches."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if fpath.endswith(".gz"):
+                    stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(raw))
+                else:
+                    stream = io.BytesIO(raw)
+                rows: list[dict] = []
+                for rec in _iter_warc_records(stream):
+                    h = rec["headers"]
+                    if h.get("warc-type") != "conversion":
+                        continue
+                    rows.append({
+                        "url": h.get("warc-target-uri"),
+                        "warc_ts": pd.Timestamp(h.get("warc-date")),
+                        "text": rec["payload"].decode("utf-8", "replace"),
+                        "wet_file": os.path.basename(fpath),
+                    })
+                    if len(rows) >= 500:
+                        yield pd.DataFrame(rows)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse_files, WET_RECORD_SCHEMA)

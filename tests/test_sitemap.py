@@ -77,3 +77,49 @@ class TestSitemap:
         corpus = _sitemap_corpus(spark)
         seeds = sitemap_seeds(spark, corpus, [f"{_U}/nope.xml"])
         assert seeds.count() == 0
+
+
+class TestRobotsSitemapDiscovery:
+    def test_sitemap_urls_extraction(self, spark):
+        from cloud_crawler_spark.operators.robots import sitemap_urls
+
+        robots = spark.createDataFrame(
+            [
+                # global directive before any group
+                ("a.com", f"Sitemap: {_U}/sitemap.xml\nUser-agent: *\nDisallow: /p"),
+                # inside a group (still global per spec), odd case+indent
+                ("b.com", "User-agent: *\n  sItEmAp:\thttp://b.com/sm.xml\nAllow: /"),
+                # two sitemaps, one duplicated
+                ("c.com", "Sitemap: http://c.com/1.xml\nSitemap: http://c.com/2.xml\n"
+                          "Sitemap: http://c.com/1.xml"),
+                # none
+                ("d.com", "User-agent: *\nDisallow:"),
+                # not at line start (e.g. inside a comment) -> ignored
+                ("e.com", "# see Sitemap: http://e.com/x.xml elsewhere"),
+            ],
+            "host string, body string",
+        )
+        got = {(r["host"], r["sitemap_url"]) for r in sitemap_urls(robots).collect()}
+        assert got == {
+            ("a.com", f"{_U}/sitemap.xml"),
+            ("b.com", "http://b.com/sm.xml"),
+            ("c.com", "http://c.com/1.xml"),
+            ("c.com", "http://c.com/2.xml"),
+        }
+
+    def test_robots_bootstrapped_seed_crawl(self, spark):
+        """End to end: discover the sitemap from robots.txt, expand it,
+        crawl from the resulting seeds."""
+        from cloud_crawler_spark import CrawlConfig, crawl
+        from cloud_crawler_spark.operators.robots import sitemap_urls
+
+        corpus = _sitemap_corpus(spark)
+        robots = spark.createDataFrame(
+            [("www.example.com", f"Sitemap: {_U}/sitemap.xml\nUser-agent: *\nDisallow:")],
+            "host string, body string",
+        )
+        roots = sitemap_urls(robots).select(F.col("sitemap_url").alias("url"))
+        seeds = sitemap_seeds(spark, corpus, roots)
+        res = crawl(spark, corpus, seeds, CrawlConfig(depth_limit=1))
+        # seeded pages 0,1,2 plus 0's link -> 3
+        assert crawled_names(res) == {"0", "1?x=1&y=2", "2", "3"}

@@ -159,3 +159,62 @@ class TestWarcCrawl:
         a = {r["canon_url"]: r["text"] for r in ref.crawled.collect()}
         b = {r["canon_url"]: r["text"] for r in res.crawled.collect()}
         assert a == b
+
+
+class TestWet:
+    def _text_pages(self, spark, n=23):
+        return spark.range(n).select(
+            F.concat(F.lit(f"{_U}/t"), F.col("id")).alias("url"),
+            F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("warc_ts"),
+            F.concat(F.lit("extracted text "), F.col("id"),
+                     F.lit(" with unicode é")).alias("text"),
+        )
+
+    def test_wet_round_trip(self, spark, tmp_path):
+        from cloud_crawler_spark.sources.warc import read_wet, write_wet
+
+        out = str(tmp_path / "wet")
+        pages = self._text_pages(spark).repartition(3)
+        manifest = write_wet(pages, out)
+        assert sum(r["n_records"] for r in manifest.collect()) == 23
+        assert glob.glob(out + "/*.warc.wet.gz")
+
+        back = {r["url"]: r for r in read_wet(spark, out).collect()}
+        orig = {r["url"]: r for r in pages.collect()}
+        assert set(back) == set(orig)
+        for url, r in back.items():
+            assert r["text"] == orig[url]["text"]
+            assert r["warc_ts"] is not None
+
+    def test_wet_refers_to_matches_warc_record_id(self, spark, tmp_path):
+        """The WET record's WARC-Refers-To is the uuid5 id write_warc
+        assigns the same URL's response record (CC pair semantics)."""
+        import uuid as _uuid
+
+        from cloud_crawler_spark.sources.warc import write_wet
+
+        out = str(tmp_path / "wet2")
+        write_wet(self._text_pages(spark, 3).coalesce(1), out)
+        fname = glob.glob(out + "/*.warc.wet.gz")[0]
+        with gzip.open(fname, "rb") as f:
+            recs = list(_iter_warc_records(f))
+        assert len(recs) == 3
+        for rec in recs:
+            h = rec["headers"]
+            assert h["warc-type"] == "conversion"
+            assert h["content-type"] == "text/plain"
+            url = h["warc-target-uri"]
+            want = str(_uuid.uuid5(_uuid.NAMESPACE_URL, url))
+            assert h["warc-refers-to"] == f"<urn:uuid:{want}>"
+
+    def test_read_warc_ignores_wet_files(self, spark, tmp_path):
+        """A mixed segment directory: read_warc must not surface
+        conversion records even though *.warc* matches the wet files."""
+        from cloud_crawler_spark.sources.warc import read_wet, write_wet
+
+        out = str(tmp_path / "mixed")
+        html = _pages(spark, 5).coalesce(1)
+        write_warc(html, out)
+        write_wet(self._text_pages(spark, 7).coalesce(1), out)
+        assert read_warc(spark, out).count() == 5
+        assert read_wet(spark, out).count() == 7
