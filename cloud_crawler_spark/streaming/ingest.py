@@ -27,6 +27,10 @@ corpus map naturally onto Structured Streaming:
   operator: per-host Bloom filter (fixed-size binary state, the same
   double-hash scheme as operators/seen.py) tracking URLs seen across
   micro-batches — bounded state per host at any frontier scale.
+* `streaming_crawl` — foreachBatch continuous crawling: each seed
+  micro-batch runs a bounded BFS crawl whose seen set is seeded from
+  the persistent cross-batch store (store-then-mark ordering), so
+  at-least-once seed delivery becomes effectively-once fetching.
 """
 
 from __future__ import annotations
@@ -51,6 +55,8 @@ __all__ = [
     "streaming_seen_update",
     "read_seen",
     "per_host_seen_state",
+    "read_seeds_stream",
+    "streaming_crawl",
 ]
 
 
@@ -225,4 +231,73 @@ def per_host_seen_state(pages: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------------ streaming crawl
+
+
+def read_seeds_stream(spark: SparkSession, directory: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """readStream over a directory of seeds parquet files
+    (url [, priority]) — new seed drops appear as new files."""
+    r = spark.readStream.schema("url string, priority double")
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(directory)
+
+
+def streaming_crawl(
+    corpus,
+    seeds_stream: DataFrame,
+    out_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str,
+    config=None,
+):
+    """Continuous crawling: each seed micro-batch triggers a bounded
+    BFS crawl (plans/crawler.crawl) whose seen set is seeded from the
+    persistent cross-batch store, so URLs crawled by ANY earlier batch
+    are never refetched — the streaming-native form of the reference's
+    recurring source (S10) composed with its mark-seen ordering (D3):
+
+      * crawled pages append to `out_dir` (idempotent per canon_url
+        for downstream dedup-safe readers);
+      * the batch's newly-seen canon_urls append to `seen_dir` AFTER
+        the page append (store-then-mark, crawl_job.rb:102-104
+        ordering) — a replayed micro-batch re-crawls at most its own
+        batch and re-appends the same canon_urls, which `read_seen`
+        collapses;
+      * Spark's streaming checkpoint (offsets in `checkpoint_dir`)
+        makes seed files at-least-once; the seen anti-join turns that
+        into effectively-once fetching.
+
+    Returns the StreamingQuery (caller awaits/stops it)."""
+    import os
+
+    from cloud_crawler_spark.plans.crawler import crawl
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        seeds = batch_df.select("url").where(F.col("url").isNotNull()).distinct()
+        if seeds.isEmpty():
+            return
+        prev = read_seen(spark, seen_dir) if os.path.exists(seen_dir) else None
+        res = crawl(spark, corpus, seeds, config, initial_seen=prev)
+        crawled = res.crawled
+        if crawled.isEmpty():
+            return
+        crawled.select(
+            "canon_url", "url", "depth", "code", "referer"
+        ).write.mode("append").parquet(out_dir)
+        new_seen = res.seen.select("canon_url")
+        if prev is not None:
+            new_seen = new_seen.join(prev, "canon_url", "left_anti")
+        new_seen.write.mode("append").parquet(seen_dir)
+
+    return (
+        seeds_stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

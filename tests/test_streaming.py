@@ -147,3 +147,47 @@ def test_per_host_seen_state_dedups_across_batches(spark, pages_dir, tmp_path):
     assert [r["batch_new"] for r in a] == [4, 2]
     assert a[-1]["total_seen"] == 6
     assert by_host["b.example.com"][0]["batch_new"] == 2
+
+
+def test_streaming_crawl_cross_batch_seen(spark, tmp_path):
+    """streaming_crawl: batch 2's seeds that batch 1 already crawled
+    are not refetched; output carries each URL exactly once."""
+    from cloud_crawler_spark import CrawlConfig
+    from cloud_crawler_spark.streaming.ingest import (
+        read_seeds_stream, streaming_crawl)
+    from tests.helpers import make_corpus
+
+    corpus = make_corpus(spark, {
+        "0": {"links": ["1"]}, "1": {"links": ["2"]}, "2": {},
+        "4": {"links": ["5"]}, "5": {},
+    })
+    seeds_dir = tmp_path / "seeds"; seeds_dir.mkdir()
+    out_dir = str(tmp_path / "crawled")
+    seen_dir = str(tmp_path / "seen")
+    ck = str(tmp_path / "ck_crawl")
+    cfg = CrawlConfig(depth_limit=2)
+
+    def drop(urls, name):
+        spark.createDataFrame(
+            [(f"http://www.example.com/{u}", 1.0) for u in urls],
+            "url string, priority double",
+        ).coalesce(1).write.mode("append").parquet(str(seeds_dir / name))
+
+    # availableNow drains everything present, then stops; a second
+    # start with the same checkpoint picks up only the new drop
+    drop(["0"], "drop1")
+    q = streaming_crawl(corpus, read_seeds_stream(spark, f"{seeds_dir}/*"),
+                        out_dir, seen_dir, ck, cfg)
+    q.awaitTermination(180)
+    got1 = {r["canon_url"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {f"http://www.example.com/{u}" for u in ("0", "1", "2")}
+
+    drop(["1", "4"], "drop2")  # '1' already crawled by batch 1
+    q = streaming_crawl(corpus, read_seeds_stream(spark, f"{seeds_dir}/*"),
+                        out_dir, seen_dir, ck, cfg)
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out_dir).collect()
+    got = [r["canon_url"] for r in rows]
+    assert sorted(set(got)) == sorted(
+        f"http://www.example.com/{u}" for u in ("0", "1", "2", "4", "5"))
+    assert len(got) == len(set(got))  # nothing fetched twice
