@@ -571,13 +571,20 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, text_col: str = "text",
     Returns df's rows plus `contaminated` (1 if any shared n-gram).
     """
     bcol = bench_text_col or text_col
+    # n-grams compare as xxhash64 longs: the distinct/broadcast/join
+    # all carry 8-byte keys instead of ~n-word strings (a 2^64
+    # collision would flag one extra doc — negligible vs the rule's
+    # own false-positive rate from natural shared phrases)
+    def _grams_h(col):
+        return F.transform(token_ngrams(col, n), lambda g: F.xxhash64(g))
+
     bench_g = (
-        benchmark.select(F.explode(token_ngrams(F.col(bcol), n)).alias("_ng"))
+        benchmark.select(F.explode(_grams_h(F.col(bcol))).alias("_h"))
         .distinct()
     )
-    doc_g = df.select(F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("_ng"))
+    doc_g = df.select(F.col(id_col), F.explode(_grams_h(F.col(text_col))).alias("_h"))
     hit = (
-        doc_g.join(F.broadcast(bench_g), "_ng", "left_semi")
+        doc_g.join(F.broadcast(bench_g), "_h", "left_semi")
         .select(id_col)
         .distinct()
         .withColumn("contaminated", F.lit(1))

@@ -271,23 +271,43 @@ def semantic_dedup(
     Returns (id, list_id, is_dup) for every input vector — survivors
     are the is_dup = 0 rows.
     """
-    from cloud_crawler_spark.operators.dedup import cosine
-
     cents = train_ivf_centroids(
         corpus, n_lists=n_lists, n_iters=n_iters, sample_mod=sample_mod,
         vec_col=vec_col, id_col=id_col,
     )
     assign = _assign_list_udf(cents)
-    assigned = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    ).withColumn("list_id", assign(F.col("_v")))
-    a = assigned.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "list_id")
-    b = assigned.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "list_id")
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    # cache: the self-join + the final annotate reference this frame
+    # THREE times with different keys — without the cache the Arrow
+    # assignment UDF (and the norm) runs once per reference. The row
+    # norm is precomputed here so each candidate pair evaluates only
+    # the dot product, not two redundant norm aggregations.
+    assigned = (
+        corpus.select(F.col(id_col).alias("_id"), v.alias("_v"))
+        .withColumn("list_id", assign(F.col("_v")))
+        .withColumn(
+            "_n",
+            F.sqrt(F.aggregate(
+                F.transform("_v", lambda x: x * x),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )),
+        )
+        .cache()
+    )
+    a = assigned.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+                        F.col("_n").alias("_na"), "list_id")
+    b = assigned.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+                        F.col("_n").alias("_nb"), "list_id")
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = F.when((F.col("_na") > 0) & (F.col("_nb") > 0),
+                 dot / (F.col("_na") * F.col("_nb"))).otherwise(F.lit(0.0))
     dups = (
         a.join(b, "list_id")
         .where(F.col("_ida") < F.col("_idb"))
-        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .where(F.round(cos, 6) >= threshold)
         .select(F.col("_idb").alias("_id"))
         .distinct()
         .withColumn("is_dup", F.lit(1))
