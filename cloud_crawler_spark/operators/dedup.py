@@ -318,11 +318,13 @@ def char_shingles(col, n: int = 3):
 def ngram_jaccard_consecutive(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Character n-gram shingle Jaccard between consecutive doc ids."""
-    # cache: the self-join below references this frame on BOTH sides
-    # with different join keys (no exchange reuse), so without the
-    # cache every document's shingle set is built twice — measured
-    # ~2x the query's kernel cost at sf0.1
-    grams = df.select(F.col(id_col), char_shingles(F.col(text_col), n).alias("g")).cache()
+    # materialize: the self-join below references this frame on BOTH
+    # sides with different join keys (no exchange reuse), so without it
+    # every document's shingle set is built twice — measured ~2x the
+    # query's kernel cost at sf0.1. localCheckpoint (not .cache()) so
+    # the ContextCleaner reclaims it once unreferenced — repeated
+    # operator calls must not pin storage forever
+    grams = df.select(F.col(id_col), char_shingles(F.col(text_col), n).alias("g")).localCheckpoint(eager=True)
     a = grams.select(F.col(id_col).alias("doc_a"), F.col("g").alias("g_a"))
     b = grams.select((F.col(id_col) - 1).alias("doc_a"), F.col("g").alias("g_b"),
                      F.col(id_col).alias("doc_b"))
@@ -337,9 +339,10 @@ def token_jaccard_consecutive(df: DataFrame, text_col: str = "text",
     """Token-set Jaccard between consecutive doc ids (a cheap, fully
     SQL-expressible near-dup screen used as the oracle-checked slice of
     the n-gram/Jaccard machinery)."""
-    # same self-join shape as ngram_jaccard_consecutive: cache so the
-    # tokenization runs once, not once per join side
-    toks = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("toks")).cache()
+    # same self-join shape (and same localCheckpoint-not-cache
+    # reasoning) as ngram_jaccard_consecutive: tokenization runs once,
+    # not once per join side
+    toks = df.select(F.col(id_col), norm_tokens(F.col(text_col)).alias("toks")).localCheckpoint(eager=True)
     a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select((F.col(id_col) - 1).alias("doc_a"), F.col("toks").alias("toks_b"),
                     F.col(id_col).alias("doc_b"))
@@ -393,9 +396,10 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 2) -> DataFrame:
     """SimHash near-dup: bucket by simhash value (exact match) plus
     verify Hamming distance for half-key collisions."""
-    # cache: referenced as FOUR join sides below (lo/hi bands x a/b) —
-    # without it every document's simhash evaluates four times
-    sh = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash")).cache()
+    # materialized: referenced as FOUR join sides below (lo/hi bands x
+    # a/b) — without it every document's simhash evaluates four times;
+    # localCheckpoint so repeated calls don't pin storage
+    sh = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash")).localCheckpoint(eager=True)
     # two half-keys: near-dups within hamming<=2 share at least one half
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
                   (F.col("simhash") % 256).alias("half"))
@@ -614,7 +618,8 @@ def span_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     driver state.
 
     Returns one row per input doc: (id, clean_text, n_spans,
-    n_spans_dropped). Docs whose spans were all dropped keep a row
+    n_spans_dropped). Docs whose spans were all dropped — and docs
+    with null/empty/whitespace-only text (n_spans = 0) — keep a row
     with clean_text = ''.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
@@ -628,7 +633,7 @@ def span_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     spans = spans.withColumn("_h", F.xxhash64("_span"))
     freq = spans.groupBy("_h").agg(F.countDistinct(id_col).alias("_ndocs"))
     marked = spans.join(freq, "_h").withColumn("_keep", F.col("_ndocs") == 1)
-    return (
+    agg = (
         marked.groupBy(id_col)
         .agg(
             F.concat_ws(
@@ -645,4 +650,13 @@ def span_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.count("*").alias("n_spans"),
             F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("n_spans_dropped"),
         )
+    )
+    # one row per INPUT doc: a null/empty/whitespace-only text yields
+    # zero span rows above, but the contract (and any caller joining
+    # the result back) needs the doc present with clean_text = ''
+    return df.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_spans_dropped", F.lit(0)).cast("long").alias("n_spans_dropped"),
     )

@@ -82,11 +82,20 @@ def select_budget(
                     F.col("host").alias("_bhost"),
                     F.col("budget").cast("int").alias("_hb"),
                 )
+                # one row per host ALWAYS (min = the politest budget):
+                # a duplicate override row would fan out every frontier
+                # row of that host through the left join below
+                .groupBy("_bhost").agg(F.min("_hb").alias("_hb"))
             )
             salted = salted.join(
                 overrides, F.col("host") == F.col("_bhost"), "left"
             )
-            cap = F.coalesce(F.col("_hb"), default_cap)
+            # an override may only TIGHTEN the operator's host_budget,
+            # never raise it — a site's tiny Crawl-delay must not grant
+            # it more fetches than the crawl's own politeness cap
+            cap = F.coalesce(
+                F.least(F.col("_hb"), default_cap), F.col("_hb"), default_cap
+            )
         else:
             cap = default_cap
         # cap NULL = this host has no per-host limit this round; the

@@ -185,7 +185,12 @@ def fetch_robots(hosts: DataFrame, transport_factory,
             yield pd.DataFrame(rows, columns=["host", "body"])
 
     h = hosts.select("host").distinct()
-    h = h.repartition(n_partitions, "host") if n_partitions else h.repartition("host")
+    # default the fan-out to the core count, not sql.shuffle.partitions:
+    # the per-round new-host set is typically tiny, and a bare
+    # repartition("host") would spawn ~200 near-empty tasks, each
+    # paying transport_factory() setup for a handful of hosts
+    n_partitions = n_partitions or hosts.sparkSession.sparkContext.defaultParallelism
+    h = h.repartition(n_partitions, "host")
     return h.mapInPandas(gen, out_schema)
 
 

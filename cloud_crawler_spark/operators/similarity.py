@@ -277,11 +277,12 @@ def semantic_dedup(
     )
     assign = _assign_list_udf(cents)
     v = F.transform(vec_col, lambda x: x.cast("double"))
-    # cache: the self-join + the final annotate reference this frame
-    # THREE times with different keys — without the cache the Arrow
-    # assignment UDF (and the norm) runs once per reference. The row
-    # norm is precomputed here so each candidate pair evaluates only
-    # the dot product, not two redundant norm aggregations.
+    # materialize: the self-join + the final annotate reference this
+    # frame THREE times with different keys — without it the Arrow
+    # assignment UDF (and the norm) runs once per reference; the row
+    # norm is precomputed so each candidate pair evaluates only the
+    # dot product. localCheckpoint (not .cache()) so the ContextCleaner
+    # reclaims it once unreferenced.
     assigned = (
         corpus.select(F.col(id_col).alias("_id"), v.alias("_v"))
         .withColumn("list_id", assign(F.col("_v")))
@@ -292,7 +293,7 @@ def semantic_dedup(
                 F.lit(0.0), lambda acc, x: acc + x,
             )),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
                         F.col("_n").alias("_na"), "list_id")

@@ -101,7 +101,17 @@ class Crawler:
                 "live_robots requires obey_robots_txt and a fetcher "
                 "with a transport_factory (sources/http_fetch.HttpFetcher)"
             )
-        self._robots_hosts = spark.createDataFrame([], "host string")
+        # hosts whose robots are already authoritative. Seeding with the
+        # corpus robots hosts means live refresh (a) never refetches a
+        # corpus-covered host and (b) never UNIONS a second rule set /
+        # Crawl-delay budget row for one — a duplicate (host, budget)
+        # row would fan out every frontier row for that host through
+        # select_budget's override join, double-fetching its URLs.
+        self._robots_hosts = (
+            corpus.robots.select("host").distinct().localCheckpoint(eager=True)
+            if self._live_robots and corpus.robots is not None
+            else spark.createDataFrame([], "host string")
+        )
         # robots Crawl-delay -> per-host budget overrides (host, budget)
         self.host_budgets = None
         if self.config.honor_crawl_delay and corpus.robots is not None:

@@ -907,13 +907,18 @@ def q_decontaminate(spark, sf_dir):
           WHERE u['span'] <> ''),
     f AS (SELECT span, count(DISTINCT doc_id) AS ndocs FROM s GROUP BY span),
     m AS (SELECT s.doc_id, s.idx, s.span, f.ndocs = 1 AS keep
-          FROM s JOIN f USING (span))
-    SELECT doc_id,
-           coalesce(string_agg(CASE WHEN keep THEN span END, ' ' ORDER BY idx),
-                    '') AS clean_text,
-           count(*)::BIGINT AS n_spans,
-           sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_spans_dropped
-    FROM m GROUP BY doc_id
+          FROM s JOIN f USING (span)),
+    g AS (SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN keep THEN span END,
+                                     ' ' ORDER BY idx), '') AS clean_text,
+                 count(*)::BIGINT AS n_spans,
+                 sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_spans_dropped
+          FROM m GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(g.clean_text, '') AS clean_text,
+           coalesce(g.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(g.n_spans_dropped, 0)::BIGINT AS n_spans_dropped
+    FROM documents d LEFT JOIN g USING (doc_id)
     """,
 )
 def q_span_dedup(spark, sf_dir):

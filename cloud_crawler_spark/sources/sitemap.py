@@ -80,6 +80,8 @@ def sitemap_seeds(
     miss semantics as the crawl's own fetch join."""
     if not isinstance(roots, DataFrame):
         roots = spark.createDataFrame([(u,) for u in roots], "url string")
+    if max_depth <= 0:
+        return spark.createDataFrame([], "url string, priority double")
     cur = with_canon(roots, "url").select("canon_url").distinct()
     visited = cur
     seed_parts: list[DataFrame] = []

@@ -161,6 +161,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
+                base = os.path.basename(fpath)
+                # '*.warc*' also globs the '.warc.wet.gz' companions a
+                # write_wet into the same directory produces; skip them
+                # by name instead of gunzipping whole files only to drop
+                # every (non-response) record
+                if ".wet." in base or base.endswith(".wet"):
+                    continue
                 raw = bytes(content)
                 if fpath.endswith(".gz"):
                     stream: io.BufferedIOBase = gzip.GzipFile(
@@ -170,7 +177,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     stream = io.BytesIO(raw)
                 rows: list[dict] = []
                 for rec in _iter_warc_records(stream):
-                    row = _response_row(rec, os.path.basename(fpath))
+                    row = _response_row(rec, base)
                     if row is None:
                         continue
                     rows.append(row)
@@ -196,8 +203,18 @@ def warc_to_pages(records: DataFrame) -> DataFrame:
     )
 
 
+def _warc_date(ts) -> str:
+    """WARC-Date header value; a null/NaT timestamp (PAGES_SCHEMA
+    allows it) becomes the Unix epoch instead of crashing the writer
+    task (pd.Timestamp(None).strftime raises on NaT)."""
+    t = pd.Timestamp(ts)
+    if pd.isna(t):
+        return "1970-01-01T00:00:00Z"
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
 def _format_record(url: str, ts, html: bytes, content_type: str) -> bytes:
-    date = pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+    date = _warc_date(ts)
     http = (
         b"HTTP/1.1 200 OK\r\nContent-Type: "
         + content_type.encode("latin-1")
@@ -248,7 +265,7 @@ def write_warc(pages: DataFrame, out_dir: str,
                     gz.write(rec)  # one member per record
                 cdx_lines.append("\t".join((
                     str(url),
-                    pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    _warc_date(ts),
                     str(offset),
                     str(buf.tell() - offset),
                     hashlib.sha1(body).hexdigest(),
@@ -382,7 +399,7 @@ def _format_wet_record(url: str, ts, text: str) -> bytes:
     so a (WARC, WET) pair written by this engine cross-references
     exactly like a Common Crawl segment pair does."""
     body = text.encode("utf-8")
-    date = pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+    date = _warc_date(ts)
     rid = uuid.uuid5(uuid.NAMESPACE_URL, "wet:" + url)
     refers = uuid.uuid5(uuid.NAMESPACE_URL, url)
     head = (

@@ -96,6 +96,20 @@ def hourly_host_rollup(
     )
 
 
+def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet directory or return None if it doesn't exist yet.
+    Goes through Spark's own filesystem layer (schema inference reads
+    the footers at call time), so it works for hdfs://, s3a://, etc. —
+    a driver-local os.path.exists would silently report 'missing' for
+    any non-local store and turn every batch into a full re-crawl."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
 def streaming_seen_update(
     pages: DataFrame, seen_dir: str, checkpoint_dir: str
 ):
@@ -114,10 +128,8 @@ def streaming_seen_update(
             .where(F.col("canon_url").isNotNull())
             .dropDuplicates(["canon_url"])
         )
-        import os
-
-        if os.path.exists(seen_dir):
-            seen = spark.read.parquet(seen_dir)
+        seen = _try_read_parquet(spark, seen_dir)
+        if seen is not None:
             new = new.join(seen, "canon_url", "left_anti")
         new.write.mode("append").parquet(seen_dir)
 
@@ -273,8 +285,6 @@ def streaming_crawl(
         into effectively-once fetching.
 
     Returns the StreamingQuery (caller awaits/stops it)."""
-    import os
-
     from cloud_crawler_spark.plans.crawler import crawl
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -282,7 +292,9 @@ def streaming_crawl(
         seeds = batch_df.select("url").where(F.col("url").isNotNull()).distinct()
         if seeds.isEmpty():
             return
-        prev = read_seen(spark, seen_dir) if os.path.exists(seen_dir) else None
+        prev = _try_read_parquet(spark, seen_dir)
+        if prev is not None:
+            prev = prev.dropDuplicates(["canon_url"])  # read_seen semantics
         res = crawl(spark, corpus, seeds, config, initial_seen=prev)
         crawled = res.crawled
         if crawled.isEmpty():

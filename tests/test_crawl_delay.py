@@ -129,3 +129,26 @@ class TestCrawlDelayEndToEnd:
         }
         # all 8 allowed children land in round 1
         assert per_round == {0: 1, 1: 8}
+
+
+class TestOverrideSafety:
+    def test_override_cannot_raise_above_host_budget(self, spark):
+        """A site's tiny Crawl-delay must not grant it MORE fetches
+        than the crawl's own politeness cap."""
+        pending = _frontier(spark, {"slow.com": 10, "fast.com": 10})
+        budgets = spark.createDataFrame([("slow.com", 8)], "host string, budget int")
+        sel, _ = select_budget(pending, 3, None, host_budgets=budgets)
+        per = {r["host"]: r["n"] for r in
+               sel.groupBy("host").agg(F.count("*").alias("n")).collect()}
+        assert per == {"slow.com": 3, "fast.com": 3}  # least(override, cap)
+
+    def test_duplicate_override_rows_do_not_fan_out(self, spark):
+        """Two (host, budget) rows for one host must not duplicate its
+        frontier rows through the override join."""
+        pending = _frontier(spark, {"slow.com": 6})
+        budgets = spark.createDataFrame(
+            [("slow.com", 4), ("slow.com", 2)], "host string, budget int")
+        sel, deferred = select_budget(pending, None, None, host_budgets=budgets)
+        urls = [r["url"] for r in sel.collect()]
+        assert len(urls) == len(set(urls)) == 2  # min budget, no dup rows
+        assert sel.count() + deferred.count() == 6

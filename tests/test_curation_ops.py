@@ -71,6 +71,18 @@ class TestSpanDedup:
         assert got[1]["clean_text"] == "" and got[2]["clean_text"] == ""
         assert got[1]["n_spans_dropped"] == 1
 
+    def test_empty_and_null_text_docs_keep_rows(self, spark):
+        df = spark.createDataFrame(
+            [(1, "some unique tokens here"), (2, ""), (3, None), (4, "   ")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in span_dedup(df, window=10).collect()}
+        assert set(got) == {1, 2, 3, 4}  # one row per INPUT doc
+        for d in (2, 3, 4):
+            assert got[d]["clean_text"] == ""
+            assert got[d]["n_spans"] == 0 and got[d]["n_spans_dropped"] == 0
+        assert got[1]["clean_text"] == "some unique tokens here"
+
 
 class TestSemanticDedup:
     def test_near_identical_in_cluster_dropped(self, spark):

@@ -119,3 +119,47 @@ class TestLiveRobotsCrawl:
         assert f"{_U}/k2" in got                 # round-2 child allowed
         assert f"{_U}/private/y" not in got      # round-2 child gated
         assert f"{_U}/private/x" not in got      # round-1 child gated
+
+
+class TestCorpusRobotsAuthoritative:
+    def test_corpus_covered_host_not_live_refetched_or_duplicated(self, spark):
+        """A host whose robots.txt is already in corpus.robots must
+        keep those rules authoritative under live_robots: the live
+        body (which disagrees) is never fetched for it, and its
+        Crawl-delay budget row is never duplicated — a second
+        (host, budget) row would fan the override join out and
+        double-fetch (and double-store) the host's URLs."""
+        site = {
+            f"{_U}/0": {
+                "code": 200,
+                "body": (b"<html><a href='/keep'>a</a>"
+                         b"<a href='/corpusblocked/x'>b</a></html>"),
+                "content_type": "text/html",
+            },
+            f"{_U}/keep": {"code": 200, "body": b"<html>k</html>",
+                           "content_type": "text/html"},
+            f"{_U}/corpusblocked/x": {"code": 200, "body": b"<html>c</html>",
+                                      "content_type": "text/html"},
+            # the LIVE robots disagrees with the corpus one; it must
+            # never be consulted for this corpus-covered host
+            f"{_U}/robots.txt": {
+                "code": 200,
+                "body": b"User-agent: *\nDisallow: /keep",
+                "content_type": "text/plain",
+            },
+        }
+        corpus = make_corpus(spark, {
+            "robots": {"robots_body":
+                       "User-agent: *\nCrawl-delay: 1\nDisallow: /corpusblocked"},
+        })
+        fetcher = HttpFetcher(
+            transport_factory=functools.partial(DictTransport, site))
+        seeds = make_seeds(spark, [f"{_U}/0"])
+        cfg = CrawlConfig(fetcher=fetcher, live_robots=True,
+                          obey_robots_txt=True, honor_crawl_delay=True,
+                          round_window_sec=60.0)
+        res = crawl(spark, corpus, seeds, cfg)
+        ok = [r["canon_url"] for r in res.crawled.where("code = 200").collect()]
+        assert len(ok) == len(set(ok))                 # no duplicate rows
+        assert f"{_U}/keep" in ok                      # live Disallow ignored
+        assert f"{_U}/corpusblocked/x" not in ok       # corpus Disallow holds

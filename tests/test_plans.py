@@ -142,3 +142,23 @@ def test_fused_parse_is_single_python_stage(spark):
 
     src = inspect.getsource(round_mod.run_round)
     assert src.index("localCheckpoint") < src.index("_expand_links")
+
+
+def test_curation_queries_scale_guards(spark):
+    """The round-3 curation operators must keep their 100 TB plan
+    shapes: never a cartesian product, and the deliberately-broadcast
+    probes (eval n-grams, blocklist) stay broadcast."""
+    from cloud_crawler_spark.queries import queries
+
+    qs = queries()
+    sf = "/root/testdata/sf0.001"
+    plans = {n: plan_of(qs[n](spark, sf))
+             for n in ("q_decontaminate", "q_blocklist", "q_span_dedup",
+                       "q_semdedup", "q_anchor_text")}
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "BroadcastHashJoin" in plans["q_decontaminate"]
+    assert "BroadcastHashJoin" in plans["q_blocklist"]
+    # span dedup shuffles the 8-byte xxhash64 key, not span text
+    assert "xxhash64" in plans["q_span_dedup"]

@@ -123,3 +123,9 @@ class TestRobotsSitemapDiscovery:
         res = crawl(spark, corpus, seeds, CrawlConfig(depth_limit=1))
         # seeded pages 0,1,2 plus 0's link -> 3
         assert crawled_names(res) == {"0", "1?x=1&y=2", "2", "3"}
+
+    def test_max_depth_zero_returns_empty_seeds(self, spark):
+        corpus = _sitemap_corpus(spark)
+        seeds = sitemap_seeds(spark, corpus, [f"{_U}/sitemap.xml"], max_depth=0)
+        assert seeds.count() == 0
+        assert seeds.columns == ["url", "priority"]

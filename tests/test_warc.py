@@ -218,3 +218,20 @@ class TestWet:
         write_wet(self._text_pages(spark, 7).coalesce(1), out)
         assert read_warc(spark, out).count() == 5
         assert read_wet(spark, out).count() == 7
+
+
+class TestNullTimestamp:
+    def test_null_warc_ts_writes_epoch_instead_of_crashing(self, spark, tmp_path):
+        from cloud_crawler_spark.sources.warc import write_wet
+
+        pages = spark.createDataFrame(
+            [(f"{_U}/a", None, b"<html>a</html>")],
+            "url string, warc_ts timestamp, html binary",
+        )
+        out = str(tmp_path / "nullts")
+        assert write_warc(pages, out).collect()[0]["n_records"] == 1
+        rec = read_warc(spark, out).first()
+        assert rec["warc_ts"].year == 1970  # NaT -> epoch, not a crash
+
+        wet = pages.selectExpr("url", "warc_ts", "'t' AS text")
+        assert write_wet(wet, str(tmp_path / "nullwet")).collect()[0]["n_records"] == 1
