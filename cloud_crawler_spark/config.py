@@ -54,6 +54,15 @@ class CrawlConfig:
                                                # (crossfit_crawl.rb:56-60 `text_for(lnk) =~
                                                # /Level 1/i` — pass "(?i)level 1"). Composes
                                                # with link_selector (both must pass).
+    # REP robots-meta directives (beyond the 2013 reference, which
+    # predates wide nofollow adoption): honor rel="nofollow" on links,
+    # <meta name="robots" content="nofollow|none"> and the
+    # X-Robots-Tag response-header twin at frontier expansion (none of
+    # that page's links are followed). noindex is deliberately NOT a
+    # crawl-time gate (REP: noindex pages may still be crawled) — the
+    # stored meta_robots column + functions.parse.robots_directives
+    # filter docs post-crawl.
+    honor_robots_meta: bool = False
 
     # ---- redirects (http.rb) ----
     redirect_limit: int = 5                    # REDIRECT_LIMIT, http.rb:35

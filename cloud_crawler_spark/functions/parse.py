@@ -280,7 +280,9 @@ class _PageParser(HTMLParser):
 
     def __init__(self, within_tag: str | None = None,
                  selector: list[tuple[str, bool]] | None = None,
-                 collect_anchors: bool = False):
+                 collect_anchors: bool = False,
+                 collect_rel: bool = False,
+                 collect_meta: bool = False):
         super().__init__(convert_charrefs=True)
         self.links: list[str] = []
         self.base_href: str | None = None
@@ -291,6 +293,16 @@ class _PageParser(HTMLParser):
         # reference's hash assignment), collected only on request
         self.anchor_map: dict[str, str] = {}
         self._collect_anchors = collect_anchors
+        # REP link/page directives (beyond the reference, which predates
+        # wide nofollow adoption): rels[i] = True iff link i carries
+        # rel="...nofollow..." (space-separated token match, case-
+        # insensitive); meta_parts accumulates every
+        # <meta name="robots" content="..."> content (REP says multiple
+        # tags combine by union)
+        self._collect_rel = collect_rel
+        self._collect_meta = collect_meta
+        self.rels: list[bool] = []
+        self.meta_parts: list[str] = []
         self._open_href: str | None = None
         self._anchor_parts: list[str] = []
         self._in_title = False
@@ -321,12 +333,24 @@ class _PageParser(HTMLParser):
             if self._steps is None or _match_steps(
                 self._stack, self._steps, self._attrs
             ):
-                href = dict(attrs).get("href")
+                d = dict(attrs)
+                href = d.get("href")
                 if href:  # skip nil/empty (page.rb:127-129)
                     self.links.append(href)
+                    if self._collect_rel:
+                        rel = d.get("rel") or ""
+                        self.rels.append(
+                            "nofollow" in rel.lower().split()
+                        )
                     if self._collect_anchors:
                         self._open_href = href
                         self._anchor_parts = []
+        elif tag == "meta" and self._collect_meta:
+            d = dict(attrs)
+            if (d.get("name") or "").strip().lower() == "robots":
+                content = d.get("content")
+                if content:
+                    self.meta_parts.append(content)
         elif tag == "base" and self.base_href is None:
             href = dict(attrs).get("href")
             if href:
@@ -385,21 +409,28 @@ _FAST_PARSE_OFF = bool(os.environ.get("SPARK_CRAWL_NO_FAST_PARSE"))
 
 def parse_page(html, within_tag: str | None = None,
                selector: list[tuple[str, bool]] | None = None,
-               collect_anchors: bool = False) -> dict:
+               collect_anchors: bool = False,
+               collect_rel: bool = False,
+               collect_meta: bool = False) -> dict:
     s = _decode(html)
     fast = None
     if (within_tag is None and selector is None and not collect_anchors
+            and not collect_rel and not collect_meta
             and not _FAST_PARSE_OFF):
         # fastparse tokenizes clean documents ~5x faster and bails
         # (returns None) on anything whose stdlib handling could
         # diverge; semantics stay pinned to _PageParser either way
         fast = fast_parse(s)
     anchor_map: dict[str, str] = {}
+    raw_rels: list[bool] = []
+    meta_parts: list[str] = []
     if fast is not None:
         raw_links, base_href, title_parts, text_parts = fast
     else:
         p = _PageParser(within_tag=within_tag, selector=selector,
-                        collect_anchors=collect_anchors)
+                        collect_anchors=collect_anchors,
+                        collect_rel=collect_rel,
+                        collect_meta=collect_meta)
         try:
             p.feed(s)
             p.close()
@@ -408,13 +439,18 @@ def parse_page(html, within_tag: str | None = None,
         raw_links, base_href = p.links, p.base_href
         title_parts, text_parts = p.title_parts, p.text_parts
         anchor_map = p.anchor_map
-    # first-occurrence dedupe, document order (page.rb:134 uniq!)
+        raw_rels, meta_parts = p.rels, p.meta_parts
+    # first-occurrence dedupe, document order (page.rb:134 uniq!);
+    # rel flag rides the FIRST occurrence (same row the link keeps)
     seen: set[str] = set()
     links: list[str] = []
-    for h in raw_links:
+    rels: list[bool] = []
+    for i, h in enumerate(raw_links):
         if h not in seen:
             seen.add(h)
             links.append(h)
+            if collect_rel:
+                rels.append(raw_rels[i] if i < len(raw_rels) else False)
     text = "".join(text_parts)
     # encode round trip: drop anything not UTF-8-encodable, then strip
     text = text.encode("utf-8", errors="ignore").decode("utf-8", errors="ignore").strip()
@@ -428,6 +464,21 @@ def parse_page(html, within_tag: str | None = None,
         # aligned with links; per-href text is the LAST occurrence's
         # (page.rb @doms_for_link hash assignment), stripped like text
         out["anchors"] = [anchor_map.get(h, "").strip() for h in links]
+    if collect_rel:
+        out["rel_nofollow"] = rels  # aligned with links
+    if collect_meta:
+        # normalized page directives: comma-split, trimmed, lowercased,
+        # order-preserving dedupe across all robots meta tags; None when
+        # no robots meta tag is present
+        toks: list[str] = []
+        tseen: set[str] = set()
+        for part in meta_parts:
+            for tok in part.split(","):
+                tok = tok.strip().lower()
+                if tok and tok not in tseen:
+                    tseen.add(tok)
+                    toks.append(tok)
+        out["meta_robots"] = ",".join(toks) if toks else None
     return out
 
 
@@ -547,35 +598,53 @@ _PARSED_RESOLVED_TYPE = T.StructType(
         T.StructField("base_href", T.StringType()),
         T.StructField("title", T.StringType()),
         T.StructField("text", T.StringType()),
+        # normalized <meta name="robots"> directives ("noindex,nofollow"
+        # style); populated only when the UDF was built with
+        # honor_nofollow — None (zero Arrow cost) on the hot default
+        T.StructField("meta_robots", T.StringType()),
     ]
 )
 
 _PR_COLS = ["href", "abs_url", "canon_url", "host", "path",
-            "base_href", "title", "text"]
+            "base_href", "title", "text", "meta_robots"]
+
+# page-level directives that forbid following this page's links
+# ("none" == "noindex,nofollow" per REP)
+_NOFOLLOW_TOKENS = frozenset(("nofollow", "none"))
 
 
 def make_parse_resolve_udf(selector: str | None = None,
-                           anchor_pattern: str | None = None):
+                           anchor_pattern: str | None = None,
+                           honor_nofollow: bool = False):
     """Build the fused parse+resolve UDF, optionally restricted to a
     link selector (select_links_by semantics, page.rb:123-136, wired to
     frontier expansion the way focus_crawl is at dsl_core.rb:195 —
     examples/link_selector.rb) and/or an anchor-text regex
     (focus_crawl text_for filtering, examples/crossfit_crawl.rb:56-60:
     ``page.links.keep_if { text_for(lnk) =~ /Level 1/i }``).
-    selector=None, anchor_pattern=None is the hot default: all
-    ``//a[@href]`` links (page.rb:116), no anchor collection."""
+    honor_nofollow (REP, beyond the 2013 reference): drop links carrying
+    rel="nofollow", drop ALL links of a page whose
+    <meta name="robots"> says nofollow/none, and emit the page's
+    normalized meta_robots directives for downstream gates (the
+    X-Robots-Tag header twin is gated JVM-side in plans/round.py where
+    the headers map lives).
+    selector=None, anchor_pattern=None, honor_nofollow=False is the hot
+    default: all ``//a[@href]`` links (page.rb:116), no extra
+    collection, fastparse eligible."""
     steps = parse_selector(selector) if selector else None
     anchor_re = re.compile(anchor_pattern) if anchor_pattern else None
 
     @pandas_udf(_PARSED_RESOLVED_TYPE)
     def _parse_resolve_udf(html: pd.Series, page_urls: pd.Series) -> pd.DataFrame:
-        return _parse_resolve_batch(html, page_urls, steps, anchor_re)
+        return _parse_resolve_batch(html, page_urls, steps, anchor_re,
+                                    honor_nofollow)
 
     return _parse_resolve_udf
 
 
 def _parse_resolve_batch(html: pd.Series, page_urls: pd.Series,
-                         steps=None, anchor_re=None) -> pd.DataFrame:
+                         steps=None, anchor_re=None,
+                         honor_nofollow: bool = False) -> pd.DataFrame:
     """FUSED hot-path kernel: parse (P1/P2/P5) + absolutize +
     canonicalize + host + path (P4, canon.resolve_link) for every
     extracted link in ONE Arrow round trip per page row.
@@ -590,13 +659,28 @@ def _parse_resolve_batch(html: pd.Series, page_urls: pd.Series,
     from cloud_crawler_spark.functions.canon import resolve_parts
 
     hrefs, abss, canons, hosts, paths = [], [], [], [], []
-    bases, titles, texts = [], [], []
+    bases, titles, texts, metas = [], [], [], []
     collect = anchor_re is not None
     for h, purl in zip(html, page_urls):
-        r = parse_page(h, selector=steps, collect_anchors=collect)
+        r = parse_page(h, selector=steps, collect_anchors=collect,
+                       collect_rel=honor_nofollow,
+                       collect_meta=honor_nofollow)
         base = r["base_href"] if r["base_href"] else None
         links = r["links"]
-        if collect:
+        meta = r.get("meta_robots") if honor_nofollow else None
+        if honor_nofollow:
+            page_toks = set((meta or "").split(","))
+            if page_toks & _NOFOLLOW_TOKENS:
+                # page-level meta nofollow: none of its links expand
+                links = []
+            elif any(r["rel_nofollow"]):
+                keep = [not nf for nf in r["rel_nofollow"]]
+                links = [l for l, k in zip(links, keep) if k]
+                if collect:
+                    r["anchors"] = [
+                        a for a, k in zip(r["anchors"], keep) if k
+                    ]
+        if collect and links:
             # focus_crawl text_for gate (crossfit_crawl.rb:56-60):
             # keep only links whose anchor text matches
             links = [
@@ -619,11 +703,13 @@ def _parse_resolve_batch(html: pd.Series, page_urls: pd.Series,
         bases.append(r["base_href"])
         titles.append(r["title"])
         texts.append(r["text"])
+        metas.append(meta)
     return pd.DataFrame(
         {
             "href": hrefs, "abs_url": abss, "canon_url": canons,
             "host": hosts, "path": paths,
             "base_href": bases, "title": titles, "text": texts,
+            "meta_robots": metas,
         },
         columns=_PR_COLS,
     )
@@ -635,17 +721,21 @@ parse_resolve_udf = make_parse_resolve_udf(None)
 
 def with_parsed_resolved(df, html_col: str = "html", url_col: str = "url",
                          selector: str | None = None,
-                         anchor_pattern: str | None = None):
+                         anchor_pattern: str | None = None,
+                         honor_nofollow: bool = False):
     """Attach parsed+resolved struct columns: links carry
     (href, abs_url, canon_url, host, path) per element — element order
     is document order, so posexplode recovers link position. selector
     restricts extracted links (select_links_by, page.rb:123-136);
     anchor_pattern keeps only links whose anchor text matches
-    (focus_crawl text_for, crossfit_crawl.rb:56-60)."""
-    if selector is None and anchor_pattern is None:
+    (focus_crawl text_for, crossfit_crawl.rb:56-60); honor_nofollow
+    applies REP rel=nofollow / meta-robots link gates and surfaces the
+    page's meta_robots directives as a column (else NULL)."""
+    if selector is None and anchor_pattern is None and not honor_nofollow:
         udf = parse_resolve_udf
     else:
-        udf = make_parse_resolve_udf(selector, anchor_pattern)
+        udf = make_parse_resolve_udf(selector, anchor_pattern,
+                                     honor_nofollow)
     return (
         df.withColumn("_parsed", udf(F.col(html_col), F.col(url_col)))
         .withColumn(
@@ -661,5 +751,62 @@ def with_parsed_resolved(df, html_col: str = "html", url_col: str = "url",
         .withColumn("base_href", F.col("_parsed.base_href"))
         .withColumn("title", F.col("_parsed.title"))
         .withColumn("page_text", F.col("_parsed.text"))
+        .withColumn("meta_robots", F.col("_parsed.meta_robots"))
         .drop("_parsed")
     )
+
+
+# --------------------------------------------- post-crawl REP analysis
+
+# <meta name="robots" content="...">, either attribute order, either
+# quote style, over case-folded html — the analysis-stage twin of the
+# parser's collect_meta (for corpora crawled without honor_robots_meta,
+# WARC imports, etc.). Whole-stage-codegen regexp, no Python.
+_META_ROBOTS_NAME_FIRST = (
+    """<meta[^>]*name\\s*=\\s*["']robots["'][^>]*"""
+    """content\\s*=\\s*["']([^"']*)["']"""
+)
+_META_ROBOTS_CONTENT_FIRST = (
+    """<meta[^>]*content\\s*=\\s*["']([^"']*)["'][^>]*"""
+    """name\\s*=\\s*["']robots["']"""
+)
+
+
+def robots_directives(html_col: str = "html",
+                      headers_col: str | None = "headers"):
+    """Column: the page's combined REP directives, lowercased and
+    comma-joined — every ``<meta name="robots" content=...>`` in the
+    stored html plus every ``X-Robots-Tag`` response header value
+    (pass ``headers_col=None`` for html-only corpora). Empty string
+    when the page declares nothing. Gate with
+    ``robots_directive_match(col, "noindex")`` etc."""
+    metas = F.array_union(
+        F.regexp_extract_all(
+            F.lower(F.col(html_col).cast("string")),
+            F.lit(_META_ROBOTS_NAME_FIRST), F.lit(1),
+        ),
+        F.regexp_extract_all(
+            F.lower(F.col(html_col).cast("string")),
+            F.lit(_META_ROBOTS_CONTENT_FIRST), F.lit(1),
+        ),
+    )
+    parts = [F.array_join(metas, ",")]
+    if headers_col is not None:
+        parts.append(F.array_join(
+            F.flatten(F.expr(
+                f"transform(filter(map_entries({headers_col}),"
+                " e -> lower(e.key) = 'x-robots-tag'), e -> e.value)"
+            )),
+            ",",
+        ))
+    return F.lower(F.concat_ws(",", *parts))
+
+
+def robots_directive_match(directives, token: str):
+    """Column: True iff `token` (e.g. "noindex", "nofollow") is declared
+    in a robots_directives string — token-boundary match on [,:;\\s] so
+    "noindex, nofollow" and "googlebot: nofollow" both hit and
+    lookalike substrings don't; "none" implies both noindex and
+    nofollow (REP)."""
+    pat = f"(^|[,:;\\s])({token}|none)([,:;\\s]|$)"
+    return directives.rlike(pat)

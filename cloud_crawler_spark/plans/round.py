@@ -45,7 +45,7 @@ from cloud_crawler_spark.sources.corpus import Corpus
 CRAWLED_COLS = [
     "url", "canon_url", "host", "code", "depth", "referer", "redirect_to",
     "fetched", "visited", "error", "response_time", "content_type",
-    "headers", "links", "title", "text", "html", "round", "rank",
+    "headers", "links", "title", "text", "meta_robots", "html", "round", "rank",
     "parent_rank", "link_pos", "priority",
 ]
 
@@ -218,6 +218,26 @@ def _expand_links(
     robots_broadcast: bool = True, robots_refresh=None,
 ) -> DataFrame:
     """Extracted links -> gated, canonicalized child frontier rows."""
+    if config.honor_robots_meta:
+        # REP page-level nofollow: the X-Robots-Tag response-header twin
+        # of <meta name="robots"> (the meta form already emptied `links`
+        # inside the parse UDF; it is re-checked here for free). Header
+        # keys are case-folded; values like "noindex, nofollow" or
+        # "googlebot: nofollow" token-match on [,:;\s] boundaries.
+        # All-codegen: map_entries/filter/flatten + one rlike, no UDF.
+        xrt = F.array_join(
+            F.flatten(F.expr(
+                "transform(filter(map_entries(headers),"
+                " e -> lower(e.key) = 'x-robots-tag'), e -> e.value)"
+            )),
+            ",",
+        )
+        directives = F.lower(F.concat_ws(
+            ",", F.coalesce(F.col("meta_robots"), F.lit("")), xrt
+        ))
+        crawled = crawled.where(
+            ~directives.rlike(r"(^|[,:;\s])(nofollow|none)([,:;\s]|$)")
+        )
     parents = crawled.where(
         (F.col("code") == 200)
         & F.col("fetched")
@@ -428,6 +448,7 @@ def run_round(
     parsed = with_parsed_resolved(
         gated, "_html_in", "url", selector=config.link_selector,
         anchor_pattern=config.anchor_pattern,
+        honor_nofollow=config.honor_robots_meta,
     ).drop("_html_in")
 
     # one materialization per round: fetch+parse lands in the local
@@ -445,6 +466,10 @@ def run_round(
         "error", "response_time", "content_type", "headers",
         "hop", "links", "title",
         F.col("page_text").alias("text"),
+        # REP page directives ("noindex,nofollow" style): populated only
+        # under honor_robots_meta, NULL otherwise — same column either
+        # way so the store schema is config-independent
+        "meta_robots",
         (F.lit(None).cast("binary") if config.discard_page else F.col("html")).alias("html"),
         F.lit(round_no).alias("round"), "rank", "parent_rank", "link_pos", "priority",
     ).localCheckpoint(eager=True)

@@ -1173,12 +1173,17 @@ def q05_local_supplier_volume(spark, sf_dir):
 _CRAWL_DEPTH = 5
 
 
-def _synthetic_web_from_documents(spark, sf_dir, keep_below: int | None = None):
+def _synthetic_web_from_documents(spark, sf_dir, keep_below: int | None = None,
+                                  robots_meta: bool = False):
     """Corpus of exactly the input_hint shape derived from `documents`:
     page i links to (3i+1) mod N and (7i+3) mod N on one host.
     keep_below: keep only pages with doc_id < keep_below (links still
     computed mod the FULL N — targets beyond the cut 404), modeling an
-    earlier crawl of the same site before a new WARC dump landed."""
+    earlier crawl of the same site before a new WARC dump landed.
+    robots_meta: pages i % 7 == 3 declare <meta name="robots"> —
+    "noindex,nofollow" when i is odd, "noindex" when even — and the
+    bare l2 edge carries rel="nofollow" when i % 5 == 1; everything
+    stays arithmetic so a DuckDB CTE can replay the REP gates exactly."""
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
     if keep_below is not None:
@@ -1188,11 +1193,28 @@ def _synthetic_web_from_documents(spark, sf_dir, keep_below: int | None = None):
     # the l1 edge is wrapped in <div class="nav">: invisible to the
     # default crawl (text/links identical), but a link_selector like
     # ".nav a" can restrict expansion to the l1 edges (q_link_selector)
-    html = F.concat(
-        F.lit('<html><body><div class="nav"><a href="/p'), l1.cast("string"),
-        F.lit('">a</a></div><a href="/p'), l2.cast("string"),
-        F.lit('">b</a></body></html>'),
-    )
+    if robots_meta:
+        i = F.col("doc_id")
+        meta = (
+            F.when((i % 7 == 3) & (i % 2 == 1),
+                   F.lit('<meta name="robots" content="noindex,nofollow">'))
+            .when(i % 7 == 3, F.lit('<meta name="robots" content="noindex">'))
+            .otherwise(F.lit(""))
+        )
+        rel2 = F.when(i % 5 == 1, F.lit(' rel="nofollow"')).otherwise(F.lit(""))
+        html = F.concat(
+            F.lit("<html><head>"), meta,
+            F.lit('</head><body><div class="nav"><a href="/p'),
+            l1.cast("string"),
+            F.lit('">a</a></div><a href="/p'), l2.cast("string"),
+            F.lit('"'), rel2, F.lit(">b</a></body></html>"),
+        )
+    else:
+        html = F.concat(
+            F.lit('<html><body><div class="nav"><a href="/p'), l1.cast("string"),
+            F.lit('">a</a></div><a href="/p'), l2.cast("string"),
+            F.lit('">b</a></body></html>'),
+        )
     pages = docs.select(
         F.concat(F.lit("http://ex.com/p"), F.col("doc_id").cast("string")).alias("url"),
         F.lit("2013-04-01 00:00:00").cast("timestamp").alias("warc_ts"),
@@ -1269,6 +1291,80 @@ def q_link_selector(spark, sf_dir):
     res = crawl(spark, corpus, seeds,
                 CrawlConfig(depth_limit=_CRAWL_DEPTH, link_selector=".nav a"))
     return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
+
+
+@_register(
+    "q_robots_nofollow",
+    f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst
+      FROM documents
+      WHERE NOT (doc_id % 7 = 3 AND doc_id % 2 = 1)
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+      FROM documents
+      WHERE NOT (doc_id % 7 = 3 AND doc_id % 2 = 1) AND doc_id % 5 <> 1),
+    reach(id, depth) AS (
+      SELECT 0::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH})
+    SELECT 'http://ex.com/p' || id AS canon_url, min(depth)::BIGINT AS depth
+    FROM reach GROUP BY id
+    """,
+)
+def q_robots_nofollow(spark, sf_dir):
+    """REP nofollow honored end-to-end (beyond the 2013 reference):
+    pages i%7==3,i odd declare <meta name="robots" content=
+    "noindex,nofollow"> (no links of theirs expand) and the bare l2
+    edge carries rel="nofollow" when i%5==1 (that one link never enters
+    the frontier). Crawling with honor_robots_meta=True must reach
+    exactly the BFS closure of the REP-pruned edge set — the oracle
+    replays both gates arithmetically in a recursive CTE."""
+    from cloud_crawler_spark import CrawlConfig, crawl
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir, robots_meta=True)
+    corpus = prepare_corpus(pages)
+    seeds = spark.createDataFrame([("http://ex.com/p0", 0.0)], "url string, priority double")
+    res = crawl(spark, corpus, seeds,
+                CrawlConfig(depth_limit=_CRAWL_DEPTH, honor_robots_meta=True))
+    return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
+
+
+@_register(
+    "q_robots_meta",
+    """
+    SELECT 'http://ex.com/p' || doc_id AS canon_url,
+           (doc_id % 7 = 3)::INT AS noindex,
+           (doc_id % 7 = 3 AND doc_id % 2 = 1)::INT AS nofollow
+    FROM documents
+    """,
+)
+def q_robots_meta(spark, sf_dir):
+    """Post-crawl REP analysis (functions/parse.robots_directives): curl
+    ALL pages into a store (no honor flag — a WARC-import-shaped
+    corpus), then recover each page's noindex/nofollow directives from
+    the STORED html + headers with the whole-stage-codegen regexp twin.
+    The noindex gate is the doc-export filter REP asks for (crawl may
+    fetch a noindex page; the corpus must not keep it)."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.functions.parse import (
+        robots_directive_match, robots_directives,
+    )
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir, robots_meta=True)
+    corpus = prepare_corpus(pages)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    d = robots_directives("html", headers_col="headers")
+    return res.crawled.select(
+        "canon_url",
+        robots_directive_match(d, "noindex").cast("int").alias("noindex"),
+        robots_directive_match(d, "nofollow").cast("int").alias("nofollow"),
+    )
 
 
 @_register(
@@ -1371,6 +1467,178 @@ def q_recurring_delta(spark, sf_dir):
         spark, loader, seeds, CrawlConfig(depth_limit=_CRAWL_DEPTH), n_runs=2
     )
     return runs[1][1].select("canon_url")
+
+
+@_register(
+    "q_shortest_paths",
+    f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+    reach(id, depth) AS (
+      SELECT 1::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH}),
+    dist AS (SELECT id, min(depth) AS depth FROM reach GROUP BY id)
+    SELECT 'http://ex.com/p' || doc_id AS canon_url,
+           d.depth::BIGINT AS depth,
+           (d.depth IS NOT NULL)::INT AS visited
+    FROM documents LEFT JOIN dist d ON d.id = doc_id
+    """,
+)
+def q_shortest_paths(spark, sf_dir):
+    """PageStore#shortest_paths! parity (page.rb:47-50,
+    spec/redis_page_store_spec.rb:122-145): store ALL pages via
+    curl mode (no expansion — crawl-time depth deliberately absent),
+    then recompute single-source min-hop depths + visited flags
+    in-place over the stored link graph. Distinct code path from
+    q_crawl_bfs: analysis-stage BFS over a finished store, not
+    frontier discovery."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.operators.graph import shortest_paths
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    # batch_size=None: curl is a single pass, so the whole fetch list
+    # must land in one round (no deferral — nothing re-queues it)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    sp = shortest_paths(res.crawled, "http://ex.com/p1", max_depth=_CRAWL_DEPTH)
+    return sp.select(
+        "canon_url",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("visited").cast("int").alias("visited"),
+    )
+
+
+@_register(
+    "q_recurring_delta",
+    f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    hh AS (SELECT (SELECT n FROM nn) // 2 AS h),
+    links AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+    reach1(id, depth) AS (
+      SELECT 0::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach1 r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH} AND r.id < (SELECT h FROM hh)),
+    reach2(id, depth) AS (
+      SELECT 0::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach2 r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH})
+    SELECT 'http://ex.com/p' || id AS canon_url
+    FROM (SELECT DISTINCT id FROM reach2)
+    WHERE id NOT IN (SELECT id FROM reach1)
+    """,
+)
+def q_recurring_delta(spark, sf_dir):
+    """S10 recurring source (driver.rb:214-226 queue.recur): run 1
+    crawls the site when only the first half of its pages exist (links
+    to the rest 404), run 2 re-crawls after the full dump landed; the
+    result is run 2's DELTA — canon_urls first seen in run 2. Oracle:
+    two recursive reachability CTEs (expansion gated on page existence
+    in run 1) differenced. Exercises recurring_crawl's cross-run seen
+    bookkeeping, not just one crawl."""
+    from cloud_crawler_spark import CrawlConfig
+    from cloud_crawler_spark.plans.crawler import recurring_crawl
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    n = _t(spark, sf_dir, "documents").count()
+    half = n // 2
+    loads = iter([half, None])  # run 1: half corpus; run 2: full
+
+    def loader():
+        return prepare_corpus(
+            _synthetic_web_from_documents(spark, sf_dir, keep_below=next(loads))
+        )
+
+    seeds = spark.createDataFrame(
+        [("http://ex.com/p0", 0.0)], "url string, priority double"
+    )
+    runs = recurring_crawl(
+        spark, loader, seeds, CrawlConfig(depth_limit=_CRAWL_DEPTH), n_runs=2
+    )
+    return runs[1][1].select("canon_url")
+
+
+@_register(
+    "q_revisit_schedule",
+    """
+    WITH h AS (
+      SELECT 'http://ex.com/p' || doc_id AS canon_url,
+             TIMESTAMP '2013-04-01 00:00:00'
+               + INTERVAL 1 DAY * (k.k * (1 + doc_id % 2)) AS fetch_ts,
+             CAST(FLOOR(k.k * (doc_id % 3) / 2) AS VARCHAR) AS content_hash
+      FROM documents, (SELECT unnest(range(4)) AS k) k
+    ),
+    lagged AS (
+      SELECT canon_url, fetch_ts, content_hash,
+             lag(content_hash) OVER (
+               PARTITION BY canon_url ORDER BY fetch_ts) AS prev
+      FROM h
+    ),
+    s AS (
+      SELECT canon_url,
+             count(*)::BIGINT AS n_fetches,
+             (count(*) - 1)::BIGINT AS n_intervals,
+             sum(CASE WHEN prev IS NOT NULL AND prev <> content_hash
+                      THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+             max(fetch_ts) AS last_ts,
+             (epoch(max(fetch_ts)) - epoch(min(fetch_ts)))::BIGINT AS span_sec
+      FROM lagged GROUP BY canon_url
+    )
+    SELECT canon_url, n_fetches, n_changes,
+           (n_changes + 1.0) / (n_intervals + 2.0) AS change_rate,
+           ((n_changes + 1.0) / (n_intervals + 2.0)) *
+           (CASE WHEN n_intervals > 0 AND span_sec > 0
+                 THEN (epoch(TIMESTAMP '2013-04-09 00:00:00')
+                       - epoch(last_ts))::DOUBLE * n_intervals / span_sec
+                 ELSE (epoch(TIMESTAMP '2013-04-09 00:00:00')
+                       - epoch(last_ts))::DOUBLE / 86400.0 END) AS priority
+    FROM s
+    """,
+)
+def q_revisit_schedule(spark, sf_dir):
+    """Freshness-driven revisit scheduling (operators/revisit.py —
+    Cho & Garcia-Molina change-rate refresh, the scale-correct
+    replacement for the reference's uniform queue.recur re-crawl,
+    driver.rb:214-226). Synthetic per-URL fetch history from
+    `documents`: 4 fetches on a per-doc cadence of (1 + doc_id%2)
+    days; content version floor(k*(doc_id%3)/2) yields 0/1/3 observed
+    changes by doc_id%3. The oracle replays the lag-window change
+    counting and the Laplace-rate × normalized-staleness priority
+    arithmetic exactly."""
+    from cloud_crawler_spark.operators.revisit import revisit_priority
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    ).select(
+        F.concat(F.lit("http://ex.com/p"), F.col("doc_id").cast("string")).alias(
+            "canon_url"
+        ),
+        F.expr(
+            "timestamp'2013-04-01 00:00:00'"
+            " + make_dt_interval(k * (1 + doc_id % 2))"
+        ).alias("fetch_ts"),
+        F.floor(F.col("k") * (F.col("doc_id") % 3) / 2)
+        .cast("string")
+        .alias("content_hash"),
+    )
+    pri = revisit_priority(hist, "2013-04-09 00:00:00")
+    return pri.select(
+        "canon_url", "n_fetches", "n_changes", "change_rate", "priority"
+    )
 
 
 # PageRank oracle: 3 power iterations UNROLLED as plain CTE levels
