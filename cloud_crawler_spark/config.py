@@ -142,6 +142,13 @@ class CrawlConfig:
     n_host_buckets: int = 64                   # frontier partitioning: bucket(host)
     salt_buckets: int = 8                      # hot-host salting fan-out for budget top-k
     use_bloom: bool = False                    # probe partitioned Bloom before exact anti-join
+    use_cuckoo: bool = False                   # probe partitioned cuckoo filter instead (16-bit
+                                               # fingerprints, (2,4)-cuckoo; supports deletion —
+                                               # operators/seen.cuckoo_delete — for revisit
+                                               # policies). Mutually exclusive with use_bloom;
+                                               # both paths resolve their maybe-seen residue with
+                                               # the exact anti-join, so crawl output is identical
+                                               # across exact/bloom/cuckoo.
     bloom_bits_per_key: int = 10
     bloom_num_hashes: int = 7                  # reference uses 7 (redis_url_bloomfilter.rb:47)
     # filter sets up to this many bytes are broadcast for the probe;

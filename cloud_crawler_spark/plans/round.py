@@ -39,7 +39,11 @@ from cloud_crawler_spark.functions.parse import with_parsed_resolved
 from cloud_crawler_spark.operators import robots as robots_ops
 from cloud_crawler_spark.operators.politeness import order_cols, select_budget
 from cloud_crawler_spark.operators.rank import with_global_rank
-from cloud_crawler_spark.operators.seen import anti_join_seen, bloom_gate
+from cloud_crawler_spark.operators.seen import (
+    anti_join_seen,
+    bloom_gate,
+    cuckoo_gate,
+)
 from cloud_crawler_spark.sources.corpus import Corpus
 
 CRAWLED_COLS = [
@@ -371,7 +375,13 @@ def run_round(
     deferred = deferred.cache()
 
     if dedup_gate and seen_nonempty:
-        if config.use_bloom:
+        if config.use_cuckoo:
+            selected = cuckoo_gate(
+                selected, seen,
+                n_buckets=config.n_host_buckets,
+                broadcast_max_bytes=config.bloom_broadcast_max_bytes,
+            )
+        elif config.use_bloom:
             selected = bloom_gate(
                 selected, seen,
                 n_buckets=config.n_host_buckets,
