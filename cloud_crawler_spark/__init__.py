@@ -17,7 +17,13 @@ PySpark API and the reference repo's observable behavior.
 """
 
 from cloud_crawler_spark.config import CrawlConfig
-from cloud_crawler_spark.plans.crawler import Crawler, crawl, curl
+from cloud_crawler_spark.plans.crawler import (
+    Crawler,
+    crawl,
+    curl,
+    recurring_crawl,
+    revisit_crawl,
+)
 
-__all__ = ["CrawlConfig", "Crawler", "crawl", "curl"]
+__all__ = ["CrawlConfig", "Crawler", "crawl", "curl", "recurring_crawl", "revisit_crawl"]
 __version__ = "0.1.0"

@@ -407,3 +407,46 @@ def recurring_crawl(
             )
         out.append((res, delta))
     return out
+
+
+def revisit_crawl(
+    spark: SparkSession,
+    corpus: Corpus,
+    seen: DataFrame,
+    revisit: DataFrame,
+    config: CrawlConfig | None = None,
+    filters: DataFrame | None = None,
+) -> tuple[CrawlResult, DataFrame | None]:
+    """Freshness-driven partial recrawl — the scale-correct refinement
+    of recurring_crawl's uniform re-crawl (driver.rb:214-226 recurs the
+    ENTIRE crawl; at 10^10 URLs the budget must go to the stale few).
+
+    seen: the maintained exact seen table; revisit: URLs selected for
+    recrawl (operators/revisit.due_for_revisit output, or any df with
+    url/canon_url); filters: optional partitioned cuckoo filter set
+    kept in sync IN PLACE via cuckoo_delete (operators/seen) — the
+    deletion capability that makes cuckoo the right seen-set variant
+    for revisit policies.
+
+    The expired URLs are removed from the seen set, then crawled as
+    seeds against `corpus` with the reduced set as initial_seen: the
+    revisited pages re-land in the store (idempotent by canon_url,
+    redis_page_store.rb:34-46 key-overwrite semantics), links to pages
+    discovered since last visit expand as usual, and everything still
+    seen stays excluded. Returns (CrawlResult, filters').
+    """
+    from cloud_crawler_spark.operators.seen import expire_seen
+
+    cfg = config or CrawlConfig()
+    if "url" not in revisit.columns:
+        revisit = revisit.withColumn("url", F.col("canon_url"))
+    if "canon_url" not in revisit.columns:
+        revisit = with_canon(revisit, "url")
+    seen2, filters2 = expire_seen(
+        seen, revisit, filters, n_buckets=cfg.n_host_buckets
+    )
+    res = crawl(
+        spark, corpus, revisit.select("url"), cfg,
+        initial_seen=seen2.localCheckpoint(eager=True),
+    )
+    return res, filters2

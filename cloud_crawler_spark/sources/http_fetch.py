@@ -224,6 +224,42 @@ class BasicAuthTransport:
         return FetchResponse(code=404, body=b"nope", content_type="text/html")
 
 
+class ConditionalTransport:
+    """304 Not Modified test double for conditional revisit GETs: a
+    dict url -> {body, etag, last_modified}. Serves 304 with no body
+    when the request presents a matching If-None-Match /
+    If-Modified-Since validator, else the full 200 carrying the
+    validators as response headers. Lives in the package so Spark
+    python workers can unpickle it by reference."""
+
+    def __init__(self, site: dict):
+        self.site = site
+
+    def __call__(self, url: str, referer: Optional[str],
+                 headers: Optional[dict] = None) -> FetchResponse:
+        h = headers or {}
+        spec = self.site.get(url)
+        if spec is None:
+            return FetchResponse(code=404, body=b"nope", content_type="text/html")
+        etag, lm = spec.get("etag"), spec.get("last_modified")
+        hdrs: dict = {"content-type": ["text/html"]}
+        if etag:
+            hdrs["etag"] = [etag]
+        if lm:
+            hdrs["last-modified"] = [lm]
+        if (etag and h.get("If-None-Match") == etag) or (
+            lm and h.get("If-Modified-Since") == lm
+        ):
+            return FetchResponse(
+                code=304, body=None, content_type=None,
+                headers=hdrs, response_time=1,
+            )
+        return FetchResponse(
+            code=200, body=spec.get("body", b"<html></html>"),
+            content_type="text/html", headers=hdrs, response_time=1,
+        )
+
+
 class FailingTransport:
     """Transport whose host is always down — every call raises."""
 
@@ -409,9 +445,23 @@ def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
             h["Cookie"] = cookie
         return h or None
 
+    # conditional revisit GET (plans/crawler.revisit_crawl): when the
+    # frontier row carries validators from the previously stored page,
+    # hop 0 sends them — a 304 Not Modified then lands through the
+    # normal non-redirect branch (code=304, html NULL, fetched=True),
+    # telling the revisit merge to keep the stored copy
+    _cond = {}
+    if row.get("etag"):
+        _cond["If-None-Match"] = row["etag"]
+    if row.get("last_modified"):
+        _cond["If-Modified-Since"] = row["last_modified"]
+
     for hop in range(redirect_limit + 1):
         try:
-            resp = _attempt(transport, cur["url"], referer, retries, _headers())
+            h0 = _headers()
+            if _cond and hop == 0:
+                h0 = {**(h0 or {}), **_cond}
+            resp = _attempt(transport, cur["url"], referer, retries, h0)
             if resp.code == 401 and credentials:
                 # basic-auth retry (spec/fakeweb_helper.rb:83-89: the
                 # same URL serves 401 bare, 200 with credentials)
