@@ -1470,108 +1470,6 @@ def q_recurring_delta(spark, sf_dir):
 
 
 @_register(
-    "q_shortest_paths",
-    f"""
-    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
-    links AS (
-      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
-      UNION ALL
-      SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
-    reach(id, depth) AS (
-      SELECT 1::BIGINT AS id, 0 AS depth
-      UNION
-      SELECT l.dst, r.depth + 1
-      FROM reach r JOIN links l ON l.src = r.id
-      WHERE r.depth < {_CRAWL_DEPTH}),
-    dist AS (SELECT id, min(depth) AS depth FROM reach GROUP BY id)
-    SELECT 'http://ex.com/p' || doc_id AS canon_url,
-           d.depth::BIGINT AS depth,
-           (d.depth IS NOT NULL)::INT AS visited
-    FROM documents LEFT JOIN dist d ON d.id = doc_id
-    """,
-)
-def q_shortest_paths(spark, sf_dir):
-    """PageStore#shortest_paths! parity (page.rb:47-50,
-    spec/redis_page_store_spec.rb:122-145): store ALL pages via
-    curl mode (no expansion — crawl-time depth deliberately absent),
-    then recompute single-source min-hop depths + visited flags
-    in-place over the stored link graph. Distinct code path from
-    q_crawl_bfs: analysis-stage BFS over a finished store, not
-    frontier discovery."""
-    from cloud_crawler_spark import CrawlConfig, curl
-    from cloud_crawler_spark.operators.graph import shortest_paths
-    from cloud_crawler_spark.sources.corpus import prepare_corpus
-
-    pages = _synthetic_web_from_documents(spark, sf_dir)
-    corpus = prepare_corpus(pages)
-    # batch_size=None: curl is a single pass, so the whole fetch list
-    # must land in one round (no deferral — nothing re-queues it)
-    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
-    sp = shortest_paths(res.crawled, "http://ex.com/p1", max_depth=_CRAWL_DEPTH)
-    return sp.select(
-        "canon_url",
-        F.col("depth").cast("long").alias("depth"),
-        F.col("visited").cast("int").alias("visited"),
-    )
-
-
-@_register(
-    "q_recurring_delta",
-    f"""
-    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
-    hh AS (SELECT (SELECT n FROM nn) // 2 AS h),
-    links AS (
-      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst FROM documents
-      UNION ALL
-      SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
-    reach1(id, depth) AS (
-      SELECT 0::BIGINT AS id, 0 AS depth
-      UNION
-      SELECT l.dst, r.depth + 1
-      FROM reach1 r JOIN links l ON l.src = r.id
-      WHERE r.depth < {_CRAWL_DEPTH} AND r.id < (SELECT h FROM hh)),
-    reach2(id, depth) AS (
-      SELECT 0::BIGINT AS id, 0 AS depth
-      UNION
-      SELECT l.dst, r.depth + 1
-      FROM reach2 r JOIN links l ON l.src = r.id
-      WHERE r.depth < {_CRAWL_DEPTH})
-    SELECT 'http://ex.com/p' || id AS canon_url
-    FROM (SELECT DISTINCT id FROM reach2)
-    WHERE id NOT IN (SELECT id FROM reach1)
-    """,
-)
-def q_recurring_delta(spark, sf_dir):
-    """S10 recurring source (driver.rb:214-226 queue.recur): run 1
-    crawls the site when only the first half of its pages exist (links
-    to the rest 404), run 2 re-crawls after the full dump landed; the
-    result is run 2's DELTA — canon_urls first seen in run 2. Oracle:
-    two recursive reachability CTEs (expansion gated on page existence
-    in run 1) differenced. Exercises recurring_crawl's cross-run seen
-    bookkeeping, not just one crawl."""
-    from cloud_crawler_spark import CrawlConfig
-    from cloud_crawler_spark.plans.crawler import recurring_crawl
-    from cloud_crawler_spark.sources.corpus import prepare_corpus
-
-    n = _t(spark, sf_dir, "documents").count()
-    half = n // 2
-    loads = iter([half, None])  # run 1: half corpus; run 2: full
-
-    def loader():
-        return prepare_corpus(
-            _synthetic_web_from_documents(spark, sf_dir, keep_below=next(loads))
-        )
-
-    seeds = spark.createDataFrame(
-        [("http://ex.com/p0", 0.0)], "url string, priority double"
-    )
-    runs = recurring_crawl(
-        spark, loader, seeds, CrawlConfig(depth_limit=_CRAWL_DEPTH), n_runs=2
-    )
-    return runs[1][1].select("canon_url")
-
-
-@_register(
     "q_revisit_schedule",
     """
     WITH h AS (
