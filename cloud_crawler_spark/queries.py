@@ -1367,6 +1367,101 @@ def q_robots_meta(spark, sf_dir):
     )
 
 
+_POSTINGS_CTE = """
+    post AS (
+      SELECT term, doc_id, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents)
+      WHERE term <> ''
+      GROUP BY term, doc_id)
+"""
+
+
+@_register(
+    "q_inverted_index",
+    f"""
+    WITH {_POSTINGS_CTE}
+    SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
+    FROM post GROUP BY term
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index dictionary stats over flat postings
+    (operators/index.py — the reference stops at the page store;
+    word_count.rb:57-75 is its only retrieval-adjacent example). The
+    posting table is FLAT (term, doc_id, tf) — never an array posting
+    list per term, which a stopword would blow up at corpus scale."""
+    from cloud_crawler_spark.operators.index import postings
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        postings(docs)
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+    )
+
+
+@_register(
+    "q_tfidf",
+    f"""
+    WITH {_POSTINGS_CTE},
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+    SELECT p.doc_id, p.term, p.tf, d.df,
+           p.tf * ln((SELECT n FROM nn) / d.df) AS tfidf
+    FROM post p JOIN dfreq d USING (term)
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """TF-IDF weights for every posting (operators/index.tfidf):
+    postings JOIN doc-frequency on term, corpus size N via a one-row
+    broadcast crossJoin (the PageRank dangling-mass pattern — no
+    driver collect)."""
+    from cloud_crawler_spark.operators.index import tfidf
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf(docs)
+
+
+@_register(
+    "q_bm25",
+    f"""
+    WITH {_POSTINGS_CTE},
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+    dl AS (SELECT doc_id,
+                  len(list_filter(string_split_regex(lower(text), '\\s+'),
+                      t -> t <> ''))::BIGINT AS dl
+           FROM documents),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    ad AS (SELECT avg(dl) AS a FROM dl),
+    q AS (SELECT unnest(['filter', 'hash', 'join']) AS term)
+    SELECT p.doc_id,
+           sum(ln(1.0 + ((SELECT n FROM nn) - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75
+                                + 0.75 * l.dl / (SELECT a FROM ad)))) AS score
+    FROM post p
+    JOIN q USING (term)
+    JOIN dfreq d USING (term)
+    JOIN dl l USING (doc_id)
+    GROUP BY p.doc_id
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 (Lucene idf form) for the query "hash join filter"
+    (operators/index.bm25): query terms broadcast-semi-joined into the
+    flat postings, N/avgdl on one broadcast row, one groupBy(doc) —
+    the 100 TB-ranking shape."""
+    from cloud_crawler_spark.operators.index import bm25
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25(docs, "hash join filter")
+
+
 @_register(
     "q_shortest_paths",
     f"""
