@@ -121,6 +121,65 @@ def pagerank(
     return ranks.select(F.col("id").alias("canon_url"), "rank")
 
 
+def hits(crawled: DataFrame, iterations: int = 2) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    stored crawl's link graph — PageRank's companion for the seed
+    re-prioritization analysis stage (SURVEY §2.10): hubs are the
+    index/listing pages a crawler should revisit to find new content,
+    authorities the content pages worth ranking.
+
+    Per iteration: a(v) = Σ h(u) over edges (u,v), then h(u) = Σ a(v),
+    each L1-normalized. Returns (canon_url, authority double,
+    hub double) for every stored page (0.0 for pages outside the edge
+    set); both columns sum to 1.
+
+    Scale shape: identical to pagerank — the edge set is built once
+    and checkpointed; each half-step is ONE equi-join + ONE
+    map-side-combinable groupBy, and the normalizing scalar rides a
+    1-row broadcast crossJoin, never the driver.
+    """
+    nodes = crawled.select(F.col("canon_url").alias("id")).distinct()
+    if nodes.isEmpty():
+        return crawled.sparkSession.createDataFrame(
+            [], "canon_url string, authority double, hub double"
+        )
+    edges = link_edges_of(crawled)
+    edges = edges.join(
+        nodes.withColumnRenamed("id", "dst"), "dst", "left_semi"
+    ).localCheckpoint(eager=True)
+
+    hubs = nodes.select(F.col("id"), F.lit(1.0).alias("v"))
+
+    def _norm(scores: DataFrame) -> DataFrame:
+        tot = scores.agg(F.sum("v").alias("_t"))
+        return (
+            scores.crossJoin(F.broadcast(tot))
+            .select("id", (F.col("v") / F.col("_t")).alias("v"))
+        )
+
+    auth = None
+    for _ in range(max(1, iterations)):
+        auth = _norm(
+            edges.join(hubs, edges.src == hubs.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("v").alias("v"))
+        ).localCheckpoint(eager=True)
+        hubs = _norm(
+            edges.join(auth, edges.dst == auth.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("v").alias("v"))
+        ).localCheckpoint(eager=True)
+    return (
+        nodes.join(auth.withColumnRenamed("v", "authority"), "id", "left")
+        .join(hubs.withColumnRenamed("v", "hub"), "id", "left")
+        .select(
+            F.col("id").alias("canon_url"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )
+
+
 def shortest_paths(
     crawled: DataFrame,
     root_url: str,

@@ -1650,6 +1650,117 @@ _PR_ITER_SQL = """
       FROM r{p} LEFT JOIN c{t} ON c{t}.id = r{p}.id)"""
 
 
+_HITS_ITER_SQL = """
+    a{t}r AS (
+      SELECT l.dst AS id, sum(h{p}.v) AS v
+      FROM h{p} JOIN links l ON l.src = h{p}.id GROUP BY l.dst),
+    a{t} AS (SELECT id, v / (SELECT sum(v) FROM a{t}r) AS v FROM a{t}r),
+    h{t}r AS (
+      SELECT l.src AS id, sum(a{t}.v) AS v
+      FROM a{t} JOIN links l ON l.dst = a{t}.id GROUP BY l.src),
+    h{t} AS (SELECT id, v / (SELECT sum(v) FROM h{t}r) AS v FROM h{t}r)"""
+
+
+@_register(
+    "q_hits",
+    """
+    WITH mod_n AS (SELECT count(*) AS m FROM documents),
+    links AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT m FROM mod_n) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT m FROM mod_n) FROM documents)),
+    h0 AS (SELECT doc_id AS id, 1.0 AS v FROM documents),"""
+    + ",".join(_HITS_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2))
+    + """
+    SELECT 'http://ex.com/p' || d.doc_id AS canon_url,
+           round(coalesce(a2.v, 0.0) * 1e6)::BIGINT AS authority_ppm,
+           round(coalesce(h2.v, 0.0) * 1e6)::BIGINT AS hub_ppm
+    FROM documents d
+    LEFT JOIN a2 ON a2.id = d.doc_id
+    LEFT JOIN h2 ON h2.id = d.doc_id
+    """,
+)
+def q_hits(spark, sf_dir):
+    """Post-crawl HITS hubs & authorities (operators/graph.hits):
+    curl-store the arithmetic web, 2 L1-normalized iterations over the
+    stored link graph, integer-ppm output (the q_pagerank float
+    discipline). Hubs = the index pages a recrawl should prioritize,
+    authorities = the content pages worth ranking."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.operators.graph import hits
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    h = hits(res.crawled, iterations=2)
+    return h.select(
+        "canon_url",
+        F.round(F.col("authority") * 1e6).cast("long").alias("authority_ppm"),
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_ppm"),
+    )
+
+
+@_register(
+    "q_trap_detection",
+    """
+    WITH u AS (
+      SELECT CASE WHEN doc_id % 4 = 0 THEN 'trap.ex.com'
+                  ELSE 'h' || (doc_id % 3) || '.ex.com' END AS host,
+             CASE WHEN doc_id % 4 = 0
+                  THEN '/cal/' || (doc_id * 31 % 997) || '/' || (doc_id * 7 % 89)
+                  ELSE '/' || translate(doc_id::VARCHAR,
+                                        '0123456789', 'abcdefghij') END AS path
+      FROM documents),
+    t AS (SELECT host, path,
+                 regexp_replace(path, '[0-9]+', 'N', 'g') AS template
+          FROM u)
+    SELECT host,
+           count(DISTINCT path)::BIGINT AS n_urls,
+           count(DISTINCT template)::BIGINT AS n_templates,
+           count(DISTINCT path) / count(DISTINCT template) AS urls_per_template,
+           (count(DISTINCT path) / count(DISTINCT template) >= 10.0)::INT AS is_trap
+    FROM t GROUP BY host
+    """,
+)
+def q_trap_detection(spark, sf_dir):
+    """Crawler-trap detection (operators/traps.py): a calendar-shaped
+    host mints unbounded URLs from one digit template while healthy
+    hosts have letter-only slugs (template == path). The digit-collapse
+    + per-host distinct-count aggregation flags the trap host
+    (urls_per_template >> 1) for budget starvation — the frontier
+    pathology the reference's depth/domain gates cannot see."""
+    from cloud_crawler_spark.operators.traps import trap_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    urls = docs.select(
+        F.when(i % 4 == 0, F.lit("trap.ex.com"))
+        .otherwise(F.concat(F.lit("h"), (i % 3).cast("string"), F.lit(".ex.com")))
+        .alias("host"),
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit("/cal/"), (i * 31 % 997).cast("string"),
+                F.lit("/"), (i * 7 % 89).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/"),
+                F.translate(i.cast("string"), "0123456789", "abcdefghij"),
+            )
+        )
+        .alias("path"),
+    )
+    s = trap_scores(urls)
+    return s.withColumn(
+        "is_trap", (F.col("urls_per_template") >= 10.0).cast("int")
+    )
+
+
 @_register(
     "q_pagerank",
     """
