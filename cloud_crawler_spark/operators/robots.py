@@ -79,9 +79,36 @@ def parse_crawl_delay(body: str) -> float | None:
     return delay
 
 
+def pattern_regex(pat: str) -> str:
+    """RFC 9309 wildcard pattern -> anchored Java regex, or '' for a
+    plain prefix (the fast startswith path). ``*`` matches any
+    character run; a trailing ``$`` anchors the path end. The 2013
+    reference's Robotex predates wildcard adoption; modern robots.txt
+    uses them heavily (``Disallow: /*.php$``), and treating them as
+    literal prefixes silently mis-gates."""
+    if "*" not in pat and not pat.endswith("$"):
+        return ""
+    end = pat.endswith("$")
+    core = pat[:-1] if end else pat
+    out = []
+    for ch in core:
+        if ch == "*":
+            out.append(".*")
+        elif ch in ".^$+?()[]{}|\\":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if end else "")
+
+
 _RULES_TYPE = T.ArrayType(
     T.StructType(
-        [T.StructField("prefix", T.StringType()), T.StructField("allow", T.BooleanType())]
+        [
+            T.StructField("prefix", T.StringType()),
+            T.StructField("allow", T.BooleanType()),
+            # anchored regex for wildcard rules, '' for plain prefixes
+            T.StructField("regex", T.StringType()),
+        ]
     )
 )
 
@@ -91,7 +118,10 @@ def parse_robots_udf(bodies: pd.Series) -> pd.Series:
     """Arrow-batched robots.txt body parser (executor-side)."""
     return pd.Series(
         [
-            [{"prefix": p, "allow": a} for p, a in parse_robots_body(b)]
+            [
+                {"prefix": p, "allow": a, "regex": pattern_regex(p)}
+                for p, a in parse_robots_body(b)
+            ]
             for b in bodies
         ],
         dtype="object",
@@ -203,7 +233,10 @@ def build_rules(spark, robots_df: DataFrame | None) -> DataFrame:
     separately whether the aggregated per-host rules are small enough
     to broadcast; see `filter_allowed`.)
     """
-    schema = "host string, prefix string, allow boolean, prefix_len int"
+    schema = (
+        "host string, prefix string, allow boolean, prefix_len int, "
+        "regex string"
+    )
     if robots_df is None:
         return spark.createDataFrame([], schema)
     return (
@@ -212,7 +245,11 @@ def build_rules(spark, robots_df: DataFrame | None) -> DataFrame:
             "host",
             F.col("_r.prefix").alias("prefix"),
             F.col("_r.allow").alias("allow"),
+            # specificity = raw pattern length (the Google/RFC 9309
+            # longest-match convention counts the pattern, wildcards
+            # included)
             F.length("_r.prefix").alias("prefix_len"),
+            F.col("_r.regex").alias("regex"),
         )
     )
 
@@ -239,14 +276,19 @@ def filter_allowed(
     if rules.isEmpty():
         return candidates
     per_host = rules.groupBy(F.col("host").alias("_rhost")).agg(
-        F.collect_list(F.struct("prefix_len", "allow", "prefix")).alias("_rset")
+        F.collect_list(F.struct("prefix_len", "allow", "prefix", "regex")).alias("_rset")
     )
     if broadcast:
         per_host = F.broadcast(per_host)
     joined = candidates.join(per_host, F.col(host_col) == F.col("_rhost"), "left")
+    # plain prefixes take the startswith fast path; RFC 9309 wildcard
+    # rules (*, trailing $) match their anchored regex — still JVM-side
+    # (regexp_like accepts a per-element pattern), still codegen
     matched = F.filter(
         F.coalesce(F.col("_rset"), F.array()),
-        lambda r: F.col(path_col).startswith(r["prefix"]),
+        lambda r: F.when(
+            r["regex"] != "", F.regexp_like(F.col(path_col), r["regex"])
+        ).otherwise(F.col(path_col).startswith(r["prefix"])),
     )
     best = F.array_max(matched)  # struct order: prefix_len, then allow=true wins ties
     return (
