@@ -95,6 +95,20 @@ def tfidf_topk(docs: DataFrame, k: int, id_col: str = "doc_id",
     )
 
 
+def merge_postings(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental index maintenance for recurring/revisit crawls: fold
+    a delta-crawl's postings into the standing index. Flat postings
+    make this ONE keyed aggregation (union + groupBy sum, map-side
+    combinable) — array posting lists would need per-term list surgery
+    instead. Revisited (re-fetched) documents must have their OLD rows
+    dropped first: pass base.join(revisited_ids, id, "left_anti")."""
+    return (
+        base.unionByName(delta)
+        .groupBy("term", *[c for c in base.columns if c not in ("term", "tf")])
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+
+
 def bm25(docs: DataFrame, query: str, k1: float = 1.2, b: float = 0.75,
          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, score): Okapi BM25 of every matching document for a

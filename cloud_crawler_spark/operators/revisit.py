@@ -105,6 +105,31 @@ def due_for_revisit(priorities: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def content_diff(prev: DataFrame, cur: DataFrame,
+                 id_col: str = "canon_url",
+                 hash_col: str = "content_hash") -> DataFrame:
+    """Snapshot diff between two crawls of the same site: one row per
+    URL in either snapshot with status
+    'added' | 'removed' | 'changed' | 'unchanged'.
+
+    Input: (canon_url, content_hash) per snapshot (hash the stored
+    html/text with e.g. F.md5). ONE full-outer equi-join on the URL —
+    both sides shuffle on the same key, no skew beyond one URL. The
+    'changed' set is what feeds change_stats/revisit_priority history;
+    'removed' feeds seen-set expiry (expire_seen) so dead URLs free
+    their filter slots."""
+    p = prev.select(F.col(id_col), F.col(hash_col).alias("_ph"))
+    c = cur.select(F.col(id_col), F.col(hash_col).alias("_ch"))
+    return p.join(c, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("_ph").isNull(), F.lit("added"))
+        .when(F.col("_ch").isNull(), F.lit("removed"))
+        .when(F.col("_ph") != F.col("_ch"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
 def page_validators(pages: DataFrame, canon_col: str = "canon_url") -> DataFrame:
     """(canon_url, url, host, etag, last_modified) from stored pages —
     the columns sources/http_fetch._fetch_one turns into

@@ -1762,6 +1762,87 @@ def q_trap_detection(spark, sf_dir):
 
 
 @_register(
+    "q_index_delta",
+    """
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' extra' ELSE text END AS text
+      FROM documents),
+    post AS (
+      SELECT term, doc_id, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM docs2)
+      WHERE term <> ''
+      GROUP BY term, doc_id)
+    SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
+    FROM post GROUP BY term
+    """,
+)
+def q_index_delta(spark, sf_dir):
+    """Incremental index maintenance (operators/index.merge_postings):
+    build the standing index, re-fetch every 5th document with new
+    content, drop the revisited docs' old rows (anti-join) and fold in
+    the delta postings. The oracle computes the dictionary stats
+    directly from the post-revisit corpus — the hash match IS the
+    proof that incremental merge == full rebuild."""
+    from cloud_crawler_spark.operators.index import merge_postings, postings
+
+    docs = _t(spark, sf_dir, "documents")
+    base = postings(docs)
+    revisited = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" extra")).alias("text")
+    )
+    delta = postings(revisited)
+    kept = base.join(revisited.select("doc_id"), "doc_id", "left_anti")
+    merged = merge_postings(kept, delta)
+    return merged.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+
+
+@_register(
+    "q_content_diff",
+    """
+    WITH nn AS (SELECT (9 * count(*)) // 10 AS cut FROM documents)
+    SELECT 'http://ex.com/p' || doc_id AS canon_url,
+           CASE WHEN doc_id >= (SELECT cut FROM nn) THEN 'added'
+                WHEN doc_id % 7 = 6 THEN 'removed'
+                WHEN doc_id % 3 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM documents
+    WHERE NOT (doc_id >= (SELECT cut FROM nn) AND doc_id % 7 = 6)
+    """,
+)
+def q_content_diff(spark, sf_dir):
+    """Snapshot diff between two crawls (operators/revisit.content_diff
+    — one full-outer equi-join): snapshot 1 is the first 90% of the
+    site, snapshot 2 is the full site minus every 7th page (removed)
+    with every 3rd page's content changed. The diff labels each URL
+    added/removed/changed/unchanged; 'changed' feeds revisit history,
+    'removed' feeds seen expiry."""
+    from cloud_crawler_spark.operators.revisit import content_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    cut = (9 * n) // 10
+    url = F.concat(F.lit("http://ex.com/p"), F.col("doc_id").cast("string"))
+    v1 = docs.where(F.col("doc_id") < cut).select(
+        url.alias("canon_url"), F.md5("text").alias("content_hash")
+    )
+    v2 = docs.where(F.col("doc_id") % 7 != 6).select(
+        url.alias("canon_url"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("v2"))
+            ).otherwise(F.col("text"))
+        ).alias("content_hash"),
+    )
+    return content_diff(v1, v2)
+
+
+@_register(
     "q_pagerank",
     """
     WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
