@@ -38,6 +38,10 @@ HEADLINE = [
     "q_span_dedup",
     "q_semdedup",
     "q_blocklist",
+    "q_inverted_index",
+    "q_tfidf",
+    "q_bm25",
+    "q_trap_detection",
     "q_events_hourly",
     "q_politeness_topk",
     "q_crawl_bfs",
