@@ -1565,6 +1565,51 @@ def q_recurring_delta(spark, sf_dir):
 
 
 @_register(
+    "q_robots_wildcard",
+    f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    links AS (
+      SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
+    reach(id, depth) AS (
+      SELECT 0::BIGINT AS id, 0 AS depth
+      UNION
+      SELECT l.dst, r.depth + 1
+      FROM reach r JOIN links l ON l.src = r.id
+      WHERE r.depth < {_CRAWL_DEPTH} AND l.dst % 10 <> 3)
+    SELECT 'http://ex.com/p' || id AS canon_url, min(depth)::BIGINT AS depth
+    FROM reach GROUP BY id
+    """,
+)
+def q_robots_wildcard(spark, sf_dir):
+    """RFC 9309 wildcard robots gate end-to-end (beyond the 2013
+    reference's prefix-only Robotex): ``Disallow: /p*3$`` blocks every
+    page whose id ends in 3 (the anchored-regex arm of
+    operators/robots.filter_allowed); the crawl must reach exactly the
+    BFS closure of the edges into allowed pages — the oracle replays
+    the gate as ``dst % 10 <> 3``. Seed p0 is allowed by
+    construction."""
+    from cloud_crawler_spark import CrawlConfig, crawl
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow: /p*3$")],
+        "host string, body string",
+    )
+    corpus = prepare_corpus(pages, robots=robots)
+    seeds = spark.createDataFrame(
+        [("http://ex.com/p0", 0.0)], "url string, priority double"
+    )
+    res = crawl(spark, corpus, seeds, CrawlConfig(depth_limit=_CRAWL_DEPTH))
+    return res.crawled.select(
+        "canon_url", F.col("depth").cast("long").alias("depth")
+    )
+
+
+@_register(
     "q_revisit_schedule",
     """
     WITH h AS (
