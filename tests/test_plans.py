@@ -162,3 +162,35 @@ def test_curation_queries_scale_guards(spark):
     assert "BroadcastHashJoin" in plans["q_blocklist"]
     # span dedup shuffles the 8-byte xxhash64 key, not span text
     assert "xxhash64" in plans["q_span_dedup"]
+
+
+def test_index_ranking_scale_guards(spark):
+    """The search-index operators keep their 100 TB plan shapes: no
+    cartesian products beyond the deliberate ONE-ROW scalar
+    crossJoins (N, avgdl — broadcast, constant-size), postings
+    aggregate partially map-side, and the per-doc top-k window gets
+    the partial group limit."""
+    from cloud_crawler_spark.operators.index import tfidf_topk
+    from cloud_crawler_spark.queries import queries
+
+    qs = queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("q_inverted_index", "q_tfidf", "q_bm25",
+                 "q_trap_detection", "q_index_delta"):
+        plan = plan_of(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        # one-row scalar attachments plan as BroadcastNestedLoopJoin
+        # with a 1-row build side — cheap by construction; anything
+        # else nested-loop would be a blowup. bm25 has exactly two
+        # (N x avgdl, then stats into the scored rows); the formatted
+        # plan prints every node twice (tree + details), hence <= 4
+        # occurrences.
+        assert plan.count("BroadcastNestedLoopJoin") <= 4, name
+        # partial aggregation reaches the map side
+        assert "partial_" in plan or "HashAggregate" in plan, name
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c")], "doc_id long, text string"
+    )
+    topk_plan = plan_of(tfidf_topk(docs, 2))
+    assert "WindowGroupLimit" in topk_plan  # map-side partial top-k
