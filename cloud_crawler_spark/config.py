@@ -87,6 +87,18 @@ class CrawlConfig:
     # for that host (operators/robots.delay_budgets)
     honor_crawl_delay: bool = False
     round_window_sec: float = 60.0             # wall-clock seconds one round stands in for
+    # adaptive error backoff (beyond the reference, which retries per
+    # request but never adapts the schedule): a host whose cumulative
+    # fetch-failure fraction (not-fetched rows — transport errors and
+    # corpus misses — plus 5xx responses) reaches the threshold after
+    # at least `error_backoff_min` attempts has its per-round budget
+    # clamped to `error_backoff_budget` for the rest of the crawl —
+    # failing hosts stop eating the round's fetch batch while still
+    # draining (budget >= 1 keeps progress guaranteed).
+    error_backoff: bool = False
+    error_backoff_threshold: float = 0.5
+    error_backoff_min: int = 3
+    error_backoff_budget: int = 1
     max_rounds: int = 1000                     # driver-loop safety bound
 
     # ---- projections ----

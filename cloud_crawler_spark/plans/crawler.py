@@ -227,9 +227,41 @@ class Crawler:
         if cfg.before_crawl is not None:
             cfg.before_crawl()
 
+        # adaptive error backoff (cfg.error_backoff): cumulative
+        # per-host failure counts, folded each round; tiny table
+        # (one row per host ever crawled), checkpointed to keep the
+        # per-round plan flat
+        host_fail: DataFrame | None = None
+
         while rnd < cfg.max_rounds and n_pending > 0:
             if cfg.before_round is not None:
                 cfg.before_round(rnd, frontier)
+            budgets = self.host_budgets
+            if cfg.error_backoff and host_fail is not None:
+                backoff = (
+                    host_fail.where(
+                        (F.col("n_tot") >= cfg.error_backoff_min)
+                        & (
+                            F.col("n_fail")
+                            >= F.col("n_tot") * cfg.error_backoff_threshold
+                        )
+                    )
+                    .select(
+                        "host",
+                        F.lit(int(cfg.error_backoff_budget)).alias("budget"),
+                    )
+                )
+                # min-merge with static overrides (Crawl-delay budgets):
+                # ONE row per host — a duplicate (host, budget) row
+                # would fan out that host's frontier rows through
+                # select_budget's override join
+                budgets = (
+                    backoff
+                    if budgets is None
+                    else budgets.unionByName(backoff)
+                    .groupBy("host")
+                    .agg(F.min("budget").alias("budget"))
+                )
             res = run_round(
                 self.corpus, cfg, frontier, seen, self.robots_rules,
                 round_no=rnd, next_rank=next_rank,
@@ -237,7 +269,7 @@ class Crawler:
                 seen_nonempty=seen_nonempty,
                 robots_broadcast=self.robots_broadcast,
                 robots_refresh=self._refresh_robots if self._live_robots else None,
-                host_budgets=self.host_budgets,
+                host_budgets=budgets,
             )
             # run_round localCheckpoints the fetched+parsed block (plan
             # truncation at the round boundary — without it an iterative
@@ -256,6 +288,27 @@ class Crawler:
             n_pending = next_frontier.where(F.col("status") == "pending").count()
             if _dbg:
                 print(f"  [round {rnd}] counts: {_time.time()-_t:.2f}s", flush=True)
+            if cfg.error_backoff and n_crawled > 0:
+                rd_fail = crawled.groupBy("host").agg(
+                    F.count("*").alias("n_tot"),
+                    F.sum(
+                        F.when(
+                            (~F.coalesce(F.col("fetched"), F.lit(False)))
+                            | (F.coalesce(F.col("code"), F.lit(0)) >= 500),
+                            1,
+                        ).otherwise(0)
+                    ).alias("n_fail"),
+                )
+                host_fail = (
+                    rd_fail
+                    if host_fail is None
+                    else host_fail.unionByName(rd_fail)
+                    .groupBy("host")
+                    .agg(
+                        F.sum("n_tot").alias("n_tot"),
+                        F.sum("n_fail").alias("n_fail"),
+                    )
+                ).localCheckpoint(eager=True)
             newly_seen = res.newly_seen
 
             # DSL page hooks (on_every_page / on_pages_like,
