@@ -1610,6 +1610,45 @@ def q_robots_wildcard(spark, sf_dir):
 
 
 @_register(
+    "q_main_content",
+    """
+    SELECT doc_id,
+           md5('intro ' || doc_id || ' xx' || chr(10) || text) AS main_md5,
+           (length('intro ' || doc_id || ' xx') + 1 + length(text))::BIGINT
+             AS n_chars
+    FROM documents
+    """,
+)
+def q_main_content(spark, sf_dir):
+    """Boilerplate removal (functions/boilerplate.py — jusText-style
+    block segmentation + link-density filter, beyond the reference's
+    full-page text): pages wrap each document's text in nav/footer
+    chrome plus an intro paragraph; the extracted main text must be
+    EXACTLY intro + newline + content (chrome dropped, content kept
+    verbatim) — the oracle hashes that expectation directly."""
+    from cloud_crawler_spark.functions.boilerplate import with_main_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>t</title></head><body>'
+              '<nav><a href="/a">home</a><a href="/b">about us page</a></nav>'
+              "<p>intro "),
+        F.col("doc_id").cast("string"),
+        F.lit(' xx</p><div class="c"><p>'),
+        F.col("text"),
+        F.lit('</p></div><footer><a href="/x">terms</a>'
+              " copyright corp 2013</footer></body></html>"),
+    )
+    pages = docs.select("doc_id", html.cast("binary").alias("html"))
+    m = with_main_text(pages)
+    return m.select(
+        "doc_id",
+        F.md5("main_text").alias("main_md5"),
+        F.length("main_text").cast("long").alias("n_chars"),
+    )
+
+
+@_register(
     "q_revisit_schedule",
     """
     WITH h AS (
