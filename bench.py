@@ -42,6 +42,9 @@ HEADLINE = [
     "q_tfidf",
     "q_bm25",
     "q_trap_detection",
+    "q_lm_perplexity",
+    "q_vocab_coverage",
+    "q_seq_pack",
     "q_events_hourly",
     "q_politeness_topk",
     "q_crawl_bfs",

@@ -1,0 +1,165 @@
+"""Statistical language-model scoring and vocabulary induction for
+corpus curation.
+
+CCNet (Wenzek et al. 2020 §4.3) filters web text by the perplexity of
+a language model trained on a trusted corpus; this module implements
+that mechanism with an add-one-smoothed bigram LM trained and applied
+entirely as DataFrame aggregations — upgrading the stopword "fluency
+proxy" used by sampling.quality_buckets to the real thing. It also
+builds a frequency-truncated vocabulary and reports per-document OOV
+coverage — the standard pre-tokenizer health check before committing
+to a tokenizer at training time.
+
+Everything is built-in pyspark.sql.functions (JVM, codegen) — no UDFs:
+
+* Training is two groupBys (unigram, bigram counts) over the train
+  split. The shuffle key is the token / token-pair string; at 100 TB
+  the model tables are vocabulary-sized (millions of rows, not
+  corpus-sized), so the score-side joins are AQE-broadcastable in
+  practice and correct shuffle equi-joins when not.
+* The vocabulary size |V| (the smoothing denominator) is a 1-row
+  aggregate carried via broadcast crossJoin — the same no-collect
+  pattern as PageRank's dangling-mass term (operators/graph.py).
+* Scoring explodes each document's adjacent token pairs and LEFT
+  joins the model: unseen bigrams/unigrams coalesce to 0 and take the
+  +1 / |V| smoothing mass. Per-doc mean log-prob and perplexity are
+  one groupBy with map-side partial aggregation.
+
+Reference anchor: the reference has no LM (2013-era crawler); this is
+part of the training-data-pipeline surface the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark.operators.rank import with_global_rank
+
+
+def _toks(col):
+    """Lowercased whitespace tokens, empties removed (matches
+    functions/text.py tokens + dedup norm_tokens semantics)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def _bigrams(tok_arr):
+    """Array of (w1, w2) structs over adjacent tokens; empty when the
+    document has fewer than two tokens (sequence() would descend on
+    start > stop, so the short case is gated explicitly)."""
+    n = F.size(tok_arr)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(tok_arr, i).alias("w1"),
+            F.element_at(tok_arr, i + 1).alias("w2"),
+        ),
+    )
+    return F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 5,
+    train_keep: int = 4,
+) -> DataFrame:
+    """Score every document with an add-one-smoothed bigram LM trained
+    on the deterministic split ``id % train_mod < train_keep``.
+
+    Per adjacent pair (w1, w2):
+        logp = ln((c(w1,w2) + 1) / (c(w1) + |V|))
+    with counts from the train split and |V| = distinct train unigrams.
+    Returns one row per input doc:
+        (id, n_bigrams, avg_logprob round 6, ppl = exp(-avg) round 4)
+    Documents with fewer than two tokens keep a row with n_bigrams = 0
+    and NULL scores.
+
+    The deterministic modulo split (not df.randomSplit, whose output
+    depends on partitioning) keeps the model — and therefore every
+    score — reproducible across runs, engines, and cluster sizes.
+    """
+    toks = df.select(F.col(id_col), _toks(F.col(text_col)).alias("_t"))
+    train = toks.where((F.col(id_col) % train_mod) < train_keep)
+
+    uni = (
+        train.select(F.explode("_t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("_c1"))
+    )
+    bi = (
+        train.select(F.explode(_bigrams(F.col("_t"))).alias("_b"))
+        .select("_b.w1", "_b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("_c2"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("_vsz"))  # 1 row
+
+    pairs = toks.select(
+        F.col(id_col), F.explode(_bigrams(F.col("_t"))).alias("_b")
+    ).select(F.col(id_col), "_b.w1", "_b.w2")
+    scored = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce("_c2", F.lit(0)) + 1)
+                / (F.coalesce("_c1", F.lit(0)) + F.col("_vsz"))
+            ).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.avg("_lp").alias("_avg"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round("_avg", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), 4).alias("ppl"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+) -> DataFrame:
+    """Induce the top-``vocab_size`` corpus vocabulary (by frequency,
+    ties broken token-ascending so the cut is total and
+    engine-independent) and report per-document OOV coverage:
+        (id, n_tokens, n_oov, oov_rate round 6).
+
+    The global top-K rank runs on the AGGREGATED count table —
+    vocabulary-sized, not corpus-sized — through the range-partition
+    prefix-sum rank (operators/rank.py), never a single-partition
+    window over raw tokens. The induced vocab (K rows) broadcasts back
+    for the per-token membership probe.
+    """
+    toks = df.select(F.col(id_col), F.explode(_toks(F.col(text_col))).alias("_w"))
+    counts = toks.groupBy("_w").agg(F.count("*").alias("_n"))
+    ranked = with_global_rank(
+        counts, [F.col("_n").desc(), F.col("_w").asc()], rank_col="_r"
+    )
+    vocab = ranked.where(F.col("_r") <= vocab_size).select("_w")
+    return (
+        toks.join(F.broadcast(vocab.withColumn("_inv", F.lit(1))), "_w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )

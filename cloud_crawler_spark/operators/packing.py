@@ -1,0 +1,113 @@
+"""Training sequence packing: greedy fixed-length bin packing of
+documents into model-context-sized sequences.
+
+LLM pretraining consumes fixed-length token sequences; feeding one
+short document per sequence wastes the context window, so pipelines
+*pack* — concatenate documents into bins of ``seq_len`` tokens
+(GPT/T5 "example packing"). The packing itself is inherently
+sequential (bin state depends on every earlier document), so the
+scalable shape is: deterministically bucket the corpus, then run the
+linear greedy scan *per bucket* with applyInPandas — each bucket is an
+independent, memory-bounded pandas group, and the bucket count scales
+with the cluster. Token counting stays JVM-side; only the integer
+(id, n_tokens) pairs cross into Arrow, never the text.
+
+Packing rule (first-fit in id order within a bucket — deterministic,
+and exactly reproducible by the DuckDB oracle's recursive CTE):
+  * a document fits an open bin iff fill + n_tokens <= seq_len;
+  * otherwise it opens the next bin at offset 0;
+  * a document longer than seq_len gets (the front of) its own bin
+    with truncated = true — fill saturates at seq_len so nothing
+    packs after it.
+
+At 100 TB: the only shuffle is the bucket repartition (key = id %
+n_buckets, uniform by construction — no skew); within a bucket the
+scan is O(rows) with O(1) state. n_buckets is the parallelism knob;
+raise it with the cluster.
+
+Reference anchor: out of the reference's scope (2013 crawler); part of
+the training-data-pipeline surface the brief adds.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cloud_crawler_spark.functions import text as TX
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("tok_offset", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("truncated", T.BooleanType()),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 64,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Assign every document a (bucket, bin_id, tok_offset) packing
+    slot; see module docstring for the rule. Output columns:
+    (doc_id, bucket, bin_id, tok_offset, n_tokens, truncated)."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col) % n_buckets).cast("long").alias("bucket"),
+        TX.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, fill = -1, seq_len + 1  # force first row to open bin 0
+        bins, offs, truncs = [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill + n <= seq_len:
+                offs.append(fill)
+                fill += n
+            else:
+                bin_id += 1
+                offs.append(0)
+                fill = min(n, seq_len)
+            bins.append(bin_id)
+            truncs.append(n > seq_len)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["tok_offset"] = pd.Series(offs, dtype="int64")
+        pdf["truncated"] = truncs
+        return pdf[
+            ["doc_id", "bucket", "bin_id", "tok_offset", "n_tokens", "truncated"]
+        ]
+
+    return base.repartition(n_buckets, "bucket").groupBy("bucket").applyInPandas(
+        _pack, PACK_SCHEMA
+    )
+
+
+def packing_stats(packed: DataFrame, seq_len: int = 64) -> DataFrame:
+    """Per-bucket packing efficiency rollup over pack_sequences output:
+    (bucket, n_docs, n_bins, fill_rate round 6). fill_rate counts
+    tokens actually placed (truncated docs contribute the seq_len
+    prefix that was kept)."""
+    placed = F.least(F.col("n_tokens"), F.lit(seq_len))
+    return (
+        packed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+            F.round(
+                F.sum(placed) / ((F.max("bin_id") + 1) * seq_len), 6
+            ).alias("fill_rate"),
+        )
+    )

@@ -2134,6 +2134,119 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, decode_stub=True).drop("feature")
 
 
+# Bigram-LM perplexity scoring — the real CCNet §4.3 mechanism (the
+# stopword heuristic in q_quality_buckets is its cheap proxy). Train
+# split doc_id % 5 < 4; add-one smoothing; every doc scored.
+@_register(
+    "q_lm_perplexity",
+    r"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\s+'),
+                                     t -> t <> '') AS t
+                  FROM documents),
+    tr AS (SELECT t FROM toks WHERE doc_id % 5 < 4),
+    uni AS (SELECT u AS w1, count(*)::BIGINT AS c1
+            FROM (SELECT unnest(t) AS u FROM tr) GROUP BY 1),
+    bi AS (SELECT b['w1'] AS w1, b['w2'] AS w2, count(*)::BIGINT AS c2
+           FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+                                for i in range(1, len(t))]) AS b
+                 FROM tr)
+           GROUP BY 1, 2),
+    v AS (SELECT count(*)::DOUBLE AS vsz FROM uni),
+    sc AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+           FROM (SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
+                                        for i in range(1, len(t))]) AS b
+                 FROM toks)),
+    j AS (SELECT sc.doc_id,
+                 ln((coalesce(bi.c2, 0) + 1)
+                    / (coalesce(uni.c1, 0) + v.vsz)) AS lp
+          FROM sc LEFT JOIN bi USING (w1, w2)
+                  LEFT JOIN uni USING (w1) CROSS JOIN v),
+    g AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(lp) AS a
+          FROM j GROUP BY 1)
+    SELECT d.doc_id, coalesce(g.n_bigrams, 0)::BIGINT AS n_bigrams,
+           round(g.a, 6) AS avg_logprob, round(exp(-g.a), 4) AS ppl
+    FROM documents d LEFT JOIN g USING (doc_id)
+    """,
+)
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter: add-one-smoothed bigram LM
+    trained on a deterministic split, per-doc perplexity — all
+    DataFrame aggregations, no UDF (operators/lm.py)."""
+    from cloud_crawler_spark.operators.lm import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+# Top-K vocabulary induction + per-doc OOV coverage. vocab_size=12 is
+# deliberately below the synthetic corpus's 31 distinct tokens so the
+# OOV path is exercised (the operator default is 200).
+@_register(
+    "q_vocab_coverage",
+    r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                            t -> t <> '')) AS w
+                  FROM documents),
+    cnt AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+    voc AS (SELECT w FROM cnt
+            QUALIFY row_number() OVER (ORDER BY n DESC, w ASC) <= 12)
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN voc v USING (w) GROUP BY 1
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Frequency-truncated vocab (global top-K via the prefix-sum
+    rank, never a raw-token single-partition window) + per-doc OOV
+    rate (operators/lm.py vocab_coverage)."""
+    from cloud_crawler_spark.operators.lm import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=12)
+
+
+# Training sequence packing: greedy first-fit bin packing per hash
+# bucket. The oracle reproduces the sequential greedy state with a
+# per-bucket recursive CTE (one row advanced per iteration per bucket).
+@_register(
+    "q_seq_pack",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, (doc_id % 16)::BIGINT AS bucket,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> ''))::BIGINT AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 16
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    pack AS (
+      SELECT bucket, rn, doc_id, n_tokens,
+             0::BIGINT AS bin_id, 0::BIGINT AS tok_offset,
+             least(n_tokens, 64)::BIGINT AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.fill + t.n_tokens <= 64
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + t.n_tokens <= 64 THEN p.fill ELSE 0 END,
+             CASE WHEN p.fill + t.n_tokens <= 64 THEN p.fill + t.n_tokens
+                  ELSE least(t.n_tokens, 64) END
+      FROM pack p JOIN t ON t.bucket = p.bucket AND t.rn = p.rn + 1)
+    SELECT doc_id, bucket, bin_id, tok_offset, n_tokens,
+           n_tokens > 64 AS truncated
+    FROM pack
+    """,
+)
+def q_seq_pack(spark, sf_dir):
+    """Greedy fixed-length sequence packing (seq_len=64, 16 buckets):
+    per-bucket linear scan via applyInPandas over (id, n_tokens) ints
+    only — the text never crosses into Python (operators/packing.py)."""
+    from cloud_crawler_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
 # ----------------------------------------------------------------------
 
 

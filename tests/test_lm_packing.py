@@ -1,0 +1,126 @@
+"""Unit invariants for the LM-scoring (operators/lm.py) and
+sequence-packing (operators/packing.py) curation operators. The
+cross-engine value parity is covered by test_queries_oracle
+(q_lm_perplexity / q_vocab_coverage / q_seq_pack); these tests pin the
+operator SEMANTICS on hand-built corpora where the right answer is
+checkable by eye."""
+
+import pytest
+
+from cloud_crawler_spark.operators.lm import bigram_lm_score, vocab_coverage
+from cloud_crawler_spark.operators.packing import pack_sequences, packing_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- LM
+
+
+def test_lm_in_distribution_beats_garbage(spark):
+    # ids 0-3 train the model on "the cat sat" patterns; docs 4 and 9
+    # (both id % 5 == 4 -> HELD OUT) are scored only: doc 4 is drawn
+    # from the training distribution, doc 9 is token salad the model
+    # never saw -> its perplexity must be strictly higher.
+    rows = [(i, "the cat sat on the mat the cat sat") for i in range(4)]
+    rows += [(4, "the cat sat on the mat"),
+             (9, "zq xv qqq zq bbb xv zq qqq")]
+    out = {r["doc_id"]: r for r in bigram_lm_score(_docs(spark, rows)).collect()}
+    assert out[4]["ppl"] < out[9]["ppl"]
+    assert out[4]["avg_logprob"] > out[9]["avg_logprob"]
+
+
+def test_lm_short_doc_null_scores(spark):
+    rows = [(0, "a b a b a"), (1, "onlyone"), (2, "  ")]
+    out = {r["doc_id"]: r for r in bigram_lm_score(_docs(spark, rows)).collect()}
+    assert len(out) == 3  # one row per INPUT doc
+    for did in (1, 2):
+        assert out[did]["n_bigrams"] == 0
+        assert out[did]["avg_logprob"] is None and out[did]["ppl"] is None
+    assert out[0]["n_bigrams"] == 4
+
+
+def test_lm_train_split_excludes_heldout(spark):
+    # doc 4 (4 % 5 == 4) is held out: a bigram appearing ONLY there is
+    # unseen to the model, so a doc made of it scores like any other
+    # unseen bigram -- same as a never-written one.
+    rows = [(i, "a b a b") for i in range(4)] + [(4, "zz yy zz yy")]
+    out = {r["doc_id"]: r for r in bigram_lm_score(_docs(spark, rows)).collect()}
+    # held-out doc's own bigrams were not trained on: worse than train docs
+    assert out[4]["ppl"] > out[0]["ppl"]
+
+
+def test_vocab_coverage_oov_rate(spark):
+    # vocab_size=2 -> vocab = {a, b} (freq desc, token asc tiebreak);
+    # doc 1 has 2 OOV of 4 tokens.
+    rows = [(0, "a a a b b"), (1, "a b zz yy")]
+    out = {r["doc_id"]: r for r in
+           vocab_coverage(_docs(spark, rows), vocab_size=2).collect()}
+    assert out[0]["n_oov"] == 0 and out[0]["oov_rate"] == 0.0
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 2
+    assert out[1]["oov_rate"] == pytest.approx(0.5)
+
+
+def test_vocab_tiebreak_token_ascending(spark):
+    # all tokens frequency 1 -> top-2 vocab is the lexicographically
+    # first two; 'c' and 'd' are OOV.
+    rows = [(0, "c a d b")]
+    out = vocab_coverage(_docs(spark, rows), vocab_size=2).collect()[0]
+    assert out["n_oov"] == 2
+
+
+# ------------------------------------------------------------- packing
+
+
+def _mkdocs(spark, ntoks):
+    # doc i gets ntoks[i] one-char tokens; single bucket via id*16
+    return _docs(spark, [(i * 16, "x " * n) for i, n in enumerate(ntoks)])
+
+
+def test_pack_greedy_first_fit(spark):
+    # seq_len=10, one bucket (ids all = 0 mod 16), sizes 4,4,4,9,2:
+    # bin0=[4,4] (third 4 overflows), bin1=[4] (9 overflows),
+    # bin2=[9] (2 overflows), bin3=[2].
+    out = pack_sequences(_mkdocs(spark, [4, 4, 4, 9, 2]), seq_len=10).collect()
+    rows = sorted(((r["doc_id"], r["bin_id"], r["tok_offset"]) for r in out))
+    assert rows == [(0, 0, 0), (16, 0, 4), (32, 1, 0), (48, 2, 0), (64, 3, 0)]
+
+
+def test_pack_invariants(spark):
+    docs = _docs(
+        spark, [(i, "t " * ((i * 7) % 90)) for i in range(200)]
+    )
+    packed = pack_sequences(docs, seq_len=64, n_buckets=16)
+    rows = packed.collect()
+    assert len(rows) == 200
+    by_bucket = {}
+    for r in rows:
+        assert r["bucket"] == r["doc_id"] % 16
+        assert r["truncated"] == (r["n_tokens"] > 64)
+        if not r["truncated"]:
+            assert r["tok_offset"] + r["n_tokens"] <= 64
+        else:
+            assert r["tok_offset"] == 0  # long docs open their own bin
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        # bins are contiguous from 0 and never decrease in id order
+        bins = [r["bin_id"] for r in rs]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        # within a bin, docs occupy disjoint in-order token ranges
+        # (a truncated doc contributes only its kept seq_len prefix)
+        for b1, b2 in zip(rs, rs[1:]):
+            if b1["bin_id"] == b2["bin_id"]:
+                assert b2["tok_offset"] == b1["tok_offset"] + min(
+                    b1["n_tokens"], 64
+                )
+
+
+def test_packing_stats_fill_rate(spark):
+    docs = _mkdocs(spark, [10, 10, 10])  # seq_len 10 -> 3 full bins
+    stats = packing_stats(pack_sequences(docs, seq_len=10), seq_len=10).collect()
+    assert len(stats) == 1
+    assert stats[0]["n_docs"] == 3 and stats[0]["n_bins"] == 3
+    assert stats[0]["fill_rate"] == pytest.approx(1.0)
