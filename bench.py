@@ -45,6 +45,8 @@ HEADLINE = [
     "q_lm_perplexity",
     "q_vocab_coverage",
     "q_seq_pack",
+    "q_latest_snapshot",
+    "q_rebalance_sample",
     "q_events_hourly",
     "q_politeness_topk",
     "q_crawl_bfs",

@@ -131,3 +131,81 @@ def quality_buckets(
         F.col("n_stop"),
         bucket.cast("long").alias("bucket"),
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    target_permille: dict[str, int],
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Compute per-stratum keep rates that reshape the corpus into a
+    target mixture (e.g. rebalance languages for training): the
+    LARGEST corpus with the target shares that pure downsampling can
+    produce. Strata absent from target_permille are dropped (rate 0).
+
+    All arithmetic is integer (floor division), so the rates — and
+    therefore every sampled row — are bit-identical across engines:
+        N_out  = min over strata of  n_s * 1000 // T_s
+        k_s    = N_out * T_s // 1000
+        rate_s = 1000 * k_s // n_s          (permille for hash_permille)
+
+    Plan shape: one groupBy(stratum) count (map-side combinable), the
+    1-row global min rides a broadcast crossJoin (no collect), output
+    is |strata| rows. Returns (stratum, n_docs, k_target,
+    rate_permille).
+    """
+    if not target_permille:
+        raise ValueError("target_permille must be non-empty")
+    tp = None
+    for k in sorted(target_permille):
+        cond = F.col(stratum_col) == k
+        v = F.lit(int(target_permille[k]))
+        tp = F.when(cond, v) if tp is None else tp.when(cond, v)
+    tp = tp.otherwise(F.lit(0))
+
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("_tp", tp)
+        .where(F.col("_tp") > 0)
+    )
+    # integral `div` (not floor(double-division)): a/b as doubles can
+    # land at 499.999... for an exact 500 and floor() the wrong way —
+    # `div` stays in 64-bit integers on both engines
+    n_out = counts.agg(
+        F.min(F.expr("(n_docs * 1000) div _tp")).alias("_nout")
+    )  # 1 row
+    return (
+        counts.crossJoin(F.broadcast(n_out))
+        .select(
+            F.col(stratum_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("(_nout * _tp) div 1000").cast("long").alias("k_target"),
+        )
+        .withColumn(
+            "rate_permille",
+            F.expr("(1000 * k_target) div n_docs").cast("long"),
+        )
+    )
+
+
+def rebalance_sample(
+    df: DataFrame,
+    target_permille: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply mixture_rates deterministically: keep a row iff
+    hash_permille(id) < its stratum's rate. The |strata|-row rate
+    table broadcasts back onto the corpus — the corpus side never
+    shuffles, so this is a narrow filter at any scale (same property
+    as stratified_sample, with the rates COMPUTED instead of given)."""
+    rates = mixture_rates(df, target_permille, stratum_col=stratum_col)
+    return (
+        df.join(
+            F.broadcast(rates.select(stratum_col, "rate_permille")),
+            stratum_col,
+        )
+        .where(hash_permille(F.col(id_col)) < F.col("rate_permille"))
+        .drop("rate_permille")
+    )

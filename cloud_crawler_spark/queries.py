@@ -2247,6 +2247,90 @@ def q_seq_pack(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"))
 
 
+# Cross-dump latest-wins dedup: the (url, warc_ts) Common-Crawl shape
+# — keep the newest row per key via ONE max(struct) groupBy (no
+# window, no join-back). Exercised on events (key=user_id, ts=ts).
+@_register(
+    "q_latest_snapshot",
+    """
+    SELECT user_id, ts, event_id, event_type, value, props
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_latest_snapshot(spark, sf_dir):
+    """operators/dedup.py latest_snapshot: newest-row-per-key collapse
+    for multi-snapshot corpora, map-side-combinable max(struct)."""
+    from cloud_crawler_spark.operators.dedup import latest_snapshot
+
+    return latest_snapshot(
+        _t(spark, sf_dir, "events"), key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
+_MIX_TARGET = {"en": 500, "de": 200, "fr": 150, "es": 100, "zh": 50}
+_MIX_TP_SQL = ("CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200"
+               " WHEN 'fr' THEN 150 WHEN 'es' THEN 100"
+               " WHEN 'zh' THEN 50 ELSE 0 END")
+
+
+# Training-mixture rebalancing: integer-exact per-stratum keep rates
+# that reshape the corpus to a target language distribution (the
+# largest corpus pure downsampling can produce with those shares).
+@_register(
+    "q_mixture_weights",
+    f"""
+    WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                      {_MIX_TP_SQL} AS tp
+               FROM documents GROUP BY 1),
+    f AS (SELECT * FROM c WHERE tp > 0),
+    m AS (SELECT min((n_docs * 1000) // tp) AS nout FROM f)
+    SELECT lang, n_docs,
+           ((m.nout * tp) // 1000)::BIGINT AS k_target,
+           ((1000 * ((m.nout * tp) // 1000)) // n_docs)::BIGINT
+               AS rate_permille
+    FROM f, m
+    """,
+)
+def q_mixture_weights(spark, sf_dir):
+    """operators/sampling.py mixture_rates: per-language keep rates
+    for a 50/20/15/10/5 en/de/fr/es/zh target mixture — all-integer
+    div arithmetic, 1-row global min on a broadcast crossJoin."""
+    from cloud_crawler_spark.operators.sampling import mixture_rates
+
+    return mixture_rates(_t(spark, sf_dir, "documents"), _MIX_TARGET)
+
+
+@_register(
+    "q_rebalance_sample",
+    f"""
+    WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                      {_MIX_TP_SQL} AS tp
+               FROM documents GROUP BY 1),
+    f AS (SELECT * FROM c WHERE tp > 0),
+    m AS (SELECT min((n_docs * 1000) // tp) AS nout FROM f),
+    r AS (SELECT lang,
+                 ((1000 * ((m.nout * tp) // 1000)) // n_docs)
+                     AS rate_permille
+          FROM f, m)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r USING (lang)
+    WHERE {_permille_sql("doc_id::VARCHAR")} < r.rate_permille
+    """,
+)
+def q_rebalance_sample(spark, sf_dir):
+    """operators/sampling.py rebalance_sample: the computed rates
+    broadcast back onto the corpus as a narrow hash filter — the
+    corpus side never shuffles."""
+    from cloud_crawler_spark.operators.sampling import rebalance_sample
+
+    return rebalance_sample(
+        _t(spark, sf_dir, "documents"), _MIX_TARGET
+    ).select("doc_id", "lang", "source")
+
+
 # ----------------------------------------------------------------------
 
 

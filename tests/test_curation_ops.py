@@ -126,3 +126,69 @@ class TestBlocklist:
             domain_suffixes(F.col("host")).alias("s")
         )
         assert df.first()["s"] == ["x.com"]  # 'com' alone never emitted
+
+
+class TestLatestSnapshot:
+    def test_newest_wins_with_tiebreak(self, spark):
+        from datetime import datetime
+
+        from cloud_crawler_spark.operators.dedup import latest_snapshot
+
+        rows = [
+            ("u1", datetime(2024, 1, 1), 1, "old"),
+            ("u1", datetime(2024, 1, 3), 2, "new"),
+            ("u1", datetime(2024, 1, 3), 3, "newest-tie"),  # ts tie -> id 3
+            ("u2", datetime(2024, 1, 2), 4, "only"),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, doc_id long, text string"
+        )
+        out = {r["url"]: r for r in latest_snapshot(df).collect()}
+        assert len(out) == 2
+        assert out["u1"]["text"] == "newest-tie" and out["u1"]["doc_id"] == 3
+        assert out["u2"]["text"] == "only"
+
+
+class TestMixtureRates:
+    def _df(self, spark, per_lang):
+        rows = []
+        i = 0
+        for lang, n in per_lang.items():
+            for _ in range(n):
+                rows.append((i, lang))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_integer_exact_rates(self, spark):
+        from cloud_crawler_spark.operators.sampling import mixture_rates
+
+        # en=100/de=50, target 80/20: N_out = min(125, 250) = 125,
+        # k = (100, 25), rates = (1000, 500) permille
+        df = self._df(spark, {"en": 100, "de": 50})
+        out = {r["lang"]: r for r in
+               mixture_rates(df, {"en": 800, "de": 200}).collect()}
+        assert out["en"]["k_target"] == 100 and out["en"]["rate_permille"] == 1000
+        assert out["de"]["k_target"] == 25 and out["de"]["rate_permille"] == 500
+
+    def test_untargeted_stratum_dropped(self, spark):
+        from cloud_crawler_spark.operators.sampling import (
+            mixture_rates,
+            rebalance_sample,
+        )
+
+        df = self._df(spark, {"en": 40, "de": 40, "zz": 40})
+        rates = mixture_rates(df, {"en": 500, "de": 500})
+        assert {r["lang"] for r in rates.collect()} == {"en", "de"}
+        kept = rebalance_sample(df, {"en": 500, "de": 500})
+        assert kept.where(F.col("lang") == "zz").count() == 0
+
+    def test_rebalance_shares_near_target(self, spark):
+        from cloud_crawler_spark.operators.sampling import rebalance_sample
+
+        df = self._df(spark, {"en": 400, "de": 100})
+        kept = rebalance_sample(df, {"en": 500, "de": 500}).groupBy("lang").count()
+        got = {r["lang"]: r["count"] for r in kept.collect()}
+        # target is 50/50 over the de-limited corpus (~100 each side);
+        # hash sampling is binomial around the rate, allow slack
+        assert abs(got["en"] - got["de"]) < 40
+        assert got["de"] > 60  # de is the limiting stratum: rate 1000
