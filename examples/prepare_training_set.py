@@ -1,0 +1,79 @@
+"""From curated corpus to model-ready training shards: the LAST mile
+of an LLM-data pipeline, composed from this engine's oracled
+operators. examples/curate_corpus.py ends with a clean, deduped,
+mixture-sampled corpus; this picks up from there:
+
+  1. Latest-snapshot collapse — multi-dump corpora keep only the
+     newest row per url (operators/dedup.latest_snapshot)
+  2. LM quality filter        — CCNet-style bigram-LM perplexity,
+     keep below a tier threshold (operators/lm.bigram_lm_score)
+  3. Mixture rebalance        — integer-exact per-language rates to
+     the training target (operators/sampling.rebalance_sample)
+  4. Vocab health check       — top-K vocabulary + per-doc OOV rate
+     (operators/lm.vocab_coverage)
+  5. Sequence packing         — greedy first-fit into seq_len-token
+     bins, per-bucket fill-rate report (operators/packing)
+
+Run: python examples/prepare_training_set.py
+"""
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession, functions as F
+
+from cloud_crawler_spark.operators.dedup import latest_snapshot
+from cloud_crawler_spark.operators.lm import bigram_lm_score, vocab_coverage
+from cloud_crawler_spark.operators.packing import pack_sequences, packing_stats
+from cloud_crawler_spark.operators.sampling import rebalance_sample
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+# 1. multi-dump collapse: synthesize a two-dump corpus (each doc also
+#    present as an older snapshot with stale text), keep newest per url
+dumps = docs.select(
+    F.concat(F.lit("https://"), F.col("source"), F.lit("/"), F.col("doc_id"))
+    .alias("url"),
+    F.to_timestamp(F.lit("2024-06-01")).alias("warc_ts"),
+    F.col("doc_id"), "text", "lang", "source",
+).unionByName(
+    docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/"), F.col("doc_id"))
+        .alias("url"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit("STALE").alias("text"), "lang", "source",
+    )
+)
+fresh = latest_snapshot(dumps)  # one row per url, no STALE text survives
+assert fresh.where(F.col("text") == "STALE").count() == 0
+
+# 2. LM perplexity gate: keep docs below the 70th-permille ppl of the
+#    corpus (a CCNet-style head+middle cut)
+scored = fresh.join(bigram_lm_score(fresh.select("doc_id", "text")), "doc_id")
+cut = scored.agg(F.expr("percentile_approx(ppl, 0.7)").alias("c"))
+kept = scored.crossJoin(F.broadcast(cut)).where(F.col("ppl") <= F.col("c")).drop("c")
+print("after LM gate:", kept.count(), "/", fresh.count())
+
+# 3. rebalance to the training mixture (50/20/15/10/5)
+target = {"en": 500, "de": 200, "fr": 150, "es": 100, "zh": 50}
+mixed = rebalance_sample(kept, target)
+mixed.groupBy("lang").count().orderBy("lang").show()
+
+# 4. vocab health: OOV rate against the induced top-200 vocabulary
+oov = vocab_coverage(mixed.select("doc_id", "text"))
+oov.agg(F.round(F.avg("oov_rate"), 4).alias("mean_oov")).show()
+
+# 5. pack into 512-token training sequences, report fill rate
+packed = pack_sequences(mixed, seq_len=512, n_buckets=8)
+packing_stats(packed, seq_len=512).orderBy("bucket").show()
+print("sequences:", packed.agg(F.countDistinct("bucket", "bin_id")).first()[0],
+      "docs packed:", packed.count())
