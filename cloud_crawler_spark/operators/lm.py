@@ -96,7 +96,11 @@ def bigram_lm_score(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("_c2"))
     )
-    vocab = uni.agg(F.count("*").cast("double").alias("_vsz"))  # 1 row
+    # greatest(|V|, 1): an empty train split must degrade to the
+    # uniform ln(1/1)=0 smoother, not a division by zero
+    vocab = uni.agg(
+        F.greatest(F.count("*"), F.lit(1)).cast("double").alias("_vsz")
+    )  # 1 row
 
     pairs = toks.select(
         F.col(id_col), F.explode(_bigrams(F.col("_t"))).alias("_b")

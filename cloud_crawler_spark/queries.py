@@ -2152,7 +2152,7 @@ def q_multimodal_features(spark, sf_dir):
                                 for i in range(1, len(t))]) AS b
                  FROM tr)
            GROUP BY 1, 2),
-    v AS (SELECT count(*)::DOUBLE AS vsz FROM uni),
+    v AS (SELECT greatest(count(*), 1)::DOUBLE AS vsz FROM uni),
     sc AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
            FROM (SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]}
                                         for i in range(1, len(t))]) AS b

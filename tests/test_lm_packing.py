@@ -124,3 +124,11 @@ def test_packing_stats_fill_rate(spark):
     assert len(stats) == 1
     assert stats[0]["n_docs"] == 3 and stats[0]["n_bins"] == 3
     assert stats[0]["fill_rate"] == pytest.approx(1.0)
+
+
+def test_lm_empty_train_split_degrades_gracefully(spark):
+    # every id % 5 == 4 -> empty train split: scores are the uniform
+    # ln(1/1) = 0 smoother (ppl 1.0), never a division by zero
+    rows = [(4, "a b c"), (9, "d e f")]
+    out = bigram_lm_score(_docs(spark, rows)).collect()
+    assert all(r["avg_logprob"] == 0.0 and r["ppl"] == 1.0 for r in out)
