@@ -669,18 +669,21 @@ def latest_snapshot(df: DataFrame, key_col: str = "url", ts_col: str = "warc_ts"
     only the newest row per key (ties broken by the unique
     tiebreak_col so the survivor is total-order deterministic).
 
-    Plan shape for 100 TB: ONE groupBy(key) with max(struct(ts,
-    tiebreak, payload...)) — the payload rides the comparison struct,
-    so there is no window function (a per-key window would sort every
-    group) and no join-back (the classic groupBy-max + self-join
-    shape scans the corpus twice). Map-side partial max means each
-    executor ships one candidate row per key per partition.
+    Plan shape for 100 TB: ONE groupBy(key) with max_by(payload
+    struct, (ts, tiebreak)) — the payload rides the aggregation
+    without participating in the ordering (so non-orderable payload
+    columns like WARC header maps are fine), there is no window
+    function (a per-key window would sort every group) and no
+    join-back (the classic groupBy-max + self-join shape scans the
+    corpus twice). Map-side partial max means each executor ships one
+    candidate row per key per partition.
     """
     others = [c for c in df.columns if c not in (key_col, ts_col, tiebreak_col)]
     packed = F.struct(
         F.col(ts_col), F.col(tiebreak_col), *[F.col(c) for c in others]
     )
-    best = df.groupBy(key_col).agg(F.max(packed).alias("_b"))
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    best = df.groupBy(key_col).agg(F.max_by(packed, order).alias("_b"))
     return best.select(
         F.col(key_col),
         F.col(f"_b.{ts_col}").alias(ts_col),

@@ -38,9 +38,12 @@ from cloud_crawler_spark.operators.rank import with_global_rank
 
 
 def _toks(col):
-    """Lowercased whitespace tokens, empties removed (matches
-    functions/text.py tokens + dedup norm_tokens semantics)."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    """Lowercased whitespace tokens, empties removed — delegates to
+    the canonical tokenizer (functions/text.py tokens) so a future
+    tokenization change cannot silently diverge between modules."""
+    from cloud_crawler_spark.functions.text import tokens
+
+    return tokens(F.lower(col))
 
 
 def _bigrams(tok_arr):
@@ -140,30 +143,42 @@ def vocab_coverage(
     """Induce the top-``vocab_size`` corpus vocabulary (by frequency,
     ties broken token-ascending so the cut is total and
     engine-independent) and report per-document OOV coverage:
-        (id, n_tokens, n_oov, oov_rate round 6).
+        (id, n_tokens, n_oov, oov_rate round 6)
+    — one row per INPUT doc (empty/null text: n_tokens 0, NULL rate),
+    the same contract as bigram_lm_score.
 
     The global top-K rank runs on the AGGREGATED count table —
     vocabulary-sized, not corpus-sized — through the range-partition
-    prefix-sum rank (operators/rank.py), never a single-partition
-    window over raw tokens. The induced vocab (K rows) broadcasts back
-    for the per-token membership probe.
+    prefix-sum rank (operators/rank.py). The count table is cached and
+    counted once so the rank's partition-size pass does not recompute
+    the corpus-wide tokenize+count, and the exact count picks rank's
+    small-input fast path when the vocabulary is tiny. The induced
+    vocab (K rows) broadcasts back for the per-token membership probe.
     """
     toks = df.select(F.col(id_col), F.explode(_toks(F.col(text_col))).alias("_w"))
-    counts = toks.groupBy("_w").agg(F.count("*").alias("_n"))
+    counts = toks.groupBy("_w").agg(F.count("*").alias("_n")).cache()
     ranked = with_global_rank(
-        counts, [F.col("_n").desc(), F.col("_w").asc()], rank_col="_r"
+        counts,
+        [F.col("_n").desc(), F.col("_w").asc()],
+        rank_col="_r",
+        known_count=counts.count(),
     )
     vocab = ranked.where(F.col("_r") <= vocab_size).select("_w")
-    return (
+    per_doc = (
         toks.join(F.broadcast(vocab.withColumn("_inv", F.lit(1))), "_w", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_oov"),
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
         )
-        .withColumn(
-            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )

@@ -65,7 +65,11 @@ def pack_sequences(
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         (F.col(id_col) % n_buckets).cast("long").alias("bucket"),
-        TX.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text packs as an empty (0-token) doc, not a NaN that
+        # blows up int() in the pandas scan
+        F.coalesce(TX.token_count(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:

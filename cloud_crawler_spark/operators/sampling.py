@@ -141,33 +141,42 @@ def mixture_rates(
     """Compute per-stratum keep rates that reshape the corpus into a
     target mixture (e.g. rebalance languages for training): the
     LARGEST corpus with the target shares that pure downsampling can
-    produce. Strata absent from target_permille are dropped (rate 0).
+    produce. Corpus strata absent from target_permille are dropped;
+    TARGETED strata absent from the corpus count as 0 docs, which
+    (correctly) collapses the whole mixture to empty — a missing
+    ingredient cannot be silently renormalized away.
 
     All arithmetic is integer (floor division), so the rates — and
     therefore every sampled row — are bit-identical across engines:
-        N_out  = min over strata of  n_s * 1000 // T_s
+        N_out  = min over targeted strata of  n_s * 1000 // T_s
         k_s    = N_out * T_s // 1000
         rate_s = 1000 * k_s // n_s          (permille for hash_permille)
 
-    Plan shape: one groupBy(stratum) count (map-side combinable), the
-    1-row global min rides a broadcast crossJoin (no collect), output
-    is |strata| rows. Returns (stratum, n_docs, k_target,
-    rate_permille).
+    Plan shape: the stratum filter pushes to the scan, one
+    groupBy(stratum) count (map-side combinable) joins the tiny
+    target-dict frame, the 1-row global min rides a broadcast
+    crossJoin (no collect). Returns one row per targeted stratum:
+    (stratum, n_docs, k_target, rate_permille).
     """
     if not target_permille:
         raise ValueError("target_permille must be non-empty")
-    tp = None
-    for k in sorted(target_permille):
-        cond = F.col(stratum_col) == k
-        v = F.lit(int(target_permille[k]))
-        tp = F.when(cond, v) if tp is None else tp.when(cond, v)
-    tp = tp.otherwise(F.lit(0))
-
-    counts = (
-        df.groupBy(stratum_col)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("_tp", tp)
-        .where(F.col("_tp") > 0)
+    keys = [k for k in sorted(target_permille) if int(target_permille[k]) > 0]
+    if not keys:
+        raise ValueError("target_permille must have a positive entry")
+    strata = df.sparkSession.createDataFrame(
+        [(k, int(target_permille[k])) for k in keys],
+        f"{stratum_col} string, _tp long",
+    )
+    present = (
+        df.where(F.col(stratum_col).isin(keys))
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # both sides are <= |target| rows after the aggregation
+    counts = strata.join(present, stratum_col, "left").select(
+        F.col(stratum_col),
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_docs"),
+        "_tp",
     )
     # integral `div` (not floor(double-division)): a/b as doubles can
     # land at 499.999... for an exact 500 and floor() the wrong way —
@@ -179,12 +188,17 @@ def mixture_rates(
         counts.crossJoin(F.broadcast(n_out))
         .select(
             F.col(stratum_col),
-            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_docs",
             F.expr("(_nout * _tp) div 1000").cast("long").alias("k_target"),
         )
         .withColumn(
             "rate_permille",
-            F.expr("(1000 * k_target) div n_docs").cast("long"),
+            F.when(
+                F.col("n_docs") > 0,
+                F.expr("(1000 * k_target) div n_docs"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
         )
     )
 

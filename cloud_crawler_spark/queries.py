@@ -2190,12 +2190,16 @@ def q_lm_perplexity(spark, sf_dir):
                   FROM documents),
     cnt AS (SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY 1),
     voc AS (SELECT w FROM cnt
-            QUALIFY row_number() OVER (ORDER BY n DESC, w ASC) <= 12)
-    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-           sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 6) AS oov_rate
-    FROM toks t LEFT JOIN voc v USING (w) GROUP BY 1
+            QUALIFY row_number() OVER (ORDER BY n DESC, w ASC) <= 12),
+    per AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_oov
+            FROM toks t LEFT JOIN voc v USING (w) GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+           round(p.n_oov * 1.0 / p.n_tokens, 6) AS oov_rate
+    FROM documents d LEFT JOIN per p USING (doc_id)
     """,
 )
 def q_vocab_coverage(spark, sf_dir):
@@ -2215,8 +2219,8 @@ def q_vocab_coverage(spark, sf_dir):
     r"""
     WITH RECURSIVE t AS (
       SELECT doc_id, (doc_id % 16)::BIGINT AS bucket,
-             len(list_filter(string_split_regex(lower(text), '\s+'),
-                             x -> x <> ''))::BIGINT AS n_tokens,
+             coalesce(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')), 0)::BIGINT AS n_tokens,
              row_number() OVER (PARTITION BY doc_id % 16
                                 ORDER BY doc_id) AS rn
       FROM documents),
@@ -2271,9 +2275,17 @@ def q_latest_snapshot(spark, sf_dir):
 
 
 _MIX_TARGET = {"en": 500, "de": 200, "fr": 150, "es": 100, "zh": 50}
-_MIX_TP_SQL = ("CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200"
-               " WHEN 'fr' THEN 150 WHEN 'es' THEN 100"
-               " WHEN 'zh' THEN 50 ELSE 0 END")
+# target strata as a VALUES frame LEFT-joined to the corpus counts —
+# mirrors mixture_rates: a targeted stratum absent from the corpus
+# counts as 0 docs and collapses the mixture, never renormalizes
+_MIX_COUNTS_SQL = """
+    s(lang, tp) AS (VALUES ('de', 200), ('en', 500), ('es', 100),
+                           ('fr', 150), ('zh', 50)),
+    c AS (SELECT s.lang, coalesce(n.n_docs, 0)::BIGINT AS n_docs, s.tp
+          FROM s LEFT JOIN (SELECT lang, count(*)::BIGINT AS n_docs
+                            FROM documents GROUP BY 1) n USING (lang)),
+    m AS (SELECT min((n_docs * 1000) // tp) AS nout FROM c)
+"""
 
 
 # Training-mixture rebalancing: integer-exact per-stratum keep rates
@@ -2282,16 +2294,13 @@ _MIX_TP_SQL = ("CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200"
 @_register(
     "q_mixture_weights",
     f"""
-    WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs,
-                      {_MIX_TP_SQL} AS tp
-               FROM documents GROUP BY 1),
-    f AS (SELECT * FROM c WHERE tp > 0),
-    m AS (SELECT min((n_docs * 1000) // tp) AS nout FROM f)
+    WITH {_MIX_COUNTS_SQL}
     SELECT lang, n_docs,
            ((m.nout * tp) // 1000)::BIGINT AS k_target,
-           ((1000 * ((m.nout * tp) // 1000)) // n_docs)::BIGINT
-               AS rate_permille
-    FROM f, m
+           (CASE WHEN n_docs > 0
+                 THEN (1000 * ((m.nout * tp) // 1000)) // n_docs
+                 ELSE 0 END)::BIGINT AS rate_permille
+    FROM c, m
     """,
 )
 def q_mixture_weights(spark, sf_dir):
@@ -2306,15 +2315,12 @@ def q_mixture_weights(spark, sf_dir):
 @_register(
     "q_rebalance_sample",
     f"""
-    WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs,
-                      {_MIX_TP_SQL} AS tp
-               FROM documents GROUP BY 1),
-    f AS (SELECT * FROM c WHERE tp > 0),
-    m AS (SELECT min((n_docs * 1000) // tp) AS nout FROM f),
+    WITH {_MIX_COUNTS_SQL},
     r AS (SELECT lang,
-                 ((1000 * ((m.nout * tp) // 1000)) // n_docs)
-                     AS rate_permille
-          FROM f, m)
+                 CASE WHEN n_docs > 0
+                      THEN (1000 * ((m.nout * tp) // 1000)) // n_docs
+                      ELSE 0 END AS rate_permille
+          FROM c, m)
     SELECT d.doc_id, d.lang, d.source
     FROM documents d JOIN r USING (lang)
     WHERE {_permille_sql("doc_id::VARCHAR")} < r.rate_permille

@@ -192,3 +192,37 @@ class TestMixtureRates:
         # hash sampling is binomial around the rate, allow slack
         assert abs(got["en"] - got["de"]) < 40
         assert got["de"] > 60  # de is the limiting stratum: rate 1000
+
+
+class TestLatestSnapshotPayloadTypes:
+    def test_map_payload_is_not_ordered(self, spark):
+        # non-orderable payload (map) must ride the aggregation without
+        # participating in the ordering (max_by, not max(struct))
+        from datetime import datetime
+
+        from cloud_crawler_spark.operators.dedup import latest_snapshot
+
+        df = spark.createDataFrame(
+            [
+                ("u", datetime(2024, 1, 1), 1, {"h": "old"}),
+                ("u", datetime(2024, 1, 2), 2, {"h": "new"}),
+            ],
+            "url string, warc_ts timestamp, doc_id long, headers map<string,string>",
+        )
+        out = latest_snapshot(df).collect()
+        assert len(out) == 1 and out[0]["headers"] == {"h": "new"}
+
+
+class TestMixtureAbsentStratum:
+    def test_missing_targeted_stratum_collapses_mixture(self, spark):
+        from cloud_crawler_spark.operators.sampling import mixture_rates
+
+        df = spark.createDataFrame(
+            [(i, "en") for i in range(10)], "doc_id long, lang string"
+        )
+        out = {r["lang"]: r for r in
+               mixture_rates(df, {"en": 500, "zh": 500}).collect()}
+        # zh absent -> N_out = 0 -> nothing survives, and the absent
+        # stratum is REPORTED (n_docs 0), never silently renormalized
+        assert out["zh"]["n_docs"] == 0 and out["zh"]["rate_permille"] == 0
+        assert out["en"]["k_target"] == 0 and out["en"]["rate_permille"] == 0

@@ -132,3 +132,27 @@ def test_lm_empty_train_split_degrades_gracefully(spark):
     rows = [(4, "a b c"), (9, "d e f")]
     out = bigram_lm_score(_docs(spark, rows)).collect()
     assert all(r["avg_logprob"] == 0.0 and r["ppl"] == 1.0 for r in out)
+
+
+def test_pack_null_and_empty_text(spark):
+    # NULL text must pack as a 0-token doc, not crash the pandas scan
+    df = spark.createDataFrame(
+        [(0, "a b c"), (16, None), (32, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, seq_len=10).collect()}
+    assert len(out) == 3
+    assert out[16]["n_tokens"] == 0 and out[32]["n_tokens"] == 0
+    # zero-token docs fit wherever the cursor is, consuming nothing
+    assert out[16]["bin_id"] == out[0]["bin_id"]
+
+
+def test_vocab_coverage_keeps_empty_docs(spark):
+    # same one-row-per-input-doc contract as bigram_lm_score
+    rows = [(0, "a a b"), (1, "   "), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in vocab_coverage(df, vocab_size=1).collect()}
+    assert len(out) == 3
+    for did in (1, 2):
+        assert out[did]["n_tokens"] == 0 and out[did]["n_oov"] == 0
+        assert out[did]["oov_rate"] is None
