@@ -2337,6 +2337,22 @@ def q_rebalance_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+# BPE tokenizer training: genuinely iterative (each merge depends on
+# the table the previous merge rewrote), so NO SQL oracle — the driver
+# records the rows-only check. The exact-match gate lives in
+# tests/test_bpe.py: the merge sequence, final symbolizations, and
+# tokenization are pinned against an independent pure-Python reference.
+@_register("q_bpe_merges", None)
+def q_bpe_merges(spark, sf_dir):
+    """operators/bpe.py train_bpe: ordered merge list learned from the
+    documents table (merges operate on the vocabulary-sized word-count
+    table, never the corpus; 1-row argmax per round)."""
+    from cloud_crawler_spark.operators.bpe import train_bpe
+
+    merges, _ = train_bpe(_t(spark, sf_dir, "documents"), n_merges=8)
+    return merges
+
+
 # ----------------------------------------------------------------------
 
 
