@@ -690,3 +690,50 @@ def latest_snapshot(df: DataFrame, key_col: str = "url", ts_col: str = "warc_ts"
         F.col(f"_b.{tiebreak_col}").alias(tiebreak_col),
         *[F.col(f"_b.{c}").alias(c) for c in others],
     )
+
+
+def intradoc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   window: int = 10) -> DataFrame:
+    """Within-document span dedup (Dolma-style repeated-paragraph
+    removal, the intra-doc complement of span_dedup's cross-doc pass):
+    chunk each doc into non-overlapping `window`-token spans and keep
+    only each span's FIRST occurrence inside its own document,
+    reassembling survivors in order.
+
+    Plan shape: two map-side-combinable groupBys — (doc, span) ->
+    min(position) picks the keeper, then one groupBy(doc) reassembles
+    via array_sort over (idx, span) structs. No window function (a
+    per-doc window would sort every doc's spans through one reducer
+    lane), no join: the second groupBy consumes the first's output
+    directly. Same output contract as span_dedup: one row per input
+    doc, (id, clean_text, n_spans, n_spans_dropped).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.ceil(F.size(toks) / window) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+    )
+    spans = df.select(
+        F.col(id_col), F.posexplode(spans_arr).alias("_idx", "_span")
+    ).where(F.col("_span") != "")
+    firsts = (
+        spans.groupBy(id_col, "_span")
+        .agg(F.min("_idx").alias("_idx"), F.count("*").alias("_occ"))
+    )
+    agg = firsts.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_span"))),
+                lambda s: s["_span"],
+            ),
+        ).alias("clean_text"),
+        F.sum("_occ").alias("n_spans"),
+        (F.sum("_occ") - F.count("*")).alias("n_spans_dropped"),
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_spans_dropped", F.lit(0)).cast("long").alias("n_spans_dropped"),
+    )

@@ -2337,6 +2337,46 @@ def q_rebalance_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+# Within-doc span dedup (Dolma-style repeated-paragraph removal).
+# window=2 (operator default 10): 2-token spans actually repeat inside
+# the synthetic docs, so the drop path is exercised.
+@_register(
+    "q_intradoc_dedup",
+    r"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\s+'),
+                                     t -> t <> '') AS t
+                  FROM documents),
+    s AS (SELECT doc_id, u['idx'] AS idx, u['span'] AS span
+          FROM (SELECT doc_id,
+                       unnest([{'idx': i,
+                                'span': array_to_string(t[i*2+1:i*2+2], ' ')}
+                               for i in range(0, greatest(cast(ceil(len(t)/2.0)
+                                                                AS BIGINT), 1))]) AS u
+                FROM toks)
+          WHERE u['span'] <> ''),
+    k AS (SELECT doc_id, span, min(idx) AS idx, count(*) AS occ
+          FROM s GROUP BY 1, 2),
+    g AS (SELECT doc_id,
+                 string_agg(span, ' ' ORDER BY idx) AS clean_text,
+                 sum(occ)::BIGINT AS n_spans,
+                 (sum(occ) - count(*))::BIGINT AS n_spans_dropped
+          FROM k GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(g.clean_text, '') AS clean_text,
+           coalesce(g.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(g.n_spans_dropped, 0)::BIGINT AS n_spans_dropped
+    FROM documents d LEFT JOIN g USING (doc_id)
+    """,
+)
+def q_intradoc_dedup(spark, sf_dir):
+    """operators/dedup.py intradoc_dedup: first-occurrence-per-doc
+    span keep, two map-side groupBys, no window function."""
+    from cloud_crawler_spark.operators.dedup import intradoc_dedup
+
+    return intradoc_dedup(_t(spark, sf_dir, "documents"), window=2)
+
+
 # BPE tokenizer training: genuinely iterative (each merge depends on
 # the table the previous merge rewrote), so NO SQL oracle — the driver
 # records the rows-only check. The exact-match gate lives in

@@ -226,3 +226,24 @@ class TestMixtureAbsentStratum:
         # stratum is REPORTED (n_docs 0), never silently renormalized
         assert out["zh"]["n_docs"] == 0 and out["zh"]["rate_permille"] == 0
         assert out["en"]["k_target"] == 0 and out["en"]["rate_permille"] == 0
+
+
+class TestIntradocDedup:
+    def test_first_occurrence_kept_in_order(self, spark):
+        from cloud_crawler_spark.operators.dedup import intradoc_dedup
+
+        # window=2 spans: [a b][c d][a b][e f] -> second "a b" dropped
+        df = _docs(spark, [(0, "a b c d a b e f"), (1, None)])
+        out = {r["doc_id"]: r for r in intradoc_dedup(df, window=2).collect()}
+        assert out[0]["clean_text"] == "a b c d e f"
+        assert out[0]["n_spans"] == 4 and out[0]["n_spans_dropped"] == 1
+        # null text keeps its row with the empty contract
+        assert out[1]["clean_text"] == "" and out[1]["n_spans"] == 0
+
+    def test_cross_doc_repeats_untouched(self, spark):
+        from cloud_crawler_spark.operators.dedup import intradoc_dedup
+
+        # the SAME span in two different docs is NOT a within-doc dup
+        df = _docs(spark, [(0, "x y"), (1, "x y")])
+        out = intradoc_dedup(df, window=2).collect()
+        assert all(r["n_spans_dropped"] == 0 for r in out)
