@@ -47,6 +47,8 @@ HEADLINE = [
     "q_seq_pack",
     "q_latest_snapshot",
     "q_rebalance_sample",
+    "q_intradoc_dedup",
+    "q_bpe_merges",
     "q_events_hourly",
     "q_politeness_topk",
     "q_crawl_bfs",
