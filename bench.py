@@ -48,6 +48,7 @@ HEADLINE = [
     "q_latest_snapshot",
     "q_rebalance_sample",
     "q_intradoc_dedup",
+    "q_crossdoc_substr",
     "q_bpe_merges",
     "q_events_hourly",
     "q_politeness_topk",

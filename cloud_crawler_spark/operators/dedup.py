@@ -737,3 +737,88 @@ def intradoc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("n_spans_dropped", F.lit(0)).cast("long").alias("n_spans_dropped"),
     )
+
+
+def exact_substr_dedup(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", window: int = 8) -> DataFrame:
+    """ExactSubstr-style duplicated-passage removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"), the
+    UNALIGNED complement of span_dedup: slide a `window`-token window
+    over every position of every document, and drop each token that is
+    covered by a window whose exact text occurs anywhere else in the
+    corpus (another doc OR another offset of the same doc) — keeping
+    the globally first occurrence (min (doc_id, pos)) intact. Unlike
+    span_dedup's non-overlapping chunks, this catches a passage that
+    starts at offset 7 in one doc and offset 123 in another. The
+    suffix-array of the paper collapses to a distributed equivalent:
+    every length-`window` substring is a key in one hash aggregation.
+
+    Plan shape for 100 TB: the exploded window rows carry ONLY
+    (id, int pos, xxhash64) — the window text is hashed inside the
+    per-row transform() and never leaves the scan stage, so the
+    frequency groupBy shuffles 8-byte keys, ~n rows per n-token doc.
+    First-occurrence election is min(struct(id, pos)) inside the same
+    aggregation (map-side combinable, no window function). Duplicate
+    starts fold back per doc as one sorted int array; the keep mask and
+    text reassembly are per-row codegen expressions (exists() over the
+    doc's own duplicate starts — m is small for real corpora). No
+    driver state, no all-pairs.
+
+    Returns one row per input doc: (id, clean_text, n_tokens,
+    n_dropped). Docs shorter than `window` tokens have no windows and
+    are returned whole (whitespace-normalized, lowercased — same token
+    normalization as the other span operators).
+    """
+    k = window
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    starts = F.when(
+        F.size("_t") >= k, F.sequence(F.lit(0), F.size("_t") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+            )
+        ).alias("_pos", "_h"),
+    )
+    occ = wins.groupBy("_h").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))).alias(
+            "_first"
+        ),
+    )
+    dup = (
+        wins.join(occ, "_h")
+        .where(
+            (F.col("_n") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("_first.d"))
+                & (F.col("_pos") == F.col("_first.p"))
+            )
+        )
+        .select(id_col, "_pos")
+    )
+    dupstarts = dup.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_pos")).alias("_ds")
+    )
+    ds = F.coalesce(F.col("_ds"), F.array().cast("array<int>"))
+    idx = F.when(
+        F.size("_t") > 0, F.sequence(F.lit(0), F.size("_t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        idx, lambda j: ~F.exists(ds, lambda s: (j >= s) & (j < s + k))
+    )
+    return base.join(dupstarts, id_col, "left").select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda j: F.element_at("_t", j + 1))
+        ).alias("clean_text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_dropped"),
+    )

@@ -2377,6 +2377,64 @@ def q_intradoc_dedup(spark, sf_dir):
     return intradoc_dedup(_t(spark, sf_dir, "documents"), window=2)
 
 
+_XS_K = 8  # sliding-window length for q_crossdoc_substr
+
+
+@_register(
+    "q_crossdoc_substr",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                        '\\s+'),
+                                     t -> t <> '') AS t
+                  FROM documents),
+    w AS (SELECT doc_id, u['pos'] AS pos, u['span'] AS span
+          FROM (SELECT doc_id,
+                       unnest([{{'pos': i,
+                                 'span': array_to_string(t[i+1:i+{_XS_K}], ' ')}}
+                               for i in range(0, greatest(len(t) - {_XS_K} + 1,
+                                                          0))]) AS u
+                FROM toks)),
+    r AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY span) AS n_occ,
+                 row_number() OVER (PARTITION BY span
+                                    ORDER BY doc_id, pos) AS rn
+          FROM w),
+    dup AS (SELECT doc_id, pos FROM r WHERE n_occ >= 2 AND rn > 1),
+    cov AS (SELECT DISTINCT doc_id, pos + gs.o AS j
+            FROM dup, generate_series(0, {_XS_K} - 1) AS gs(o)),
+    tokpos AS (SELECT doc_id, u['j'] AS j, u['tok'] AS tok
+               FROM (SELECT doc_id,
+                            unnest([{{'j': j, 'tok': t[j+1]}}
+                                    for j in range(0, len(t))]) AS u
+                     FROM toks)),
+    kept AS (SELECT tp.doc_id, tp.j, tp.tok
+             FROM tokpos tp
+             LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.j = cov.j
+             WHERE cov.j IS NULL),
+    g AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+                 count(*)::BIGINT AS n_kept
+          FROM kept GROUP BY doc_id),
+    n AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks)
+    SELECT d.doc_id,
+           coalesce(g.clean_text, '') AS clean_text,
+           n.n_tokens,
+           (n.n_tokens - coalesce(g.n_kept, 0))::BIGINT AS n_dropped
+    FROM documents d JOIN n USING (doc_id) LEFT JOIN g USING (doc_id)
+    """,
+)
+def q_crossdoc_substr(spark, sf_dir):
+    """operators/dedup.py exact_substr_dedup: sliding-window
+    ExactSubstr dedup (Lee et al. 2021) — drop tokens covered by any
+    8-token window whose text recurs anywhere in the corpus, keeping
+    the global first occurrence. Window hashes (8 bytes) are the only
+    exploded payload; frequency + first-occurrence election is one
+    map-side-combinable groupBy."""
+    from cloud_crawler_spark.operators.dedup import exact_substr_dedup
+
+    return exact_substr_dedup(_t(spark, sf_dir, "documents"), window=_XS_K)
+
+
 # BPE tokenizer training: genuinely iterative (each merge depends on
 # the table the previous merge rewrote), so NO SQL oracle — the driver
 # records the rows-only check. The exact-match gate lives in

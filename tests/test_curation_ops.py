@@ -247,3 +247,49 @@ class TestIntradocDedup:
         df = _docs(spark, [(0, "x y"), (1, "x y")])
         out = intradoc_dedup(df, window=2).collect()
         assert all(r["n_spans_dropped"] == 0 for r in out)
+
+
+class TestExactSubstrDedup:
+    def test_unaligned_passage_dropped_first_occurrence_kept(self, spark):
+        from cloud_crawler_spark.operators.dedup import exact_substr_dedup
+
+        # the 5-token passage sits at offset 2 in doc 0 and offset 0 in
+        # doc 1 — span_dedup's aligned chunks would MISS this; the
+        # sliding window must keep doc 0 (global first occurrence,
+        # min (doc_id, pos)) whole and cut tokens 0..4 from doc 1
+        passage = "p0 p1 p2 p3 p4"
+        df = _docs(spark, [
+            (0, f"a b {passage} c"),
+            (1, f"{passage} z w q"),
+        ])
+        out = {r["doc_id"]: r for r in exact_substr_dedup(df, window=4).collect()}
+        assert out[0]["clean_text"] == "a b p0 p1 p2 p3 p4 c"
+        assert out[0]["n_dropped"] == 0 and out[0]["n_tokens"] == 8
+        assert out[1]["clean_text"] == "z w q"
+        assert out[1]["n_dropped"] == 5 and out[1]["n_tokens"] == 8
+
+    def test_same_doc_unaligned_repeat_dropped(self, spark):
+        from cloud_crawler_spark.operators.dedup import exact_substr_dedup
+
+        # [m n o p] recurs at offsets 0 and 5 of the SAME doc — the
+        # second occurrence's tokens go, the first stays
+        df = _docs(spark, [(0, "m n o p x m n o p")])
+        out = exact_substr_dedup(df, window=4).collect()[0]
+        assert out["clean_text"] == "m n o p x"
+        assert out["n_tokens"] == 9 and out["n_dropped"] == 4
+
+    def test_short_null_and_empty_docs_pass_through(self, spark):
+        from cloud_crawler_spark.operators.dedup import exact_substr_dedup
+
+        # docs shorter than the window have no windows: returned whole
+        # (lowercased, whitespace-normalized); null/empty keep rows
+        df = spark.createDataFrame(
+            [(0, "Tiny DOC"), (1, "Tiny DOC"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in exact_substr_dedup(df, window=4).collect()}
+        assert set(out) == {0, 1, 2, 3}
+        assert out[0]["clean_text"] == "tiny doc" == out[1]["clean_text"]
+        assert out[0]["n_dropped"] == 0
+        for d in (2, 3):
+            assert out[d]["clean_text"] == "" and out[d]["n_tokens"] == 0
