@@ -49,6 +49,7 @@ HEADLINE = [
     "q_rebalance_sample",
     "q_intradoc_dedup",
     "q_crossdoc_substr",
+    "q_dsir_weights",
     "q_bpe_merges",
     "q_events_hourly",
     "q_politeness_topk",

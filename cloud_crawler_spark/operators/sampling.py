@@ -223,3 +223,108 @@ def rebalance_sample(
         .where(hash_permille(F.col(id_col)) < F.col("rate_permille"))
         .drop("rate_permille")
     )
+
+
+def _hashed_gram_buckets(text_col: str, n_buckets: int) -> Column:
+    """Per-row array of hashed {1,2}-gram feature buckets: lowercase
+    whitespace tokens (same normalization as the dedup operators),
+    unigrams + space-joined bigrams, each bucketed by the first 3 hex
+    digits of md5 mod n_buckets — engine-stable (the DuckDB oracle
+    reproduces it with strpos arithmetic, like hash_permille)."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bis),
+        lambda g: (
+            F.conv(F.substring(F.md5(g), 1, 3), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit two bag-of-hashed-
+    ngram multinomials — p over the small TARGET corpus (the domain you
+    want more of), q over the RAW corpus — and score every raw doc with
+    log w(d) = sum over d's grams of (ln p_bucket - ln q_bucket), both
+    distributions add-alpha smoothed over the full bucket domain.
+    High-weight docs look like the target; resampling by these weights
+    is the paper's data-selection step (compose with the top-k /
+    threshold machinery of the other sampling operators).
+
+    Plan shape for 100 TB: both bucket-count aggregations are map-side
+    combinable groupBys whose RESULT is n_buckets rows (the corpus
+    shuffles ~one row per bucket per partition, never per gram); the
+    log-ratio table (n_buckets rows) broadcast-joins onto the exploded
+    raw grams, and the per-doc sum is one groupBy(id) with map-side
+    partial aggregation — exploded gram rows carry only (id, int
+    bucket) and combine back to ~one row per doc before shuffling. No
+    driver state, no window functions, no Python in the row path.
+
+    Returns one row per raw doc: (id, n_grams, logw) with logw rounded
+    to 6 decimals (cross-engine float discipline); docs with no tokens
+    get logw = 0.
+    """
+    b = int(n_buckets)
+    gb = _hashed_gram_buckets(text_col, b)
+    spark = raw.sparkSession
+    dom = spark.range(b).select(F.col("id").cast("int").alias("bkt"))
+
+    def _log_dist(df: DataFrame, out: str) -> DataFrame:
+        g = df.select(gb.alias("_b"))
+        cnt = (
+            g.select(F.explode("_b").alias("bkt"))
+            .groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        tot = g.agg(F.coalesce(F.sum(F.size("_b")), F.lit(0)).alias("_t"))
+        return (
+            dom.join(cnt, "bkt", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "bkt",
+                F.log(
+                    (F.coalesce("_c", F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("_t") + F.lit(float(alpha) * b))
+                ).alias(out),
+            )
+        )
+
+    ratio = (
+        _log_dist(target, "_lp")
+        .join(_log_dist(raw, "_lq"), "bkt")
+        .select("bkt", (F.col("_lp") - F.col("_lq")).alias("_lr"))
+    )
+    # n_grams is recovered as count(bkt) AFTER the explode rather than
+    # projecting size(<gram expr>) next to explode_outer(<gram expr>):
+    # expressions projected alongside a Generate are re-evaluated per
+    # EXPLODED row, turning the md5 gram hashing quadratic (measured
+    # 49s -> 0.5s on the sf0.01 scoring pass). explode_outer still
+    # emits one null-bucket row per empty doc, so those keep their row
+    # with n_grams = 0.
+    ex = raw.select(F.col(id_col), F.explode_outer(gb).alias("bkt"))
+    return (
+        ex.join(F.broadcast(ratio), "bkt", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bkt").cast("long").alias("n_grams"),
+            F.coalesce(F.round(F.sum("_lr"), 6), F.lit(0.0)).alias("logw"),
+        )
+    )

@@ -2377,6 +2377,71 @@ def q_intradoc_dedup(spark, sf_dir):
     return intradoc_dedup(_t(spark, sf_dir, "documents"), window=2)
 
 
+_DSIR_B = 512  # hashed-ngram bucket count for q_dsir_weights
+
+
+def _bucket_sql(g: str) -> str:
+    """DuckDB twin of operators/sampling._hashed_gram_buckets: first 3
+    md5 hex digits as an int, mod _DSIR_B."""
+    digits = " + ".join(
+        f"(strpos({_HEXD_S}, substr(md5({g}), {i + 1}, 1)) - 1) * {16 ** (2 - i)}"
+        for i in range(3)
+    )
+    return f"(({digits}) % {_DSIR_B})"
+
+
+@_register(
+    "q_dsir_weights",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                        '\\s+'),
+                                     t -> t <> '') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, g FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+      UNION ALL
+      SELECT doc_id, g
+      FROM (SELECT doc_id,
+                   unnest([t[i+1] || ' ' || t[i+2]
+                           for i in range(0, greatest(len(t) - 1, 0))]) AS g
+            FROM toks)),
+    gb AS (SELECT doc_id, {_bucket_sql('g')} AS bkt FROM grams),
+    dom AS (SELECT unnest(range(0, {_DSIR_B})) AS bkt),
+    tc AS (SELECT bkt, count(*) AS c FROM gb WHERE doc_id % 10 = 0 GROUP BY bkt),
+    tt AS (SELECT count(*) AS t FROM gb WHERE doc_id % 10 = 0),
+    rc AS (SELECT bkt, count(*) AS c FROM gb WHERE doc_id % 10 <> 0 GROUP BY bkt),
+    rt AS (SELECT count(*) AS t FROM gb WHERE doc_id % 10 <> 0),
+    lr AS (SELECT dom.bkt,
+                  ln((coalesce(tc.c, 0) + 1.0) / (tt.t + {_DSIR_B}.0))
+                - ln((coalesce(rc.c, 0) + 1.0) / (rt.t + {_DSIR_B}.0)) AS lr
+           FROM dom LEFT JOIN tc USING (bkt) LEFT JOIN rc USING (bkt), tt, rt),
+    w AS (SELECT gb.doc_id, count(*)::BIGINT AS n_grams,
+                 round(sum(lr.lr), 6) AS logw
+          FROM gb JOIN lr USING (bkt)
+          WHERE gb.doc_id % 10 <> 0 GROUP BY gb.doc_id)
+    SELECT d.doc_id, coalesce(w.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(w.logw, 0.0) AS logw
+    FROM documents d LEFT JOIN w USING (doc_id)
+    WHERE d.doc_id % 10 <> 0
+    """,
+)
+def q_dsir_weights(spark, sf_dir):
+    """operators/sampling.dsir_weights: DSIR (Xie et al. 2023) hashed
+    {1,2}-gram importance weights — target = docs with doc_id % 10 == 0,
+    raw = the rest. Bucket counts aggregate map-side to 512-row
+    distributions; the log-ratio table broadcast-joins back onto the
+    raw grams."""
+    from cloud_crawler_spark.operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        n_buckets=_DSIR_B,
+    )
+
+
 _XS_K = 8  # sliding-window length for q_crossdoc_substr
 
 

@@ -293,3 +293,37 @@ class TestExactSubstrDedup:
         assert out[0]["n_dropped"] == 0
         for d in (2, 3):
             assert out[d]["clean_text"] == "" and out[d]["n_tokens"] == 0
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        from cloud_crawler_spark.operators.sampling import dsir_weights
+
+        # target: legal-ish boilerplate; raw holds two in-domain docs,
+        # two off-domain docs — importance weights must rank the
+        # in-domain pair strictly above the off-domain pair
+        target = _docs(spark, [
+            (100, "the party shall indemnify the other party"),
+            (101, "this agreement shall govern the party obligations"),
+        ])
+        raw = _docs(spark, [
+            (0, "the party shall indemnify promptly"),
+            (1, "this agreement shall bind the party"),
+            (2, "cheap pills buy now click here"),
+            (3, "weather today sunny with light winds"),
+        ])
+        w = {r["doc_id"]: r["logw"]
+             for r in dsir_weights(raw, target, n_buckets=64).collect()}
+        assert min(w[0], w[1]) > max(w[2], w[3])
+
+    def test_empty_and_null_docs_get_zero(self, spark):
+        from cloud_crawler_spark.operators.sampling import dsir_weights
+
+        target = _docs(spark, [(100, "alpha beta gamma")])
+        raw = _docs(spark, [(0, "alpha beta"), (1, ""), (2, None)])
+        out = {r["doc_id"]: r for r in
+               dsir_weights(raw, target, n_buckets=64).collect()}
+        assert set(out) == {0, 1, 2}  # one row per raw doc
+        for d in (1, 2):
+            assert out[d]["n_grams"] == 0 and out[d]["logw"] == 0.0
+        assert out[0]["n_grams"] == 3  # 2 unigrams + 1 bigram
