@@ -281,6 +281,11 @@ def dsir_weights(
     Returns one row per raw doc: (id, n_grams, logw) with logw rounded
     to 6 decimals (cross-engine float discipline); docs with no tokens
     get logw = 0.
+
+    `raw` is scanned three times and `target` twice (two distribution
+    fits + the scoring pass): feed source tables or materialized
+    (cached/checkpointed) frames, not deep lazy pipelines — each scan
+    re-nests the upstream plan.
     """
     b = int(n_buckets)
     gb = _hashed_gram_buckets(text_col, b)
