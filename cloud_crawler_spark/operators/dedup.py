@@ -814,11 +814,18 @@ def exact_substr_dedup(df: DataFrame, text_col: str = "text",
     kept = F.filter(
         idx, lambda j: ~F.exists(ds, lambda s: (j >= s) & (j < s + k))
     )
-    return base.join(dupstarts, id_col, "left").select(
-        F.col(id_col),
-        F.concat_ws(
-            " ", F.transform(kept, lambda j: F.element_at("_t", j + 1))
-        ).alias("clean_text"),
-        F.size("_t").cast("long").alias("n_tokens"),
-        (F.size("_t") - F.size(kept)).cast("long").alias("n_dropped"),
+    # `kept` (the O(n*m) coverage scan) is projected ONCE and the two
+    # consumers read the materialized column — referencing the
+    # expression twice in one select would evaluate it twice per row
+    return (
+        base.join(dupstarts, id_col, "left")
+        .select(F.col(id_col), F.col("_t"), kept.alias("_kept"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.transform("_kept", lambda j: F.element_at("_t", j + 1))
+            ).alias("clean_text"),
+            F.size("_t").cast("long").alias("n_tokens"),
+            (F.size("_t") - F.size("_kept")).cast("long").alias("n_dropped"),
+        )
     )

@@ -164,6 +164,36 @@ def test_curation_queries_scale_guards(spark):
     assert "xxhash64" in plans["q_span_dedup"]
 
 
+def test_exact_substr_and_dsir_scale_guards(spark):
+    """ExactSubstr + DSIR keep their 100 TB plan shapes. The one-row
+    scalar crossJoins inside DSIR (gram totals) are deliberate
+    broadcast constants — what must NOT appear is a cartesian product
+    or a Generate that re-evaluates the gram/window hashing per
+    exploded row (the size-beside-explode trap: the generator output
+    must be the only gram-expression consumer)."""
+    from cloud_crawler_spark.queries import queries
+
+    qs = queries()
+    sf = "/root/testdata/sf0.001"
+    xs = plan_of(qs["q_crossdoc_substr"](spark, sf))
+    assert "CartesianProduct" not in xs
+    # window text never shuffles: frequency groupBy keys on xxhash64
+    assert "xxhash64" in xs
+
+    ds = plan_of(qs["q_dsir_weights"](spark, sf))
+    assert "CartesianProduct" not in ds
+    # the scoring join is the broadcast of the n_buckets-row ratio
+    assert "BroadcastHashJoin" in ds
+    # the Generate that explodes gram buckets must not carry a sibling
+    # size(<gram expr>) projection (re-evaluated per exploded row —
+    # measured 49s vs 0.5s at sf0.01); n_grams comes from count() after
+    import re
+
+    for m in re.finditer(r"Generate explode", ds):
+        line = ds[ds.rfind("\n", 0, m.start()) + 1: ds.find("\n", m.end())]
+        assert "size(" not in line, line
+
+
 def test_index_ranking_scale_guards(spark):
     """The search-index operators keep their 100 TB plan shapes: no
     cartesian products beyond the deliberate ONE-ROW scalar
