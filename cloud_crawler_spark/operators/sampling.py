@@ -285,21 +285,40 @@ def dsir_weights(
     `raw` is scanned three times and `target` twice (two distribution
     fits + the scoring pass): feed source tables or materialized
     (cached/checkpointed) frames, not deep lazy pipelines — each scan
-    re-nests the upstream plan.
+    re-nests the upstream plan. Both frames need `id_col` (it keys the
+    small-input spreading repartition as well as the output).
     """
     b = int(n_buckets)
     gb = _hashed_gram_buckets(text_col, b)
     spark = raw.sparkSession
+
+    # md5-per-gram is the dominant cost (~100 grams/doc); when the
+    # input has fewer splits than cores (small files, single row
+    # group) the three hashing passes run near-serially. One slim
+    # (id, text) hash repartition costs far less than it unlocks; on
+    # a real many-split corpus (the 100 TB case) this is a no-op.
+    par = spark.sparkContext.defaultParallelism
+
+    def _spread(df: DataFrame, cols) -> DataFrame:
+        slim = df.select(*cols)
+        if slim.rdd.getNumPartitions() < par:
+            slim = slim.repartition(par, F.col(id_col))
+        return slim
+
+    raw = _spread(raw, [id_col, text_col])
+    target = _spread(target, [id_col, text_col])
     dom = spark.range(b).select(F.col("id").cast("int").alias("bkt"))
 
     def _log_dist(df: DataFrame, out: str) -> DataFrame:
-        g = df.select(gb.alias("_b"))
         cnt = (
-            g.select(F.explode("_b").alias("bkt"))
+            df.select(F.explode(gb).alias("bkt"))
             .groupBy("bkt")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
-        tot = g.agg(F.coalesce(F.sum(F.size("_b")), F.lit(0)).alias("_t"))
+        # total gram count = sum of the 512 bucket counts — derived
+        # from cnt instead of a second full gram-hashing pass over the
+        # corpus (sum(size(grams)) would re-tokenize + re-md5 everything)
+        tot = cnt.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_t"))
         return (
             dom.join(cnt, "bkt", "left")
             .crossJoin(F.broadcast(tot))
