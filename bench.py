@@ -50,6 +50,7 @@ HEADLINE = [
     "q_intradoc_dedup",
     "q_crossdoc_substr",
     "q_dsir_weights",
+    "q_url_strip_tracking",
     "q_bpe_merges",
     "q_events_hourly",
     "q_politeness_topk",

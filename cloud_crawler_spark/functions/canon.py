@@ -267,3 +267,41 @@ def with_canon(df, url_col: str = "url", out_col: str = "canon_url"):
         .withColumn("host", F.col("_ch.host"))
         .drop("_ch")
     )
+
+
+# ad/analytics click-tracking query params (Google Analytics utm_*,
+# Google/Facebook/Microsoft click ids, Mailchimp, HubSpot, Instagram,
+# Yandex). Matched as a whole param name, with or without a value —
+# "utmx=1" or "refid=2" never match.
+_TRACKING_PARAM_RE = re.compile(
+    r"^(?:utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|mc_cid|igshid"
+    r"|yclid|_hsenc|_hsmi)(?:=|$)"
+)
+
+
+def strip_tracking_params(url: str | None) -> str | None:
+    """Drop click-tracking query parameters (utm_*, gclid, fbclid, ...)
+    from an already-canonical URL — the crawl-hygiene step that folds
+    the same landing page reached from N ad campaigns into one frontier
+    key. A pure filter over the param list: canonicalize()'s sorted
+    param order is preserved, and a query that empties loses its '?'.
+
+    NOT part of the default canonicalization: the reference's key_for
+    (dsl_core.rb) keeps every param, and crawl-ordering parity pins
+    that behavior — compose this explicitly (seed prep, dedup keys,
+    frontier ingest) when tracking-noise collapse is wanted.
+    """
+    if url is None:
+        return None
+    i = url.find("?")
+    if i < 0:
+        return url
+    base, query = url[:i], url[i + 1:]
+    kept = [p for p in query.split("&") if p and not _TRACKING_PARAM_RE.match(p)]
+    return base + ("?" + "&".join(kept) if kept else "")
+
+
+@pandas_udf(T.StringType())
+def strip_tracking_udf(urls: pd.Series) -> pd.Series:
+    """Arrow-vectorized strip_tracking_params."""
+    return urls.map(strip_tracking_params, na_action="ignore")

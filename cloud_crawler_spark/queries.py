@@ -2377,6 +2377,46 @@ def q_intradoc_dedup(spark, sf_dir):
     return intradoc_dedup(_t(spark, sf_dir, "documents"), window=2)
 
 
+@_register(
+    "q_url_strip_tracking",
+    """
+    SELECT doc_id,
+           'http://h' || (doc_id % 5) || '.example.com/p' || doc_id ||
+           CASE doc_id % 4
+             WHEN 1 THEN '?a=' || doc_id || '&z=1'
+             WHEN 3 THEN '?page=2'
+             ELSE ''
+           END AS clean_url
+    FROM documents
+    """,
+)
+def q_url_strip_tracking(spark, sf_dir):
+    """functions/canon.strip_tracking_params parity on a constructed
+    URL family: utm_*/click-id params drop (whole-name match, bare or
+    valued), other params and their sorted order survive, an emptied
+    query loses its '?'. The oracle states the expected output
+    independently per case."""
+    from cloud_crawler_spark.functions.canon import strip_tracking_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/p"), F.col("doc_id").cast("string"),
+    )
+    url = F.concat(
+        base,
+        F.when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("?a="), F.col("doc_id").cast("string"),
+                        F.lit("&utm_source=feed&z=1")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?fbclid=f1&gclid=g1"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("?page=2&utm_campaign"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", strip_tracking_udf(url).alias("clean_url")
+    )
+
+
 _DSIR_B = 512  # hashed-ngram bucket count for q_dsir_weights
 
 

@@ -178,3 +178,19 @@ class TestFastPathEquivalence:
         # empty trailing params segment)
         assert _FAST_CANON_RE.match("http://x.com/a;b")
         assert not _FAST_RESOLVED_RE.match("http://x.com/a;b")
+
+
+class TestStripTrackingParams:
+    def test_semantics(self):
+        from cloud_crawler_spark.functions.canon import strip_tracking_params as s
+
+        assert s(None) is None
+        assert s("http://h.com/p") == "http://h.com/p"
+        # tracking params drop; other params keep their sorted order
+        assert s("http://h.com/p?a=1&utm_source=x&z=2") == "http://h.com/p?a=1&z=2"
+        # an emptied query loses its '?'
+        assert s("http://h.com/p?fbclid=f&gclid=g") == "http://h.com/p"
+        # bare (valueless) tracking params drop too
+        assert s("http://h.com/p?page=2&utm_campaign") == "http://h.com/p?page=2"
+        # whole-name match only: lookalikes survive
+        assert s("http://h.com/p?utmx=1&refid=2") == "http://h.com/p?utmx=1&refid=2"
