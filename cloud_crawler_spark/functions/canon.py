@@ -275,7 +275,9 @@ def with_canon(df, url_col: str = "url", out_col: str = "canon_url"):
 # "utmx=1" or "refid=2" never match.
 _TRACKING_PARAM_RE = re.compile(
     r"^(?:utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|mc_cid|igshid"
-    r"|yclid|_hsenc|_hsmi)(?:=|$)"
+    r"|yclid|_hsenc|_hsmi)(?:=|$)",
+    re.IGNORECASE,  # raw seed/frontier URLs carry UTM_SOURCE=... too;
+    # whole-name matching still excludes lookalikes either case
 )
 
 

@@ -16,10 +16,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def seq_tokens(col):
+    """Lowercased whitespace tokens, empties removed, ORDER PRESERVED —
+    the single definition of token boundaries every span/gram/ngram
+    operator (and sampling's DSIR grams) shares; null text tokenizes
+    to []. The set-semantics variant is norm_tokens."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(col, F.lit(""))), r"\s+"), lambda t: t != ""
+    )
+
+
 def norm_tokens(col):
     """Lowercased whitespace tokens, empties removed, first-occurrence
     set semantics via array_distinct (order-preserving)."""
-    return F.array_distinct(F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != ""))
+    return F.array_distinct(seq_tokens(col))
 
 
 # ------------------------------------------------------------ exact dedup
@@ -548,7 +558,7 @@ def token_ngrams(col, n: int):
     are lowercased whitespace splits with empties removed (NOT
     deduplicated — n-grams need the original sequence). Documents
     shorter than `n` tokens yield an empty array."""
-    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    toks = seq_tokens(col)
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -622,7 +632,7 @@ def span_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     with null/empty/whitespace-only text (n_spans = 0) — keep a row
     with clean_text = ''.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toks = seq_tokens(F.col(text_col))
     spans_arr = F.transform(
         F.sequence(F.lit(0), F.greatest(F.ceil(F.size(toks) / window) - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
@@ -708,7 +718,7 @@ def intradoc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     directly. Same output contract as span_dedup: one row per input
     doc, (id, clean_text, n_spans, n_spans_dropped).
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toks = seq_tokens(F.col(text_col))
     spans_arr = F.transform(
         F.sequence(F.lit(0), F.greatest(F.ceil(F.size(toks) / window) - 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
@@ -757,6 +767,12 @@ def exact_substr_dedup(df: DataFrame, text_col: str = "text",
     (id, int pos, xxhash64) — the window text is hashed inside the
     per-row transform() and never leaves the scan stage, so the
     frequency groupBy shuffles 8-byte keys, ~n rows per n-token doc.
+    Window identity IS the 64-bit hash (same tradeoff as span_dedup):
+    a birthday collision falsely marks a unique window duplicated and
+    deletes its tokens — negligible below ~10^9 windows, but at 10^13
+    windows expect millions of colliding pairs; at that scale widen
+    the key to (xxhash64(span), xxhash64(reverse(span))) or
+    (hash, length). Lee et al.'s suffix array is exact by construction.
     First-occurrence election is min(struct(id, pos)) inside the same
     aggregation (map-side combinable, no window function). Duplicate
     starts fold back per doc as one sorted int array; the keep mask and
@@ -770,10 +786,7 @@ def exact_substr_dedup(df: DataFrame, text_col: str = "text",
     normalization as the other span operators).
     """
     k = window
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: t != "",
-    )
+    toks = seq_tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("_t"))
     starts = F.when(
         F.size("_t") >= k, F.sequence(F.lit(0), F.size("_t") - k)

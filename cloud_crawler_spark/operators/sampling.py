@@ -231,10 +231,9 @@ def _hashed_gram_buckets(text_col: str, n_buckets: int) -> Column:
     unigrams + space-joined bigrams, each bucketed by the first 3 hex
     digits of md5 mod n_buckets — engine-stable (the DuckDB oracle
     reproduces it with strpos arithmetic, like hash_permille)."""
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: t != "",
-    )
+    from cloud_crawler_spark.operators.dedup import seq_tokens
+
+    toks = seq_tokens(F.col(text_col))
     bis = F.when(
         F.size(toks) >= 2,
         F.transform(

@@ -67,7 +67,8 @@ assert fresh.where(F.col("text") == "STALE").count() == 0
 
 # 2. ExactSubstr passage dedup: cut every duplicated 8-token-window
 #    passage (unaligned, cross-doc) — train on each passage once
-deduped = exact_substr_dedup(fresh, window=8).where(F.col("clean_text") != "")
+deduped = (exact_substr_dedup(fresh, window=8)
+           .where(F.col("clean_text") != "").localCheckpoint())
 fresh = fresh.drop("text").join(
     deduped.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
 ).localCheckpoint()

@@ -194,3 +194,6 @@ class TestStripTrackingParams:
         assert s("http://h.com/p?page=2&utm_campaign") == "http://h.com/p?page=2"
         # whole-name match only: lookalikes survive
         assert s("http://h.com/p?utmx=1&refid=2") == "http://h.com/p?utmx=1&refid=2"
+        # raw (pre-canonicalize) URLs carry mixed-case tracking params
+        assert s("http://h.com/p?UTM_SOURCE=Ad1&x=1") == "http://h.com/p?x=1"
+        assert s("http://h.com/p?GCLID") == "http://h.com/p"

@@ -184,14 +184,28 @@ def test_exact_substr_and_dsir_scale_guards(spark):
     assert "CartesianProduct" not in ds
     # the scoring join is the broadcast of the n_buckets-row ratio
     assert "BroadcastHashJoin" in ds
-    # the Generate that explodes gram buckets must not carry a sibling
-    # size(<gram expr>) projection (re-evaluated per exploded row —
-    # measured 49s vs 0.5s at sf0.01); n_grams comes from count() after
+    # the Generate that explodes gram buckets must not carry the text
+    # column through as requiredChildOutput: that only happens when a
+    # sibling projection (the size(<gram expr>) trap) re-consumes the
+    # source text per EXPLODED row — measured 49s vs 0.5s at sf0.01.
+    # n_grams comes from count() after the explode instead. A Generate
+    # "Arguments:" line ends with ", [<requiredChildOutput>],
+    # <outer>, [<generator output>]" in formatted explain.
     import re
 
-    for m in re.finditer(r"Generate explode", ds):
-        line = ds[ds.rfind("\n", 0, m.start()) + 1: ds.find("\n", m.end())]
-        assert "size(" not in line, line
+    n_generates = 0
+    for line in ds.splitlines():
+        line = line.strip()
+        if line.startswith("Arguments: explode("):
+            n_generates += 1
+            # requiredChildOutput prints as "[...], " when non-empty
+            # and is omitted entirely when empty
+            req = re.search(
+                r"(?:\[([^\[\]]*)\], )?(?:true|false), \[[^\[\]]*\]$", line
+            )
+            assert req is not None, line
+            assert "text#" not in (req.group(1) or ""), req.group(1)
+    assert n_generates >= 1  # the guard must actually have inspected one
 
 
 def test_index_ranking_scale_guards(spark):
