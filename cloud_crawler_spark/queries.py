@@ -2559,6 +2559,91 @@ def q_bpe_merges(spark, sf_dir):
 # ----------------------------------------------------------------------
 
 
+_LINED_SQL = (
+    "'Intro for doc ' || doc_id || ' in ' || lang || ' with words.'"
+    " || chr(10) || 'Please enable javascript to continue viewing.'"
+    " || chr(10) || 'cookie banner text with no terminal punctuation'"
+    " || chr(10) || 'Too short.'"
+    " || chr(10) || text || '.'"
+    " || chr(10) || 'var f = function() { return 1; }.'"
+    " || chr(10) || 'Another good line for doc ' || (doc_id % 5)"
+    " || ' right here.'"
+    " || CASE WHEN doc_id % 19 = 0 THEN chr(10) ||"
+    " 'This page is lorem ipsum filler content.' ELSE '' END"
+)
+
+
+@_register(
+    "q_line_filter",
+    f"""
+    WITH lined AS (SELECT doc_id, {_LINED_SQL} AS text FROM documents),
+    f AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             list_filter(
+               string_split(text, chr(10)),
+               l -> regexp_matches(l, '[.!?"]$')
+                    AND len(list_filter(string_split_regex(l, '\\s+'),
+                                        t -> t <> '')) >= 3
+                    AND NOT contains(lower(l), 'javascript')
+                    AND NOT contains(l, '{{')) AS kept
+      FROM lined),
+    g AS (
+      SELECT doc_id, lines, kept,
+             (NOT contains(lower(text), 'lorem ipsum')
+              AND len(kept) >= 3) AS keep
+      FROM f)
+    SELECT doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept,
+           round(1 - len(kept) / greatest(len(lines), 1)::DOUBLE, 6)
+             AS removed_line_frac,
+           md5(CASE WHEN keep THEN array_to_string(kept, chr(10))
+                    ELSE '' END) AS clean_md5,
+           CASE WHEN keep THEN length(array_to_string(kept, chr(10)))
+                ELSE 0 END::BIGINT AS n_chars_clean,
+           CASE WHEN keep THEN 1 ELSE 0 END::BIGINT AS keep_doc
+    FROM g
+    """,
+)
+def q_line_filter(spark, sf_dir):
+    """functions/lines.clean_lines — C4-style line-level cleaning
+    (Raffel et al. 2020 §2.2) over a constructed lined corpus: per doc,
+    one good intro line, a 'javascript' chrome line, a no-terminal-
+    punctuation line, a 2-word line, the document body, a curly-brace
+    code line, and a second good line; every 19th doc gains a
+    'lorem ipsum' line that triggers the page-level drop. The oracle
+    replays the per-line predicates with DuckDB list lambdas and hashes
+    the reassembled clean text."""
+    from cloud_crawler_spark.functions.lines import clean_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Intro for doc "), F.col("doc_id").cast("string"),
+                 F.lit(" in "), F.col("lang"), F.lit(" with words.")),
+        F.lit("Please enable javascript to continue viewing."),
+        F.lit("cookie banner text with no terminal punctuation"),
+        F.lit("Too short."),
+        F.concat(F.col("text"), F.lit(".")),
+        F.lit("var f = function() { return 1; }."),
+        F.concat(F.lit("Another good line for doc "),
+                 (F.col("doc_id") % 5).cast("string"), F.lit(" right here.")),
+    )
+    lined = F.when(
+        F.col("doc_id") % 19 == 0,
+        F.concat(lined,
+                 F.lit("\nThis page is lorem ipsum filler content.")),
+    ).otherwise(lined)
+    out = clean_lines(docs.select("doc_id", lined.alias("text")))
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "removed_line_frac",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        "keep_doc",
+    )
+
+
 def queries():
     return dict(_Q)
 

@@ -1,0 +1,88 @@
+"""C4-style line-level cleaning (functions/lines.py).
+
+Pins every per-line predicate (terminal punctuation, min word count,
+blacklist term, curly-brace code gate), the document-level gates
+(lorem-ipsum term, min surviving lines), reassembly order, and the
+scale shape (one projection, zero shuffle).
+"""
+
+from pyspark.sql import functions as F
+
+from cloud_crawler_spark.functions.lines import clean_lines, keep_line
+
+
+def _run(spark, text, **kw):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return clean_lines(df, **kw).collect()[0]
+
+
+class TestLinePredicates:
+    def test_good_line_survives(self, spark):
+        r = _run(spark, "This line is perfectly fine.")
+        assert (r.n_lines, r.n_kept) == (1, 1)
+        assert r.clean_text == "" or r.keep_doc == 0  # min_kept=3 gate
+
+    def test_terminal_punctuation_required(self, spark):
+        r = _run(spark, "no terminal punctuation here", min_kept=0)
+        assert r.n_kept == 0
+
+    def test_question_bang_quote_are_terminal(self, spark):
+        text = 'Is this a question?\nWhat a line!\nHe said "stop."'
+        r = _run(spark, text, min_kept=0)
+        assert r.n_kept == 3
+
+    def test_min_words(self, spark):
+        r = _run(spark, "Too short.", min_kept=0)
+        assert r.n_kept == 0
+        r = _run(spark, "Three words suffice.", min_kept=0)
+        assert r.n_kept == 1
+
+    def test_blacklist_case_insensitive(self, spark):
+        r = _run(spark, "Please enable JavaScript to continue.", min_kept=0)
+        assert r.n_kept == 0
+
+    def test_brace_gate(self, spark):
+        r = _run(spark, "var f = function() { return 1; }.", min_kept=0)
+        assert r.n_kept == 0
+        r = _run(spark, "var f = function() { return 1; }.",
+                 min_kept=0, brace_gate=False)
+        assert r.n_kept == 1
+
+
+class TestDocGates:
+    TEXT = ("Good first line right here.\n"
+            "bad line no punctuation\n"
+            "Good second line right here.\n"
+            "Good third line right here.")
+
+    def test_doc_kept_and_reassembled_in_order(self, spark):
+        r = _run(spark, self.TEXT)
+        assert r.keep_doc == 1
+        assert r.clean_text.split("\n") == [
+            "Good first line right here.",
+            "Good second line right here.",
+            "Good third line right here.",
+        ]
+        assert (r.n_lines, r.n_kept) == (4, 3)
+        assert abs(r.removed_line_frac - 0.25) < 1e-9
+
+    def test_lorem_ipsum_drops_doc(self, spark):
+        r = _run(spark, self.TEXT + "\nThis is Lorem Ipsum filler text.")
+        assert r.keep_doc == 0 and r.clean_text == ""
+
+    def test_min_kept_drops_doc(self, spark):
+        r = _run(spark, self.TEXT, min_kept=4)
+        assert r.keep_doc == 0 and r.clean_text == ""
+
+
+def test_zero_shuffle_plan(spark):
+    """The whole clean pass must be one map-side projection — no
+    Exchange anywhere (a 100 TB corpus cleans in a single pass)."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("Line for doc "), F.col("id").cast("string"),
+                 F.lit(" ok.\nbad line")).alias("text"),
+    )
+    plan = clean_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
