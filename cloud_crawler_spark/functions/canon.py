@@ -307,3 +307,50 @@ def strip_tracking_params(url: str | None) -> str | None:
 def strip_tracking_udf(urls: pd.Series) -> pd.Series:
     """Arrow-vectorized strip_tracking_params."""
     return urls.map(strip_tracking_params, na_action="ignore")
+
+
+# ------------------------------------------------------------------ SURT
+def surt_key(url) -> "F.Column":
+    """Sort-friendly URI Reordering Transform of a canonical URL — the
+    web-archive key format CDX indexes sort by (`com,example)/path`):
+    scheme dropped, host labels reversed and comma-joined (non-default
+    port kept after the host), then `)` + path + sorted query.
+
+    Why it matters at 10^10 frontier scale: a SURT-sorted Iceberg
+    frontier/page table clusters every page of a domain (and all its
+    subdomains) into one contiguous key range, so per-domain operations
+    — recrawl a site, export one domain's corpus slice, CDX prefix
+    lookup — become partition-pruned range scans instead of full-table
+    host filters. Expects `canonicalize()` output (lowercase, http,
+    fragment-stripped); query params are (re)sorted here so the key is
+    stable even for raw canonical-shaped inputs.
+
+    Pure built-in string/array algebra — whole-stage codegen, no UDF,
+    zero shuffle; the exact same algebra runs in the DuckDB oracle
+    (q_surt_keys).
+    """
+    url = F.lit(url) if isinstance(url, str) else url
+    rest = F.substring_index(url, "://", -1)  # host[:port]/path?query
+    hostport = F.substring_index(rest, "/", 1)
+    host = F.substring_index(hostport, ":", 1)
+    port = F.when(
+        F.contains(hostport, F.lit(":")),
+        F.concat(F.lit(":"), F.substring_index(hostport, ":", -1)),
+    ).otherwise(F.lit(""))
+    pathq = F.substring(rest, F.length(hostport) + 1, F.length(rest))
+    path = F.when(pathq == "", F.lit("/")).otherwise(
+        F.substring_index(pathq, "?", 1)
+    )
+    query = F.when(
+        F.contains(pathq, F.lit("?")), F.substring_index(pathq, "?", -1)
+    ).otherwise(F.lit(""))
+    sortedq = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"
+    )
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        port,
+        F.lit(")"),
+        path,
+        F.when(sortedq == "", F.lit("")).otherwise(F.concat(F.lit("?"), sortedq)),
+    )

@@ -2644,6 +2644,83 @@ def q_line_filter(spark, sf_dir):
     )
 
 
+@_register(
+    "q_surt_keys",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'http://' ||
+             CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+                  WHEN doc_id % 3 = 1 THEN 'www.example.com'
+                  ELSE 's' || (doc_id % 5) || '.blog.example.org:8080' END
+             || '/p' || doc_id ||
+             CASE WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+                  WHEN doc_id % 4 = 2 THEN '?z=' || doc_id
+                  ELSE '' END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '^https?://', '') AS rest
+      FROM u),
+    p2 AS (
+      SELECT doc_id, url, rest,
+             string_split(rest, '/')[1] AS hostport
+      FROM parts),
+    p3 AS (
+      SELECT doc_id, url,
+             string_split(hostport, ':')[1] AS host,
+             CASE WHEN contains(hostport, ':')
+                  THEN ':' || string_split(hostport, ':')[2] ELSE '' END
+               AS port,
+             substr(rest, length(hostport) + 1) AS pathq
+      FROM p2),
+    p4 AS (
+      SELECT doc_id, url, host, port,
+             CASE WHEN pathq = '' THEN '/'
+                  WHEN contains(pathq, '?')
+                  THEN substr(pathq, 1, strpos(pathq, '?') - 1)
+                  ELSE pathq END AS path,
+             CASE WHEN contains(pathq, '?')
+                  THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END
+               AS query
+      FROM p3)
+    SELECT doc_id, url,
+           array_to_string(list_reverse(string_split(host, '.')), ',')
+           || port || ')' || path ||
+           CASE WHEN q = '' THEN '' ELSE '?' || q END AS surt
+    FROM (SELECT *,
+                 coalesce(array_to_string(
+                   list_sort(list_filter(string_split(query, '&'),
+                                         p -> p <> '')), '&'), '') AS q
+          FROM p4)
+    """,
+)
+def q_surt_keys(spark, sf_dir):
+    """functions/canon.surt_key — SURT web-archive keys over a
+    constructed URL family (bare/www/3-deep hosts, a non-default port,
+    unsorted and singleton queries). Pure codegen string/array algebra
+    on both engines; a SURT-sorted table turns per-domain work into
+    contiguous key-range scans (CDX-style prefix lookup)."""
+    from cloud_crawler_spark.functions.canon import surt_key
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("www.example.com"))
+        .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string"),
+                            F.lit(".blog.example.org:8080"))),
+        F.lit("/p"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("?b=2&a=1"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("?z="), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), surt_key(url).alias("surt")
+    )
+
+
 def queries():
     return dict(_Q)
 

@@ -197,3 +197,59 @@ class TestStripTrackingParams:
         # raw (pre-canonicalize) URLs carry mixed-case tracking params
         assert s("http://h.com/p?UTM_SOURCE=Ad1&x=1") == "http://h.com/p?x=1"
         assert s("http://h.com/p?GCLID") == "http://h.com/p"
+
+
+class TestSurtKey:
+    """functions/canon.surt_key — SURT web-archive keys (pure codegen)."""
+
+    def _surt(self, spark, urls):
+        from cloud_crawler_spark.functions.canon import surt_key
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r[0] for r in df.select(surt_key(F.col("url"))).collect()]
+
+    def test_semantics(self, spark):
+        got = self._surt(spark, [
+            "http://example.com/p1",
+            "http://www.example.com/",
+            "http://example.com",                      # no path -> '/'
+            "http://s1.blog.example.org:8080/a/b",     # port kept
+            "http://example.com/p?b=2&a=1",            # query sorted
+            "http://example.com/p?z=1",
+            "http://localhost/x",                      # single-label host
+        ])
+        assert got == [
+            "com,example)/p1",
+            "com,example,www)/",
+            "com,example)/",
+            "org,example,blog,s1:8080)/a/b",
+            "com,example)/p?a=1&b=2",
+            "com,example)/p?z=1",
+            "localhost)/x",
+        ]
+
+    def test_domain_prefix_clusters_subdomains(self, spark):
+        """All subdomains of example.com share the 'com,example' key
+        prefix — the property that makes SURT-sorted tables range-scan
+        per-domain work."""
+        got = self._surt(spark, [
+            "http://example.com/a",
+            "http://www.example.com/b",
+            "http://api.v2.example.com/c",
+            "http://examplezcom.net/d",
+        ])
+        assert [g.startswith("com,example") for g in got] == [
+            True, True, True, False]
+
+    def test_codegen_no_udf_no_shuffle(self, spark):
+        from cloud_crawler_spark.functions.canon import surt_key
+        from pyspark.sql import functions as F
+
+        df = spark.range(10).select(
+            F.concat(F.lit("http://h"), F.col("id").cast("string"),
+                     F.lit(".com/p")).alias("url"))
+        plan = df.select(surt_key(F.col("url")))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
