@@ -2721,6 +2721,51 @@ def q_surt_keys(spark, sf_dir):
     )
 
 
+@_register(
+    "q_mirror_hosts",
+    """
+    WITH hk AS (
+      SELECT DISTINCT 'h' || (doc_id % 7) AS host,
+             CASE WHEN doc_id % 11 = 0 THEN md5('u' || doc_id)
+                  ELSE md5((doc_id % 40)::VARCHAR) END AS k
+      FROM documents),
+    per_host AS (SELECT host, count(*) AS n_keys FROM hk GROUP BY host),
+    keys_ok AS (SELECT k FROM hk GROUP BY k HAVING count(*) <= 4),
+    hk_ok AS (SELECT hk.* FROM hk SEMI JOIN keys_ok USING (k)),
+    pairs AS (
+      SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+      FROM hk_ok a JOIN hk_ok b ON a.k = b.k AND a.host < b.host
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT host_a, host_b, n_shared::BIGINT AS n_shared,
+           na.n_keys::BIGINT AS n_a, nb.n_keys::BIGINT AS n_b,
+           round(n_shared / (na.n_keys + nb.n_keys - n_shared)::DOUBLE, 6)
+             AS jaccard
+    FROM pairs
+    JOIN per_host na ON na.host = pairs.host_a
+    JOIN per_host nb ON nb.host = pairs.host_b
+    """,
+)
+def q_mirror_hosts(spark, sf_dir):
+    """operators/mirrors.mirror_pairs — mirror-site detection: hosts
+    h0..h6 serve content fingerprints doc_id%40 (so each fingerprint
+    recurs across hosts), every 11th doc is unique content, and the
+    boilerplate gate (max_hosts_per_key=4) excludes the most-replicated
+    fingerprints from the pair join exactly as the oracle's HAVING
+    does. Output: host pairs with >=2 shared fingerprints + distinct-set
+    Jaccard."""
+    from cloud_crawler_spark.operators.mirrors import mirror_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    hk = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.md5(F.concat(F.lit("u"), F.col("doc_id").cast("string"))))
+        .otherwise(F.md5((F.col("doc_id") % 40).cast("string")))
+        .alias("content_key"),
+    )
+    return mirror_pairs(hk, max_hosts_per_key=4)
+
+
 def queries():
     return dict(_Q)
 
