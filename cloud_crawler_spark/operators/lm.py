@@ -182,3 +182,58 @@ def vocab_coverage(
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def unigram_kl(
+    ref_df: DataFrame,
+    cmp_df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 1.0,
+    round_digits: int = 8,
+) -> DataFrame:
+    """Per-token KL(P_ref || Q_cmp) contributions between two corpus
+    snapshots' add-alpha-smoothed unigram distributions — the standard
+    corpus drift monitor: run it dump-over-dump (or crawl-over-crawl)
+    and alert when the divergence jumps (topic shift, spam flood,
+    extraction regression upstream).
+
+    Distributions live on the UNION vocabulary of the two sides with
+    add-`alpha` smoothing: p(t) = (c_ref(t)+a) / (N_ref + a|V|), q(t)
+    likewise; the output row per token carries both counts and
+    kl_term = p * ln(p/q) (rounded so it is engine-reproducible —
+    q_token_kl oracle). Total drift = SUM(kl_term) >= 0.
+
+    Scale shape: ONE corpus-wide map-side-combinable groupBy(token)
+    over the tagged union (conditional sums — the two sides never join
+    row-to-row); the three normalizing scalars (N_ref, N_cmp, |V|) are
+    a 1-row aggregate of the vocabulary-sized count table carried via
+    broadcast crossJoin (the PageRank dangling-mass pattern). The
+    per-token arithmetic is pure codegen — no UDF, no driver collect.
+    """
+    tagged = ref_df.select(
+        F.explode(_toks(F.col(text_col))).alias("token"),
+        F.lit(1).alias("is_ref"),
+    ).unionByName(
+        cmp_df.select(
+            F.explode(_toks(F.col(text_col))).alias("token"),
+            F.lit(0).alias("is_ref"),
+        )
+    )
+    counts = tagged.groupBy("token").agg(
+        F.sum(F.col("is_ref")).alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).alias("c_cmp"),
+    )
+    scalars = counts.agg(
+        F.sum("c_ref").alias("_n_ref"),
+        F.sum("c_cmp").alias("_n_cmp"),
+        F.count("*").alias("_v"),
+    )
+    a = F.lit(float(alpha))
+    p = (F.col("c_ref") + a) / (F.col("_n_ref") + a * F.col("_v"))
+    q = (F.col("c_cmp") + a) / (F.col("_n_cmp") + a * F.col("_v"))
+    return counts.crossJoin(F.broadcast(scalars)).select(
+        "token",
+        F.col("c_ref").cast("long").alias("c_ref"),
+        F.col("c_cmp").cast("long").alias("c_cmp"),
+        F.round(p * F.log(p / q), round_digits).alias("kl_term"),
+    )

@@ -2766,6 +2766,45 @@ def q_mirror_hosts(spark, sf_dir):
     return mirror_pairs(hk, max_hosts_per_key=4)
 
 
+@_register(
+    "q_token_kl",
+    """
+    WITH toks AS (
+      SELECT doc_id % 2 = 0 AS is_ref, t AS token
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text),
+                                                         '\\s+'),
+                                      x -> x <> '')) AS t
+            FROM documents)),
+    counts AS (
+      SELECT token,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cmp
+      FROM toks GROUP BY token),
+    s AS (SELECT sum(c_ref) AS n_ref, sum(c_cmp) AS n_cmp,
+                 count(*) AS v FROM counts)
+    SELECT token, c_ref::BIGINT AS c_ref, c_cmp::BIGINT AS c_cmp,
+           round(((c_ref + 1.0) / (n_ref + v)) *
+                 ln(((c_ref + 1.0) / (n_ref + v)) /
+                    ((c_cmp + 1.0) / (n_cmp + v))), 8) AS kl_term
+    FROM counts, s
+    """,
+)
+def q_token_kl(spark, sf_dir):
+    """operators/lm.unigram_kl — corpus drift between two snapshots
+    (even vs odd doc_id halves): per-token KL contributions of the
+    add-one-smoothed unigram distributions on the union vocabulary.
+    The oracle replays the conditional-sum count table, the 1-row
+    normalizer scalars, and the p*ln(p/q) arithmetic exactly
+    (alpha=1 makes `a*|V|` the plain `v` term)."""
+    from cloud_crawler_spark.operators.lm import unigram_kl
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    cmp_ = docs.where(F.col("doc_id") % 2 != 0)
+    return unigram_kl(ref, cmp_)
+
+
 def queries():
     return dict(_Q)
 

@@ -156,3 +156,51 @@ def test_vocab_coverage_keeps_empty_docs(spark):
     for did in (1, 2):
         assert out[did]["n_tokens"] == 0 and out[did]["n_oov"] == 0
         assert out[did]["oov_rate"] is None
+
+
+class TestUnigramKL:
+    """operators/lm.unigram_kl — corpus drift monitor."""
+
+    def _kl(self, spark, ref_texts, cmp_texts, **kw):
+        from cloud_crawler_spark.operators.lm import unigram_kl
+
+        ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+        cmp_ = spark.createDataFrame([(t,) for t in cmp_texts], "text string")
+        return {r.token: r for r in unigram_kl(ref, cmp_, **kw).collect()}
+
+    def test_identical_corpora_zero_drift(self, spark):
+        out = self._kl(spark, ["a b c", "a a"], ["a b c", "a a"])
+        assert set(out) == {"a", "b", "c"}
+        assert all(r.kl_term == 0.0 for r in out.values())
+
+    def test_hand_computed_terms(self, spark):
+        # ref: a a b (N=3)  cmp: a c (N=2)  V={a,b,c} alpha=1
+        # p(a)=(2+1)/(3+3)=0.5     q(a)=(1+1)/(2+3)=0.4
+        # p(b)=(1+1)/6=1/3         q(b)=(0+1)/5=0.2
+        # p(c)=(0+1)/6=1/6         q(c)=(1+1)/5=0.4
+        import math
+
+        out = self._kl(spark, ["a a b"], ["a c"])
+        assert (out["a"].c_ref, out["a"].c_cmp) == (2, 1)
+        assert abs(out["a"].kl_term - round(0.5 * math.log(0.5 / 0.4), 8)) < 1e-12
+        assert abs(out["b"].kl_term - round((1 / 3) * math.log((1 / 3) / 0.2), 8)) < 1e-12
+        assert abs(out["c"].kl_term - round((1 / 6) * math.log((1 / 6) / 0.4), 8)) < 1e-12
+        # Gibbs: total KL over the smoothed union-vocab distributions
+        # is positive for differing corpora... NOTE the union-vocab
+        # restriction keeps both distributions normalized over the same
+        # support, so the inequality holds exactly
+        assert sum(r.kl_term for r in out.values()) > 0
+
+    def test_single_pass_single_shuffle_plan(self, spark):
+        """One groupBy(token) + 1-row broadcast: the corpus must be
+        shuffled exactly once (token agg) plus the scalar agg of the
+        vocab-sized table — never joined row-to-row."""
+        from cloud_crawler_spark.operators.lm import unigram_kl
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).select(
+            F.concat(F.lit("tok"), (F.col("id") % 9).cast("string")).alias("text"))
+        plan = unigram_kl(df, df)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
