@@ -351,3 +351,46 @@ def dsir_weights(
             F.coalesce(F.round(F.sum("_lr"), 6), F.lit(0.0)).alias("logw"),
         )
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+) -> DataFrame:
+    """EXACT per-group discrete quantiles (type-1: the value at order
+    statistic ceil(q*n)) of an integer-valued column — the corpus
+    length-profile health check (per-language length deciles drive
+    min/max-length gate tuning and spot truncation regressions).
+
+    Scale shape: `percentile() OVER (PARTITION BY lang)` funnels each
+    language through one reducer — dead at 100 TB. Exact quantiles of
+    an INTEGER measure need only its histogram: one map-side-combinable
+    groupBy(group, value) reduces the corpus to (groups x distinct
+    values) rows; the cumulative window + quantile election then run on
+    that histogram-sized table (same prefix-sum decomposition as
+    quality_buckets / rank.py). Output: one row per group with n_docs
+    and a p{q} column per requested quantile.
+    """
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        group_col,
+        value_col,
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(Window.partitionBy(group_col)).alias("_total"),
+    )
+    aggs = [F.max("_total").cast("long").alias("n_docs")]
+    for q in qs:
+        target = F.ceil(F.lit(float(q)) * F.col("_total"))
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, F.col(value_col)))
+            .cast("long")
+            .alias(f"p{int(round(q * 100))}")
+        )
+    return cum.groupBy(group_col).agg(*aggs)

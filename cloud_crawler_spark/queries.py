@@ -2805,6 +2805,37 @@ def q_token_kl(spark, sf_dir):
     return unigram_kl(ref, cmp_)
 
 
+@_register(
+    "q_length_quantiles",
+    """
+    WITH hist AS (
+      SELECT lang, n_chars, count(*) AS cnt
+      FROM documents GROUP BY lang, n_chars),
+    cum AS (
+      SELECT lang, n_chars,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             sum(cnt) OVER (PARTITION BY lang) AS total
+      FROM hist)
+    SELECT lang, max(total)::BIGINT AS n_docs,
+           min(CASE WHEN c >= ceil(0.25 * total) THEN n_chars END)::BIGINT AS p25,
+           min(CASE WHEN c >= ceil(0.5 * total) THEN n_chars END)::BIGINT AS p50,
+           min(CASE WHEN c >= ceil(0.75 * total) THEN n_chars END)::BIGINT AS p75,
+           min(CASE WHEN c >= ceil(0.9 * total) THEN n_chars END)::BIGINT AS p90
+    FROM cum GROUP BY lang
+    """,
+)
+def q_length_quantiles(spark, sf_dir):
+    """operators/sampling.length_quantiles — exact per-language length
+    quantiles (type-1 discrete: value at order statistic ceil(q*n))
+    computed from the integer histogram, never a per-language sort.
+    The oracle replays the identical histogram + cumulative-count
+    election."""
+    from cloud_crawler_spark.operators.sampling import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 def queries():
     return dict(_Q)
 

@@ -327,3 +327,58 @@ class TestDsirWeights:
         for d in (1, 2):
             assert out[d]["n_grams"] == 0 and out[d]["logw"] == 0.0
         assert out[0]["n_grams"] == 3  # 2 unigrams + 1 bigram
+
+
+class TestLengthQuantiles:
+    """operators/sampling.length_quantiles — exact type-1 quantiles
+    from the integer histogram (no per-group sort)."""
+
+    @staticmethod
+    def _brute(vals, q):
+        # value at order statistic ceil(q*n), 1-indexed ascending
+        import math
+
+        s = sorted(vals)
+        return s[max(math.ceil(q * len(s)), 1) - 1]
+
+    def test_matches_order_statistic_definition(self, spark):
+        import random
+
+        from cloud_crawler_spark.operators.sampling import length_quantiles
+
+        rng = random.Random(7)
+        rows = [("g%d" % (i % 3), rng.randint(0, 50)) for i in range(401)]
+        df = spark.createDataFrame(rows, "lang string, n_chars long")
+        got = {r.lang: r for r in length_quantiles(df).collect()}
+        for g in ("g0", "g1", "g2"):
+            vals = [v for k, v in rows if k == g]
+            assert got[g].n_docs == len(vals)
+            for q, col in ((0.25, "p25"), (0.5, "p50"),
+                           (0.75, "p75"), (0.9, "p90")):
+                assert got[g][col] == self._brute(vals, q), (g, q)
+
+    def test_duplicates_and_singleton(self, spark):
+        from cloud_crawler_spark.operators.sampling import length_quantiles
+
+        df = spark.createDataFrame(
+            [("a", 5)] * 10 + [("b", 9)], "lang string, n_chars long")
+        got = {r.lang: r for r in length_quantiles(df).collect()}
+        assert (got["a"].p25, got["a"].p90) == (5, 5)
+        assert (got["b"].n_docs, got["b"].p50) == (1, 9)
+
+    def test_corpus_reduced_before_window(self, spark):
+        """The raw table must be reduced by the histogram groupBy
+        BEFORE any window: the plan's Window operates on the
+        aggregated stream, never directly over the scan."""
+        from cloud_crawler_spark.operators.sampling import length_quantiles
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).select(
+            (F.col("id") % 4).cast("string").alias("lang"),
+            (F.col("id") % 37).alias("n_chars"))
+        plan = length_quantiles(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Window" in plan and "HashAggregate" in plan
+        # window input comes from the aggregate side, so the plan has
+        # a partial+final agg pair under the window sort
+        assert plan.index("Window") < plan.index("Range")
