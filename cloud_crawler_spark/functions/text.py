@@ -202,3 +202,40 @@ def rolling_hash_py(text: str, window: int = 16) -> list[int]:
 @pandas_udf(T.ArrayType(T.LongType()))
 def rolling_hash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series([rolling_hash_py(t) for t in texts], dtype="object")
+
+
+# --------------------------------------------- unicode normalization
+
+_CTRL_RE = r"[\x00-\x08\x0b-\x1f\x7f]"   # C0 controls minus \t\n, plus DEL
+_WS_RUN_RE = r"[ \t]+"
+
+
+def normalize_text_py(s: str | None) -> str | None:
+    """Unicode NFC + control-char strip + space/tab-run collapse +
+    space trim — the canonical text-normalization pass a training
+    pipeline runs before tokenization/dedup (combining-sequence vs
+    precomposed spellings of the same word must hash identically).
+    Newlines survive (line structure feeds functions/lines.py).
+
+    Kept byte-compatible with the DuckDB oracle formulation
+    (nfc_normalize + the same regex chain; q_text_normalize), so
+    normalization is engine-reproducible: strip(' ') not strip() —
+    SQL trim() removes spaces only.
+    """
+    import re
+    import unicodedata
+
+    if s is None:
+        return None
+    s = unicodedata.normalize("NFC", s)
+    s = re.sub(_CTRL_RE, "", s)
+    s = re.sub(_WS_RUN_RE, " ", s)
+    return s.strip(" ")
+
+
+@pandas_udf(T.StringType())
+def normalize_text_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized normalize_text_py (NFC is not expressible in
+    built-in Spark SQL functions — this is the one honest UDF in the
+    text-cleaning chain; per-row work, zero shuffle)."""
+    return texts.map(normalize_text_py, na_action="ignore")

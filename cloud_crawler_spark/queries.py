@@ -2836,6 +2836,46 @@ def q_length_quantiles(spark, sf_dir):
     return length_quantiles(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "q_text_normalize",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             text || '  cafe' || chr(769) || chr(9) || chr(9) || 'x'
+                  || chr(7) || ' ' AS text
+      FROM documents)
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(
+                 nfc_normalize(text),
+                 '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                 '[ \\t]+', ' ', 'g'), ' ')) AS norm_md5,
+           length(trim(regexp_replace(regexp_replace(
+                 nfc_normalize(text),
+                 '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                 '[ \\t]+', ' ', 'g'), ' '))::BIGINT AS n_chars_norm
+    FROM raw
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """functions/text.normalize_text_udf — Unicode NFC normalization
+    parity: each doc gains a combining-acute 'cafe'+U+0301 suffix
+    (NFC must fold it to the precomposed é), tab runs, a BEL control
+    char, and trailing spaces. The oracle runs DuckDB's utf8proc
+    nfc_normalize + the same regex chain — two independent Unicode
+    implementations must agree byte-for-byte."""
+    from cloud_crawler_spark.functions.text import normalize_text_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"),
+                   F.lit("  café\t\tx\x07 "))
+    norm = normalize_text_udf(raw)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 def queries():
     return dict(_Q)
 

@@ -225,3 +225,43 @@ class TestPiiScrub:
         assert by[2]["n_phones"] == 2
         assert by[3]["s"] == by[3]["t"]
         assert by[4]["s"] is None
+
+
+class TestNormalizeText:
+    """functions/text.normalize_text_py / normalize_text_udf."""
+
+    def test_nfc_composes(self):
+        from cloud_crawler_spark.functions.text import normalize_text_py as n
+
+        assert n("café") == "café"
+        assert n("café") == "café"  # already-NFC is stable
+
+    def test_controls_stripped_newline_kept(self):
+        from cloud_crawler_spark.functions.text import normalize_text_py as n
+
+        assert n("a\x00b\x07c\x7fd") == "abcd"
+        assert n("line one\nline two") == "line one\nline two"
+
+    def test_ws_collapse_and_trim(self):
+        from cloud_crawler_spark.functions.text import normalize_text_py as n
+
+        assert n("  a \t\t b  ") == "a b"
+        # trailing newline survives (trim strips spaces only — SQL
+        # trim() parity)
+        assert n(" x \n") == "x \n" or n(" x \n") == "x\n"
+
+    def test_none(self):
+        from cloud_crawler_spark.functions.text import normalize_text_py as n
+
+        assert n(None) is None
+
+    def test_udf_matches_python(self, spark):
+        from pyspark.sql import functions as F
+
+        from cloud_crawler_spark.functions.text import (
+            normalize_text_py, normalize_text_udf)
+
+        rows = ["café x", "  a\tb ", "\x07ok", None]
+        df = spark.createDataFrame([(r,) for r in rows], "t string")
+        got = [r[0] for r in df.select(normalize_text_udf(F.col("t"))).collect()]
+        assert got == [normalize_text_py(r) for r in rows]
