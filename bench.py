@@ -51,6 +51,12 @@ HEADLINE = [
     "q_crossdoc_substr",
     "q_dsir_weights",
     "q_url_strip_tracking",
+    "q_line_filter",
+    "q_surt_keys",
+    "q_mirror_hosts",
+    "q_token_kl",
+    "q_length_quantiles",
+    "q_text_normalize",
     "q_bpe_merges",
     "q_events_hourly",
     "q_politeness_topk",
