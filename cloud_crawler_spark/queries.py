@@ -2876,6 +2876,84 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+@_register(
+    "q_soft404",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             'h' || (doc_id % 8) || '.ex.com' AS host,
+             CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS code,
+             CASE WHEN doc_id % 5 = 0 OR (doc_id % 8 = 3 AND doc_id % 3 = 0)
+                  THEN 'Sorry, the page you requested could not be found.'
+                  WHEN doc_id % 5 = 1
+                  THEN text || ' (archived copy; original page not found)'
+                  ELSE text END AS body
+      FROM documents),
+    f AS (
+      SELECT host,
+             ((lower(body) LIKE '%page not found%'
+               OR lower(body) LIKE '%404 error%'
+               OR lower(body) LIKE '%could not be found%'
+               OR lower(body) LIKE '%no longer available%'
+               OR lower(body) LIKE '%does not exist%')
+              AND len(list_filter(string_split_regex(body, '\\s+'),
+                                  t -> t <> '')) < 50)::INT AS soft
+      FROM p WHERE code = 200)
+    SELECT host,
+           count(*)::BIGINT AS n_200,
+           sum(soft)::BIGINT AS n_soft404,
+           round(sum(soft)::DOUBLE / count(*), 6) AS soft404_rate,
+           (sum(soft)::DOUBLE / count(*) >= 0.4 AND count(*) >= 5)::INT
+             AS is_suspect
+    FROM f GROUP BY host
+    """,
+)
+def q_soft404(spark, sf_dir):
+    """operators/soft404 — soft-404 hygiene the reference lacks
+    (page.rb:152-156 trusts `code 200..206` alone): classify
+    200-coded pages whose body is an error page (phrase hit + <50
+    words), roll up per-host rates, flag suspect hosts (rate >= 0.4
+    over >= 5 pages). Synthetic corpus: every 5th page is a short
+    "could not be found" husk, host h3 serves extra husks (a lying
+    CDN), every 11th page is an honest hard 404 (excluded from the
+    denominator), and the %5==1 long articles *mention* "page not
+    found" but survive the word-count gate. One codegen projection +
+    one groupBy(host) — no UDF, no join."""
+    from cloud_crawler_spark.operators.soft404 import host_soft404_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 8).cast("string"), F.lit(".ex.com"))
+    code = F.when(d % 11 == 0, F.lit(404)).otherwise(F.lit(200))
+    body = (
+        F.when(
+            (d % 5 == 0) | ((d % 8 == 3) & (d % 3 == 0)),
+            F.lit("Sorry, the page you requested could not be found."),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" (archived copy; original page not found)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    pages = docs.select(
+        host.alias("host"), code.alias("code"), body.alias("text")
+    )
+    r = host_soft404_rates(pages)
+    return r.select(
+        "host",
+        "n_200",
+        "n_soft404",
+        F.round("soft404_rate", 6).alias("soft404_rate"),
+        ((F.col("soft404_rate") >= 0.4) & (F.col("n_200") >= 5))
+        .cast("int")
+        .alias("is_suspect"),
+    )
+
+
 def queries():
     return dict(_Q)
 
