@@ -121,6 +121,82 @@ def pagerank(
     return ranks.select(F.col("id").alias("canon_url"), "rank")
 
 
+def trustrank(
+    crawled: DataFrame,
+    trusted: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina, Pedersen, VLDB 2004): biased
+    PageRank whose reset vector is uniform over a hand-vetted TRUSTED
+    seed set instead of all pages. Trust flows out along links; spam
+    farms that inflate vanilla PageRank through self-referential link
+    mass get almost none, because no trusted page links into them.
+    The crawl-side use is seed/host prioritization: recrawl budget
+    follows trust, not raw in-degree.
+
+    `trusted` is any one-column DataFrame of canon URLs; rows not in
+    the store are ignored (trust cannot be seeded on pages we never
+    fetched). Scores do NOT sum to 1 in general — mass that leaks to
+    untrusted dangling regions decays, which is the intended signal.
+
+    Scale shape: identical BSP envelope to `pagerank` — per iteration
+    ONE ranks⋈edges equi-join + ONE groupBy(dst), dangling mass as a
+    1-row broadcast crossJoin re-seeded into the trust vector, per
+    iteration localCheckpoint. The trust vector is a column on the
+    nodes table, not driver state.
+    """
+    nodes = crawled.select(F.col("canon_url").alias("id")).distinct()
+    tr = (
+        trusted.select(F.col(trusted.columns[0]).alias("id"))
+        .distinct()
+        .join(nodes, "id", "left_semi")
+    )
+    n_t = tr.count()
+    if n_t == 0:
+        return crawled.sparkSession.createDataFrame(
+            [], "canon_url string, rank double"
+        )
+    d = (
+        nodes.join(tr.withColumn("_dv", F.lit(1.0 / n_t)), "id", "left")
+        .select("id", F.coalesce("_dv", F.lit(0.0)).alias("_dv"))
+        .localCheckpoint(eager=True)
+    )
+    edges = link_edges_of(crawled)
+    edges = edges.join(nodes.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    w_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    ranks = d.select("id", F.col("_dv").alias("rank"))
+    for _ in range(max(0, iterations)):
+        contrib = (
+            ranks.join(w_edges, ranks.id == w_edges.src, "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+        )
+        dangling = (
+            ranks.join(deg, ranks.id == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            d.join(contrib, d.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("_dv")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") * F.col("_dv")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("id").alias("canon_url"), "rank")
+
+
 def hits(crawled: DataFrame, iterations: int = 2) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
     stored crawl's link graph — PageRank's companion for the seed

@@ -2954,6 +2954,69 @@ def q_soft404(spark, sf_dir):
     )
 
 
+_TR_ITER_SQL = """
+    c{t} AS (
+      SELECT l.dst AS id, sum(r{p}.r / deg.d) AS c
+      FROM r{p} JOIN links l ON l.src = r{p}.id JOIN deg ON deg.src = l.src
+      GROUP BY l.dst),
+    r{t} AS (
+      SELECT d.id, 0.15 * d.dv + 0.85 * coalesce(c{t}.c, 0.0) AS r
+      FROM d LEFT JOIN c{t} ON c{t}.id = d.id)"""
+
+
+@_register(
+    "q_trustrank",
+    """
+    WITH mod_n AS (SELECT count(*) AS m FROM documents),
+    links AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT m FROM mod_n) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT m FROM mod_n) FROM documents)),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM links GROUP BY src),
+    tn AS (SELECT count(*)::DOUBLE AS t FROM documents WHERE doc_id % 10 = 0),
+    d AS (SELECT doc_id AS id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN 1.0 / (SELECT t FROM tn) ELSE 0.0 END AS dv
+          FROM documents),
+    r0 AS (SELECT id, dv AS r FROM d),"""
+    + ",".join(_TR_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2, 3))
+    + """
+    SELECT 'http://ex.com/p' || id AS canon_url,
+           round(r * 1e6)::BIGINT AS rank_ppm
+    FROM r3
+    """,
+)
+def q_trustrank(spark, sf_dir):
+    """operators/graph.trustrank — TrustRank (Gyongyi et al., VLDB
+    2004) over the stored arithmetic web: reset vector uniform over
+    the trusted seed set (every 10th page), 3 biased power iterations,
+    integer-ppm output (the q_pagerank float discipline). Pages no
+    trusted seed can reach score 0 — the spam-demotion signal a
+    recrawl uses to spend budget on trustworthy hosts. Same BSP plan
+    shape as q_pagerank: one join + one groupBy per iteration, no
+    driver state."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.operators.graph import trustrank
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    docs = _t(spark, sf_dir, "documents")
+    trusted = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.concat(
+            F.lit("http://ex.com/p"), F.col("doc_id").cast("string")
+        ).alias("canon_url")
+    )
+    tr = trustrank(res.crawled, trusted, iterations=3, damping=0.85)
+    return tr.select(
+        "canon_url",
+        F.round(F.col("rank") * 1e6).cast("long").alias("rank_ppm"),
+    )
+
+
 def queries():
     return dict(_Q)
 

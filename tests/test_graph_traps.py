@@ -78,3 +78,35 @@ class TestTraps:
     def test_trap_hosts_threshold(self, spark):
         flagged = [r["host"] for r in trap_hosts(self._urls(spark), 100.0).collect()]
         assert flagged == ["trap.com"]
+
+
+class TestTrustRank:
+    """operators/graph.trustrank — value parity is pinned by the
+    q_trustrank oracle; these pin the spam-demotion semantics."""
+
+    def _web(self, spark):
+        # trusted t -> a -> b ; spam farm s1 <-> s2 disconnected from t
+        edges = [("t", "a"), ("a", "b"), ("s1", "s2"), ("s2", "s1")]
+        return _store(spark, edges)
+
+    def test_spam_cluster_gets_zero(self, spark):
+        from cloud_crawler_spark.operators.graph import trustrank
+
+        store = self._web(spark)
+        trusted = spark.createDataFrame(
+            [("http://g.com/t",)], "canon_url string"
+        )
+        r = {row.canon_url: row.rank for row in
+             trustrank(store, trusted, iterations=3).collect()}
+        assert r["http://g.com/s1"] == 0.0 and r["http://g.com/s2"] == 0.0
+        # trust decays along the chain but reaches both hops
+        assert r["http://g.com/t"] > r["http://g.com/a"] > r["http://g.com/b"] > 0
+
+    def test_untrusted_seed_ignored_and_empty(self, spark):
+        from cloud_crawler_spark.operators.graph import trustrank
+
+        store = self._web(spark)
+        ghost = spark.createDataFrame(
+            [("http://nowhere.com/x",)], "canon_url string"
+        )
+        assert trustrank(store, ghost).count() == 0
