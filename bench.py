@@ -52,6 +52,7 @@ HEADLINE = [
     "q_dsir_weights",
     "q_url_strip_tracking",
     "q_line_filter",
+    "q_strip_common",
     "q_surt_keys",
     "q_mirror_hosts",
     "q_token_kl",

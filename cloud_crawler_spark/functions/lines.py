@@ -92,3 +92,70 @@ def clean_lines(
         ),
         keep_doc.cast("long").alias("keep_doc"),
     )
+
+
+def strip_common_lines(
+    df: DataFrame,
+    min_docs: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_max_lines: int = 100_000,
+) -> DataFrame:
+    """Cross-CORPUS duplicated-line removal (the RefinedWeb/CCNet
+    boilerplate pass `clean_lines` cannot do): a line that appears in
+    >= `min_docs` distinct documents is site chrome ("Subscribe to our
+    newsletter", cookie banners, copyright footers) and is stripped
+    from EVERY document; whitespace-only lines are structural and
+    always kept. Returns (id_col, text_clean, n_lines, n_kept) with
+    surviving lines re-joined in original order — one row per input
+    document, even when everything was stripped (text_clean = '').
+
+    Scale shape: posexplode -> groupBy(line) count_distinct(doc) is
+    map-side combinable; the strip is a LEFT ANTI join of the exploded
+    lines against only the COMMON lines — a set that is tiny by
+    construction (boilerplate is few distinct strings at huge
+    frequency), so it broadcasts (count-gated at
+    `broadcast_max_lines`, shuffle anti-join past it) and the hot
+    keys never shuffle. Reassembly is one groupBy(doc) over
+    sort_array(collect_list(struct(pos, line))).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    candidates = lines.where(F.trim(F.col("line")) != "")
+    common = (
+        candidates.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    n_common = common.count()
+    if n_common <= broadcast_max_lines:
+        common = F.broadcast(common)
+    kept = lines.where(F.trim(F.col("line")) == "").unionByName(
+        candidates.join(common, "line", "left_anti")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

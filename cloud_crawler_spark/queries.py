@@ -3017,6 +3017,82 @@ def q_trustrank(spark, sf_dir):
     )
 
 
+_CHROME_SQL = (
+    "'Subscribe to our newsletter today.' || chr(10)"
+    " || 'Copyright ' || lang || ' footer.' || chr(10)"
+    " || chr(10)"
+    " || 'Unique intro for doc ' || doc_id || '.' || chr(10)"
+    " || text || chr(10)"
+    " || 'Group note ' || (doc_id % 40) || '.'"
+)
+
+
+@_register(
+    "q_strip_common",
+    f"""
+    WITH lined AS (SELECT doc_id, {_CHROME_SQL} AS text FROM documents),
+    ex AS (
+      SELECT doc_id, pos, lines[pos] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+            FROM lined),
+           LATERAL (SELECT unnest(generate_series(1, len(lines)))
+                    AS pos) t),
+    common AS (
+      SELECT line FROM ex WHERE trim(line) <> ''
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 30),
+    kept AS (
+      SELECT * FROM ex WHERE trim(line) = ''
+      UNION ALL
+      SELECT ex.* FROM ex ANTI JOIN common USING (line)
+      WHERE trim(ex.line) <> ''),
+    reb AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             count(*)::BIGINT AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT l.doc_id,
+           md5(coalesce(text_clean, '')) AS clean_md5,
+           len(string_split(l.text, chr(10)))::BIGINT AS n_lines,
+           coalesce(n_kept, 0)::BIGINT AS n_kept
+    FROM lined l LEFT JOIN reb USING (doc_id)
+    """,
+)
+def q_strip_common(spark, sf_dir):
+    """functions/lines.strip_common_lines — cross-corpus duplicated-
+    line removal (the RefinedWeb §G.2 / CCNet paragraph-hash pass):
+    any non-blank line appearing in >= 30 distinct documents is site
+    chrome and is stripped from every document; blank lines survive
+    as structure. The constructed corpus plants a global newsletter
+    banner (all docs), a per-language copyright footer (64-218 docs
+    at sf0.01 — above threshold), a per-(doc_id%40) group note
+    (~12 docs — below threshold, kept), plus a unique intro and the
+    unique body. The oracle replays the >= 30-doc line census and the
+    ordered reassembly in DuckDB and md5s the cleaned text."""
+    from cloud_crawler_spark.functions.lines import strip_common_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = F.concat_ws(
+        "\n",
+        F.lit("Subscribe to our newsletter today."),
+        F.concat(F.lit("Copyright "), F.col("lang"), F.lit(" footer.")),
+        F.lit(""),
+        F.concat(F.lit("Unique intro for doc "),
+                 F.col("doc_id").cast("string"), F.lit(".")),
+        F.col("text"),
+        F.concat(F.lit("Group note "),
+                 (F.col("doc_id") % 40).cast("string"), F.lit(".")),
+    )
+    out = strip_common_lines(
+        docs.select("doc_id", lined.alias("text")), min_docs=30
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines",
+        "n_kept",
+    )
+
+
 def queries():
     return dict(_Q)
 

@@ -8,7 +8,8 @@ scale shape (one projection, zero shuffle).
 
 from pyspark.sql import functions as F
 
-from cloud_crawler_spark.functions.lines import clean_lines, keep_line
+from cloud_crawler_spark.functions.lines import (clean_lines, keep_line,
+                                                 strip_common_lines)
 
 
 def _run(spark, text, **kw):
@@ -86,3 +87,60 @@ def test_zero_shuffle_plan(spark):
     plan = clean_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestStripCommonLines:
+    """Cross-corpus chrome stripping (strip_common_lines): the >=N
+    distinct-doc census, blank-line structure preservation, ordered
+    reassembly, the all-stripped empty-doc row, and both anti-join
+    paths (broadcast and count-gated shuffle)."""
+
+    def _corpus(self, spark, n=6):
+        rows = [
+            (i, "CHROME\n\nunique %d.\nbody text %d" % (i, i))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_common_line_stripped_everywhere(self, spark):
+        out = strip_common_lines(self._corpus(spark), min_docs=6)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert len(rows) == 6
+        for i, r in rows.items():
+            # chrome gone, blank kept, order preserved
+            assert r.text_clean == "\nunique %d.\nbody text %d" % (i, i)
+            assert r.n_lines == 4 and r.n_kept == 3
+
+    def test_below_threshold_kept(self, spark):
+        out = strip_common_lines(self._corpus(spark), min_docs=7)
+        assert all(
+            r.text_clean.startswith("CHROME\n") for r in out.collect()
+        )
+
+    def test_duplicates_within_one_doc_count_once(self, spark):
+        # the census is count_distinct(doc): 5 repeats inside one doc
+        # must not push a line over a min_docs=2 threshold
+        df = spark.createDataFrame(
+            [(0, "x\nx\nx\nx\nx"), (1, "other")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               strip_common_lines(df, min_docs=2).collect()}
+        assert out[0].text_clean == "x\nx\nx\nx\nx"
+
+    def test_all_stripped_doc_still_emits_row(self, spark):
+        df = spark.createDataFrame(
+            [(0, "CHROME"), (1, "CHROME"), (2, "CHROME")],
+            "doc_id long, text string",
+        )
+        rows = strip_common_lines(df, min_docs=3).collect()
+        assert len(rows) == 3
+        assert all(r.text_clean == "" and r.n_kept == 0 and r.n_lines == 1
+                   for r in rows)
+
+    def test_shuffle_anti_join_path_identical(self, spark):
+        df = self._corpus(spark)
+        a = strip_common_lines(df, min_docs=6).collect()
+        b = strip_common_lines(df, min_docs=6,
+                               broadcast_max_lines=0).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
