@@ -31,6 +31,7 @@ HEADLINE = [
     "q_lang_id",
     "q_fingerprint",
     "q_gopher_repetition",
+    "q_gopher_quality",
     "q_stratified_sample",
     "q_quality_buckets",
     "q_pii_scrub",

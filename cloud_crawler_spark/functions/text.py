@@ -135,6 +135,112 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+# Gopher §A1.2's required-stopword inventory (Rae et al. 2021): a
+# document must contain at least 2 of these to survive.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+):
+    """Gopher quality filtering (Rae et al. 2021 §A1.2) — the full
+    rule set next to repetition_metrics' §A1.1: keep a document only
+    if (a) word count in [min_words, max_words]; (b) mean word length
+    in [3, 10]; (c) hash/ellipsis symbol-to-word ratio <= 0.1;
+    (d) <= 90% of lines start with a bullet ('•' or '- ');
+    (e) <= 30% of lines end with an ellipsis ('…' or '...');
+    (f) >= 80% of words contain an alphabetic character;
+    (g) >= 2 distinct GOPHER_STOPWORDS present. Emits every metric
+    plus the keep gate so callers can tune thresholds offline.
+
+    Scale shape: the whole pass is built-in array/string algebra in
+    ONE projection — whole-stage codegen, zero shuffle, no UDF, no
+    explode (the repetition pass is the only Gopher signal that needs
+    a groupBy). Counts of '#'/'…'/'...' are length-difference tricks
+    so the same expression runs verbatim in the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    lines = F.split(t, "\n")
+    ltoks = F.transform(toks, lambda x: F.lower(x))
+    n_words = F.size(toks)
+    nz = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_word_len = F.round(sum_len / nz, 6)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell1 = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    n_ell3 = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("long")
+    symbol_ratio = F.round((n_hash + n_ell1 + n_ell3) / nz, 6)
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: (F.substring(F.ltrim(l), 1, 1) == "•")
+                | (F.substring(F.ltrim(l), 1, 2) == "- "),
+            )
+        )
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.endswith(F.rtrim(l), F.lit("…"))
+                | F.endswith(F.rtrim(l), F.lit("...")),
+            )
+        )
+        / n_lines,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / nz, 6
+    )
+    n_stop = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.array_contains(ltoks, w).cast("int")
+        n_stop = hit if n_stop is None else n_stop + hit
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        keep.cast("long").alias("keep_quality"),
+    )
+
+
 # ------------------------------------------------- PII scrubbing
 
 # RE2-safe patterns (no backrefs / lookaround) so the exact same regex

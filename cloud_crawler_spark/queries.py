@@ -3093,6 +3093,108 @@ def q_strip_common(spark, sf_dir):
     )
 
 
+_GOPHER_STOPLINE = (
+    "The crawl have to be of and that with plain good words"
+    " to read here today."
+)
+_GOPHER_LINED_SQL = f"""
+      CASE doc_id % 6
+        WHEN 0 THEN base || repeat(chr(10) || '• item', 30)
+        WHEN 1 THEN base || chr(10) || repeat('# ', 19) || '#'
+        WHEN 2 THEN base || repeat(chr(10)
+                                   || 'And this line trails off...', 3)
+        WHEN 3 THEN base || chr(10) || repeat('a ', 199) || 'a'
+        WHEN 5 THEN text
+        ELSE base END
+"""
+
+
+@_register(
+    "q_gopher_quality",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             '{_GOPHER_STOPLINE}' || chr(10) || text AS base
+      FROM documents),
+    lined AS (SELECT doc_id, {_GOPHER_LINED_SQL} AS text FROM b),
+    m AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+          AS toks,
+        string_split(text, chr(10)) AS lines,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        length(text) - length(replace(text, '…', '')) AS n_e1,
+        (length(text) - length(replace(text, '...', ''))) // 3 AS n_e3
+      FROM lined),
+    g AS (
+      SELECT doc_id,
+        len(toks)::BIGINT AS n_words,
+        round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+              / greatest(len(toks), 1)::DOUBLE, 6) AS mean_word_len,
+        round((n_hash + n_e1 + n_e3)
+              / greatest(len(toks), 1)::DOUBLE, 6) AS symbol_ratio,
+        round(len(list_filter(lines,
+                l -> substr(ltrim(l), 1, 1) = '•'
+                     OR substr(ltrim(l), 1, 2) = '- '))
+              / greatest(len(lines), 1)::DOUBLE, 6) AS bullet_frac,
+        round(len(list_filter(lines,
+                l -> ends_with(rtrim(l), '…')
+                     OR ends_with(rtrim(l), '...')))
+              / greatest(len(lines), 1)::DOUBLE, 6) AS ellipsis_frac,
+        round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+              / greatest(len(toks), 1)::DOUBLE, 6) AS alpha_frac,
+        (list_contains(list_transform(toks, t -> lower(t)), 'the')::INT
+         + list_contains(list_transform(toks, t -> lower(t)), 'be')::INT
+         + list_contains(list_transform(toks, t -> lower(t)), 'to')::INT
+         + list_contains(list_transform(toks, t -> lower(t)), 'of')::INT
+         + list_contains(list_transform(toks, t -> lower(t)), 'and')::INT
+         + list_contains(list_transform(toks, t -> lower(t)), 'that')::INT
+         + list_contains(list_transform(toks, t -> lower(t)), 'have')::INT
+         + list_contains(list_transform(toks, t -> lower(t)), 'with')::INT
+        )::BIGINT AS n_stopwords
+      FROM m)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           ellipsis_frac, alpha_frac, n_stopwords,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_ratio <= 0.1
+            AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3
+            AND alpha_frac >= 0.8
+            AND n_stopwords >= 2)::BIGINT AS keep_quality
+    FROM g
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    """functions/text.gopher_quality — the FULL Gopher quality rule
+    set (Rae et al. 2021 §A1.2), completing q_gopher_repetition's
+    §A1.1: word-count bounds, mean word length, hash/ellipsis
+    symbol-to-word ratio, bullet-start and ellipsis-end line
+    fractions, alphabetic-word fraction, and the 8-stopword gate.
+    The constructed corpus routes each doc_id%6 class at one gate
+    (bullet wall, hash run, trailing ellipses, 1-char-word flood,
+    untouched, stopword-line stripped). The oracle replays every
+    metric with DuckDB list lambdas and length-difference symbol
+    counts."""
+    from cloud_crawler_spark.functions.text import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    base = F.concat(F.lit(_GOPHER_STOPLINE), F.lit("\n"), F.col("text"))
+    lined = (
+        F.when(m == 0, F.concat(base, F.repeat(F.lit("\n• item"), 30)))
+        .when(m == 1, F.concat(base, F.lit("\n"),
+                               F.repeat(F.lit("# "), 19), F.lit("#")))
+        .when(m == 2, F.concat(
+            base, F.repeat(F.lit("\nAnd this line trails off..."), 3)))
+        .when(m == 3, F.concat(base, F.lit("\n"),
+                               F.repeat(F.lit("a "), 199), F.lit("a")))
+        .when(m == 5, F.col("text"))
+        .otherwise(base)
+    )
+    return gopher_quality(docs.select("doc_id", lined.alias("text")))
+
+
 def queries():
     return dict(_Q)
 

@@ -265,3 +265,75 @@ class TestNormalizeText:
         df = spark.createDataFrame([(r,) for r in rows], "t string")
         got = [r[0] for r in df.select(normalize_text_udf(F.col("t"))).collect()]
         assert got == [normalize_text_py(r) for r in rows]
+
+
+class TestGopherQuality:
+    """Full Gopher §A1.2 rule set (functions/text.gopher_quality):
+    each gate trips independently, degenerate docs survive the
+    arithmetic, and the pass stays one codegen projection."""
+
+    GOOD = ("The quick crawl have to be of and that with many plain "
+            "words here. " * 5).strip()  # 70 words, all gates green
+
+    def _run(self, spark, text, **kw):
+        from cloud_crawler_spark.functions.text import gopher_quality
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return gopher_quality(df, **kw).collect()[0]
+
+    def test_good_doc_kept(self, spark):
+        r = self._run(spark, self.GOOD)
+        assert r.keep_quality == 1 and r.n_words == 70
+        assert r.n_stopwords == 8 and r.alpha_frac == 1.0
+
+    def test_word_count_bounds(self, spark):
+        assert self._run(spark, "The be to of and that have with.").keep_quality == 0
+        assert self._run(spark, self.GOOD, max_words=60).keep_quality == 0
+
+    def test_mean_word_length_gates(self, spark):
+        r = self._run(spark, self.GOOD + " " + "a " * 300)
+        assert r.mean_word_len < 3 and r.keep_quality == 0
+
+    def test_symbol_ratio(self, spark):
+        r = self._run(spark, self.GOOD + " " + "# " * 10)
+        assert r.symbol_ratio > 0.1 and r.keep_quality == 0
+        # '…' and non-overlapping '...' both count
+        r2 = self._run(spark, self.GOOD + " x… y... z......")
+        assert r2.symbol_ratio == round(4 / r2.n_words, 6)
+
+    def test_bullet_lines(self, spark):
+        text = self.GOOD + ("\n• b" * 20) + ("\n- c" * 10)
+        r = self._run(spark, text)
+        assert r.bullet_frac == round(30 / 31, 6) and r.keep_quality == 0
+        # '-x' without a space is a word, not a bullet
+        assert self._run(spark, self.GOOD + "\n-hyphenated").bullet_frac == 0.0
+
+    def test_ellipsis_lines(self, spark):
+        r = self._run(spark, self.GOOD + "\ntrails off...\nand more…  ")
+        assert r.ellipsis_frac == round(2 / 3, 6) and r.keep_quality == 0
+
+    def test_alpha_fraction(self, spark):
+        r = self._run(spark, self.GOOD + " " + "123 456 789 " * 6)
+        assert r.alpha_frac < 0.8 and r.keep_quality == 0
+
+    def test_stopword_gate(self, spark):
+        r = self._run(spark, "crawl data rows " * 20)
+        assert r.n_stopwords == 0 and r.keep_quality == 0
+        r2 = self._run(spark, "the " + "crawl data rows " * 20 + "with")
+        assert r2.n_stopwords == 2
+
+    def test_empty_doc_survives_arithmetic(self, spark):
+        r = self._run(spark, "")
+        assert r.n_words == 0 and r.keep_quality == 0
+        assert r.mean_word_len == 0.0 and r.alpha_frac == 0.0
+
+    def test_single_projection_plan(self, spark):
+        from cloud_crawler_spark.functions.text import gopher_quality
+        from pyspark.sql import functions as F
+        df = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.lit(self.GOOD).alias("text"),
+        )
+        plan = gopher_quality(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
