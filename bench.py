@@ -55,6 +55,7 @@ HEADLINE = [
     "q_line_filter",
     "q_strip_common",
     "q_surt_keys",
+    "q_canonical_aliases",
     "q_mirror_hosts",
     "q_token_kl",
     "q_length_quantiles",

@@ -354,3 +354,66 @@ def surt_key(url) -> "F.Column":
         path,
         F.when(sortedq == "", F.lit("")).otherwise(F.concat(F.lit("?"), sortedq)),
     )
+
+
+# <link rel=canonical> — attribute order varies in the wild, so both
+# orders are matched; RE2-safe (no backrefs/lookaround) so the EXACT
+# same patterns run in the DuckDB oracle (q_canonical_aliases).
+REL_CANONICAL_RE = (
+    r'(?i)<link\b[^>]*rel\s*=\s*["\']?canonical["\']?[^>]*'
+    r'href\s*=\s*["\']?([^"\'\s>]+)'
+)
+HREF_CANONICAL_RE = (
+    r'(?i)<link\b[^>]*href\s*=\s*["\']?([^"\'\s>]+)["\']?[^>]*'
+    r'rel\s*=\s*["\']?canonical'
+)
+
+
+def canonical_href(html_col) -> "F.Column":
+    """The raw href of a page's ``<link rel=canonical>`` declaration
+    (either attribute order), or NULL when the page declares none.
+    Pure regexp_extract — whole-stage codegen, no Python."""
+    html_col = F.col(html_col) if isinstance(html_col, str) else html_col
+    pick = lambda pat: F.nullif(  # noqa: E731
+        F.regexp_extract(html_col, pat, 1), F.lit("")
+    )
+    return F.coalesce(pick(REL_CANONICAL_RE), pick(HREF_CANONICAL_RE))
+
+
+def canonical_aliases(
+    pages,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> "DataFrame":
+    """rel=canonical alias resolution — the duplicate-URL collapse
+    signal sites publish themselves (print views, session-id twins,
+    m.-subdomain mirrors all declare one canonical URL). Output one
+    row per page: (canon_url, canonical_target, is_alias) where
+    canonical_target is the page's resolved+canonicalized declared
+    target (itself when none is declared — the self-loop makes the
+    table a total function usable as a dedup/frontier-collapse join
+    dimension) and is_alias=1 iff the page points at a DIFFERENT url.
+    Single-hop semantics (the standard search-engine treatment;
+    chains of canonicals are not followed).
+
+    Scale shape: extraction is one codegen regexp projection; the
+    relative-href case routes through the existing absolutize/canon
+    Arrow UDFs (per-row, zero shuffle) — no join, no explode, no
+    driver state, so the pass is a pure map over the page store.
+    """
+    raw = canonical_href(html_col)
+    url = F.col(url_col)
+    target = F.coalesce(
+        canon_udf(absolutize_udf(raw, url, F.lit(None).cast("string"))),
+        canon_udf(url),
+    )
+    return pages.select(
+        canon_udf(url).alias("canon_url"),
+        target.alias("canonical_target"),
+    ).select(
+        "canon_url",
+        "canonical_target",
+        (F.col("canonical_target") != F.col("canon_url"))
+        .cast("long")
+        .alias("is_alias"),
+    )

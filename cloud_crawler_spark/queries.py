@@ -3195,6 +3195,91 @@ def q_gopher_quality(spark, sf_dir):
     return gopher_quality(docs.select("doc_id", lined.alias("text")))
 
 
+def _sq(pat: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return pat.replace("'", "''")
+
+
+def _canonical_oracle_sql() -> str:
+    from cloud_crawler_spark.functions.canon import (
+        HREF_CANONICAL_RE,
+        REL_CANONICAL_RE,
+    )
+
+    return f"""
+    WITH p AS (
+      SELECT doc_id, 'http://ex.com/p' || doc_id AS url,
+             'http://ex.com/p' || (doc_id - (doc_id % 10)) AS hub,
+             doc_id % 5 AS m
+      FROM documents),
+    h AS (
+      SELECT doc_id, url,
+        CASE m
+          WHEN 0 THEN '<html><head><link rel="canonical" href="'
+                      || hub || '"><title>t</title></head>'
+                      || '<body>x</body></html>'
+          WHEN 1 THEN '<html><head><link href=''' || hub
+                      || ''' rel=canonical></head><body>x</body></html>'
+          WHEN 2 THEN '<html><head><link rel="canonical" href="'
+                      || url || '"></head><body>x</body></html>'
+          WHEN 3 THEN '<html><head><title>no canon</title></head>'
+                      || '<body>x</body></html>'
+          ELSE '<html><head><link rel=canonical href=' || hub
+               || '></head><body>x</body></html>'
+        END AS html
+      FROM p),
+    e AS (
+      SELECT url AS canon_url,
+        coalesce(
+          nullif(regexp_extract(html, '{_sq(REL_CANONICAL_RE)}', 1), ''),
+          nullif(regexp_extract(html, '{_sq(HREF_CANONICAL_RE)}', 1), ''),
+          url) AS canonical_target
+      FROM h)
+    SELECT canon_url, canonical_target,
+           (canonical_target <> canon_url)::BIGINT AS is_alias
+    FROM e
+    """
+
+
+@_register("q_canonical_aliases", _canonical_oracle_sql())
+def q_canonical_aliases(spark, sf_dir):
+    """functions/canon.canonical_aliases — rel=canonical alias
+    resolution over a constructed page store: doc_id%5 routes pages
+    through rel-then-href, href-then-rel, self-canonical, missing,
+    and unquoted-attribute declarations; targets point at each
+    decade's hub page. The oracle runs the EXACT same RE2-safe
+    regexes in DuckDB and replays the self-loop coalesce; the alias
+    flag is integer equality on canonical URLs."""
+    from cloud_crawler_spark.functions.canon import canonical_aliases
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://ex.com/p"), F.col("doc_id").cast("string"))
+    hub = F.concat(
+        F.lit("http://ex.com/p"),
+        (F.col("doc_id") - F.col("doc_id") % 10).cast("string"),
+    )
+    m = F.col("doc_id") % 5
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><head><link rel="canonical" href="'), hub,
+            F.lit('"><title>t</title></head><body>x</body></html>')))
+        .when(m == 1, F.concat(
+            F.lit("<html><head><link href='"), hub,
+            F.lit("' rel=canonical></head><body>x</body></html>")))
+        .when(m == 2, F.concat(
+            F.lit('<html><head><link rel="canonical" href="'), url,
+            F.lit('"></head><body>x</body></html>')))
+        .when(m == 3, F.lit(
+            "<html><head><title>no canon</title></head>"
+            "<body>x</body></html>"))
+        .otherwise(F.concat(
+            F.lit("<html><head><link rel=canonical href="), hub,
+            F.lit("></head><body>x</body></html>")))
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return canonical_aliases(pages)
+
+
 def queries():
     return dict(_Q)
 

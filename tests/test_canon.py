@@ -253,3 +253,60 @@ class TestSurtKey:
             .executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestCanonicalAliases:
+    """rel=canonical extraction + alias resolution
+    (functions/canon.canonical_aliases)."""
+
+    def _run(self, spark, url, html):
+        from cloud_crawler_spark.functions.canon import canonical_aliases
+        df = spark.createDataFrame([(url, html)], "url string, html string")
+        return canonical_aliases(df).collect()[0]
+
+    def test_double_quoted(self, spark):
+        r = self._run(spark, "http://a.com/x?b=2&a=1",
+                      '<link rel="canonical" href="http://a.com/y">')
+        assert r.canonical_target == "http://a.com/y" and r.is_alias == 1
+        assert r.canon_url == "http://a.com/x?a=1&b=2"  # canonicalized
+
+    def test_href_before_rel_and_single_quotes(self, spark):
+        r = self._run(spark, "http://a.com/x",
+                      "<link href='http://a.com/y' rel='canonical'>")
+        assert r.canonical_target == "http://a.com/y" and r.is_alias == 1
+
+    def test_unquoted_and_case_insensitive(self, spark):
+        r = self._run(spark, "http://a.com/x",
+                      "<LINK REL=CANONICAL HREF=http://a.com/y>")
+        assert r.canonical_target == "http://a.com/y"
+
+    def test_relative_href_resolved_against_page(self, spark):
+        r = self._run(spark, "http://a.com/dir/x",
+                      '<link rel="canonical" href="../y">')
+        assert r.canonical_target == "http://a.com/y" and r.is_alias == 1
+
+    def test_target_is_canonicalized(self, spark):
+        r = self._run(spark, "http://a.com/x",
+                      '<link rel="canonical" href="HTTPS://A.com:443/Y?b=2&a=1#f">')
+        assert r.canonical_target == "http://a.com/y?a=1&b=2"
+
+    def test_missing_declaration_self_loops(self, spark):
+        r = self._run(spark, "http://a.com/x", "<html><body>x</body></html>")
+        assert r.canonical_target == "http://a.com/x" and r.is_alias == 0
+
+    def test_self_canonical_not_alias(self, spark):
+        r = self._run(spark, "http://a.com/x",
+                      '<link rel="canonical" href="http://a.com/x">')
+        assert r.is_alias == 0
+
+    def test_no_shuffle_plan(self, spark):
+        from cloud_crawler_spark.functions.canon import canonical_aliases
+        from pyspark.sql import functions as F
+        df = spark.range(20).select(
+            F.concat(F.lit("http://a.com/p"), F.col("id")).alias("url"),
+            F.lit('<link rel="canonical" href="http://a.com/hub">')
+            .alias("html"),
+        )
+        plan = canonical_aliases(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
