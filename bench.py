@@ -32,6 +32,7 @@ HEADLINE = [
     "q_fingerprint",
     "q_gopher_repetition",
     "q_gopher_quality",
+    "q_unit_repetition",
     "q_stratified_sample",
     "q_quality_buckets",
     "q_pii_scrub",

@@ -135,6 +135,69 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def unit_repetition_metrics(
+    df,
+    unit: str = "line",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_frac: float = 0.3,
+    max_dup_char_frac: float = 0.2,
+):
+    """Gopher §A1.1's duplicate line / paragraph signals, completing
+    repetition_metrics' 2-gram pass (Rae et al. 2021 Table A1): per
+    document, the fraction of duplicate UNIT occurrences (every
+    occurrence beyond a unit's first) and the fraction of characters
+    inside those duplicate occurrences, plus the keep gate at
+    dup_frac <= 0.3 / dup_char_frac <= 0.2 (the paper's line
+    thresholds). ``unit`` is 'line' (split on newline) or 'paragraph'
+    (split on blank-line runs); whitespace-only units are structural
+    and ignored.
+
+    Scale shape — identical to repetition_metrics: explode_outer (a
+    null row keeps unit-less documents alive, no restore join), then
+    TWO keyed groupBys with map-side partial aggregation; unit text
+    rides the first shuffle once, only counts ride the second. No
+    join, no driver state, no UDF.
+    """
+    sep = {"line": "\n", "paragraph": r"\n\s*\n"}[unit]
+    units = F.filter(
+        F.split(F.col(text_col), sep), lambda u: F.trim(u) != ""
+    )
+    per_unit = (
+        df.select(F.col(id_col), F.explode_outer(units).alias("u"))
+        .groupBy(id_col, "u")
+        .agg(F.count("*").alias("n"))
+    )
+    real = F.col("u").isNotNull()
+    ulen = F.length("u")
+    agg = per_unit.groupBy(id_col).agg(
+        F.sum(F.when(real, F.col("n")).otherwise(0)).alias("_n"),
+        F.sum(F.when(real, 1).otherwise(0)).alias("_nd"),
+        F.sum(F.when(real, F.col("n") * ulen).otherwise(0))
+        .alias("_chars"),
+        F.sum(F.when(real, (F.col("n") - 1) * ulen).otherwise(0))
+        .alias("_dchars"),
+    )
+    nz = F.greatest(F.col("_n"), F.lit(1)).cast("double")
+    cz = F.greatest(F.col("_chars"), F.lit(1)).cast("double")
+    dup_frac = F.round((F.col("_n") - F.col("_nd")) / nz, 6)
+    dup_char_frac = F.round(F.col("_dchars") / cz, 6)
+    return agg.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias(f"n_{unit}s"),
+        dup_frac.alias(f"dup_{unit}_frac"),
+        dup_char_frac.alias(f"dup_{unit}_char_frac"),
+        F.when(
+            (dup_frac <= max_dup_frac)
+            & (dup_char_frac <= max_dup_char_frac),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias(f"keep_{unit}s"),
+    )
+
+
 # Gopher §A1.2's required-stopword inventory (Rae et al. 2021): a
 # document must contain at least 2 of these to survive.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

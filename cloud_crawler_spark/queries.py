@@ -3280,6 +3280,100 @@ def q_canonical_aliases(spark, sf_dir):
     return canonical_aliases(pages)
 
 
+_UREP_LINED_SQL = """
+      CASE doc_id % 4
+        WHEN 0 THEN intro || chr(10) || ch || chr(10) || ch || chr(10)
+                    || ch || chr(10) || chr(10) || text
+        WHEN 1 THEN intro || chr(10) || chr(10) || intro || chr(10)
+                    || chr(10) || text
+        WHEN 3 THEN p3 || chr(10) || chr(10) || p3 || chr(10) || chr(10)
+                    || text
+        ELSE intro || chr(10) || chr(10) || text
+      END
+"""
+
+
+def _urep_block(unit_expr: str, unit: str) -> str:
+    """One unit-repetition census block (line or paragraph)."""
+    return f"""
+    {unit[0]}u AS (
+      SELECT doc_id, unnest(list_filter({unit_expr},
+                                        x -> trim(x) <> '')) AS u
+      FROM lined),
+    {unit[0]}g AS (
+      SELECT doc_id, u, count(*) AS n, length(u) AS len
+      FROM {unit[0]}u GROUP BY 1, 2),
+    {unit[0]}a AS (
+      SELECT doc_id, sum(n) AS n, count(*) AS nd,
+             sum(n * len) AS chars, sum((n - 1) * len) AS dchars
+      FROM {unit[0]}g GROUP BY 1),
+    {unit[0]}m AS (
+      SELECT doc_id, n::BIGINT AS n_{unit}s,
+        round((n - nd) / greatest(n, 1)::DOUBLE, 6) AS dup_{unit}_frac,
+        round(dchars / greatest(chars, 1)::DOUBLE, 6)
+          AS dup_{unit}_char_frac,
+        ((n - nd) / greatest(n, 1)::DOUBLE <= 0.3
+         AND dchars / greatest(chars, 1)::DOUBLE <= 0.2)::BIGINT
+          AS keep_{unit}s
+      FROM {unit[0]}a)
+    """
+
+
+_PARA_SPLIT_SQL = "string_split_regex(text, '\\n\\s*\\n')"
+
+
+@_register(
+    "q_unit_repetition",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text,
+        'Intro paragraph for doc ' || doc_id || ' with words.' AS intro,
+        'Repeated chrome line.' AS ch
+      FROM documents),
+    b2 AS (SELECT *, intro || chr(10) || ch || chr(10) || ch AS p3
+           FROM b),
+    lined AS (SELECT doc_id, {_UREP_LINED_SQL} AS text FROM b2),
+    {_urep_block("string_split(text, chr(10))", "line")},
+    {_urep_block(_PARA_SPLIT_SQL, "paragraph")}
+    SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+           keep_lines, n_paragraphs, dup_paragraph_frac,
+           dup_paragraph_char_frac, keep_paragraphs
+    FROM lm JOIN pm USING (doc_id)
+    """,
+)
+def q_unit_repetition(spark, sf_dir):
+    """functions/text.unit_repetition_metrics — Gopher §A1.1's
+    duplicate line AND paragraph fractions (occurrence + character),
+    completing q_gopher_repetition's 2-gram pass. The constructed
+    corpus routes doc_id%4 classes through a tripled chrome line, a
+    doubled intro paragraph, untouched, and a doubled multi-line
+    paragraph (which also duplicates its lines). The oracle replays
+    both unit censuses with unnest + two grouped aggregations and the
+    same round-6 fractions."""
+    from cloud_crawler_spark.functions.text import unit_repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    intro = F.concat(F.lit("Intro paragraph for doc "),
+                     F.col("doc_id").cast("string"), F.lit(" with words."))
+    ch = F.lit("Repeated chrome line.")
+    p3 = F.concat(intro, F.lit("\n"), ch, F.lit("\n"), ch)
+    m = F.col("doc_id") % 4
+    lined = (
+        F.when(m == 0, F.concat(intro, F.lit("\n"), ch, F.lit("\n"), ch,
+                                F.lit("\n"), ch, F.lit("\n\n"),
+                                F.col("text")))
+        .when(m == 1, F.concat(intro, F.lit("\n\n"), intro, F.lit("\n\n"),
+                               F.col("text")))
+        .when(m == 3, F.concat(p3, F.lit("\n\n"), p3, F.lit("\n\n"),
+                               F.col("text")))
+        .otherwise(F.concat(intro, F.lit("\n\n"), F.col("text")))
+    )
+    src = docs.select("doc_id", lined.alias("text"))
+    lines_m = unit_repetition_metrics(src, "line")
+    paras_m = unit_repetition_metrics(src, "paragraph")
+    return lines_m.join(paras_m, "doc_id")
+
+
 def queries():
     return dict(_Q)
 

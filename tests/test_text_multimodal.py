@@ -337,3 +337,47 @@ class TestGopherQuality:
             .executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestUnitRepetition:
+    """Gopher §A1.1 duplicate line/paragraph fractions
+    (functions/text.unit_repetition_metrics)."""
+
+    def _run(self, spark, text, unit="line", **kw):
+        from cloud_crawler_spark.functions.text import unit_repetition_metrics
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return unit_repetition_metrics(df, unit, **kw).collect()[0]
+
+    def test_no_dups(self, spark):
+        r = self._run(spark, "one line.\nanother line.\nthird.")
+        assert r.n_lines == 3 and r.dup_line_frac == 0.0
+        assert r.dup_line_char_frac == 0.0 and r.keep_lines == 1
+
+    def test_line_dup_fractions(self, spark):
+        # 'abcd' x3 (4 chars), 'xy' x1: dup occurrences 2/4,
+        # dup chars 8/14
+        r = self._run(spark, "abcd\nabcd\nabcd\nxy")
+        assert r.n_lines == 4
+        assert r.dup_line_frac == 0.5
+        assert r.dup_line_char_frac == round(8 / 14, 6)
+        assert r.keep_lines == 0
+
+    def test_blank_lines_ignored(self, spark):
+        r = self._run(spark, "a.\n\n  \n\nb.")
+        assert r.n_lines == 2 and r.dup_line_frac == 0.0
+
+    def test_paragraph_split_on_blank_runs(self, spark):
+        text = "para one\nstill one\n\npara two\n \npara one\nstill one"
+        r = self._run(spark, text, unit="paragraph")
+        assert r.n_paragraphs == 3
+        assert r.dup_paragraph_frac == round(1 / 3, 6)
+
+    def test_empty_doc_survives(self, spark):
+        r = self._run(spark, "")
+        assert r.n_lines == 0 and r.dup_line_frac == 0.0
+        assert r.keep_lines == 1
+
+    def test_gates_thresholds(self, spark):
+        r = self._run(spark, "a.\nb.\nc.\nd.\ne.\ne.",
+                      max_dup_frac=0.1)
+        assert r.keep_lines == 0
