@@ -64,6 +64,7 @@ HEADLINE = [
     "q_bpe_merges",
     "q_events_hourly",
     "q_politeness_topk",
+    "q_budget_allocation",
     "q_crawl_bfs",
 ]
 

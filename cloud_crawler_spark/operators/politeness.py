@@ -133,3 +133,63 @@ def select_budget(
     for p in deferred_parts[1:]:
         deferred = deferred.unionByName(p)
     return selected, deferred
+
+
+def allocate_budget(
+    host_scores: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a round's global
+    fetch budget across hosts by integer weight — the scheduler step
+    that turns per-host signals (TrustRank ppm, revisit priority,
+    change rate) into the per-host budgets select_budget enforces.
+    Returns (host_col, budget bigint) with sum(budget) == total_budget
+    exactly (zero-weight hosts get 0 and don't compete); quota
+    floor(total * w / W) per host, the K = total - sum(floors)
+    largest remainders get +1, remainder ties broken by host ASC so
+    the allocation is deterministic.
+
+    All arithmetic is BIGINT (weights are integers by contract — pass
+    ppm/permille fixed-point for float signals): floor and remainder
+    are exact `div`/`%`, never doubles, so the same allocation falls
+    out of the SQL oracle bit-for-bit. Scale shape: W and K ride
+    1-row broadcast crossJoins (the PageRank dangling-mass pattern);
+    the remainder ranking reuses with_global_rank's range-partition
+    prefix-sum machinery — no single-partition window at 10^8 hosts,
+    no driver state beyond one Long per partition.
+    """
+    from cloud_crawler_spark.operators.rank import with_global_rank
+
+    w = F.col(weight_col).cast("long")
+    live = host_scores.where(w > 0).select(
+        F.col(host_col), w.alias("_w")
+    )
+    # alias-qualified references: crossJoining an aggregate of `live`
+    # back onto `live` trips Spark's self-lineage ambiguity check on
+    # bare names even when the aggregate's output shares none of them
+    tot = live.select(F.col("_w").alias("_tw")).agg(
+        F.sum("_tw").alias("_W")
+    )
+    quotas = live.alias("L").crossJoin(F.broadcast(tot.alias("T"))).select(
+        host_col,
+        F.expr(f"({total_budget} * L._w) div T._W").alias("_floor"),
+        F.expr(f"({total_budget} * L._w) % T._W").alias("_rem"),
+    )
+    k = quotas.select(F.col("_floor").alias("_kf")).agg(
+        (F.lit(total_budget) - F.sum("_kf")).alias("_k")
+    )
+    ranked = with_global_rank(
+        quotas, [F.col("_rem").desc(), F.col(host_col).asc()],
+        rank_col="_r",
+    )
+    alloc = ranked.alias("R").crossJoin(F.broadcast(k.alias("K"))).select(
+        host_col,
+        (F.col("R._floor") + (F.col("R._r") <= F.col("K._k")).cast("long"))
+        .alias("budget"),
+    )
+    zero = host_scores.where(~(w > 0)).select(
+        F.col(host_col), F.lit(0).cast("long").alias("budget")
+    )
+    return alloc.unionByName(zero)

@@ -3374,6 +3374,54 @@ def q_unit_repetition(spark, sf_dir):
     return lines_m.join(paras_m, "doc_id")
 
 
+@_register(
+    "q_budget_allocation",
+    """
+    WITH hs AS (
+      SELECT 'h' || (doc_id % 37) AS host,
+             CASE WHEN (doc_id % 37) % 9 = 0 THEN 0
+                  ELSE sum(n_chars) END::BIGINT AS weight
+      FROM documents GROUP BY doc_id % 37),
+    live AS (SELECT host, weight AS hw FROM hs WHERE weight > 0),
+    tot AS (SELECT sum(hw) AS tw FROM live),
+    q AS (SELECT host, (10000 * hw) // tw AS flo, (10000 * hw) % tw AS rem
+          FROM live, tot),
+    k AS (SELECT 10000 - sum(flo) AS k FROM q),
+    r AS (SELECT host, flo,
+                 row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+          FROM q)
+    SELECT host, (flo + (rn <= k.k)::BIGINT)::BIGINT AS budget
+    FROM r, k
+    UNION ALL
+    SELECT host, 0::BIGINT AS budget FROM hs WHERE NOT (weight > 0)
+    """,
+)
+def q_budget_allocation(spark, sf_dir):
+    """operators/politeness.allocate_budget — Hamilton largest-
+    remainder apportionment of a 10,000-fetch round budget across 37
+    synthetic hosts weighted by their total stored characters (every
+    9th host zero-weighted to exercise the no-compete path). Exact
+    integer div/mod arithmetic end to end, so the DuckDB oracle's
+    floor + remainder ranking reproduces the allocation bit-for-bit;
+    sum(budget) == 10,000 by construction."""
+    from cloud_crawler_spark.operators.politeness import allocate_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.col("doc_id") % 37
+    hosts = (
+        docs.groupBy(bucket.alias("_b"))
+        .agg(F.sum("n_chars").alias("_sum"))
+        .select(
+            F.concat(F.lit("h"), F.col("_b").cast("string")).alias("host"),
+            F.when(F.col("_b") % 9 == 0, F.lit(0))
+            .otherwise(F.col("_sum"))
+            .cast("long")
+            .alias("weight"),
+        )
+    )
+    return allocate_budget(hosts, 10_000)
+
+
 def queries():
     return dict(_Q)
 

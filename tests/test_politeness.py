@@ -111,3 +111,42 @@ def test_fanout_tree_with_batch_cap(spark):
     per_round = res.crawled.groupBy("round").count().collect()
     assert all(r["count"] <= 10 for r in per_round)
     assert res.rounds >= 4
+
+
+class TestAllocateBudget:
+    """Hamilton largest-remainder budget apportionment
+    (operators/politeness.allocate_budget)."""
+
+    def _alloc(self, spark, rows, total):
+        from cloud_crawler_spark.operators.politeness import allocate_budget
+        df = spark.createDataFrame(rows, "host string, weight long")
+        return {r.host: r.budget
+                for r in allocate_budget(df, total).collect()}
+
+    def test_exact_total_and_proportionality(self, spark):
+        a = self._alloc(spark, [("a", 50), ("b", 30), ("c", 20)], 100)
+        assert a == {"a": 50, "b": 30, "c": 20}
+
+    def test_largest_remainder_gets_extra(self, spark):
+        # quotas 33.33.. each: floors 33+33+33=99, one +1 left;
+        # equal remainders -> host ASC tie-break gives it to 'a'
+        a = self._alloc(spark, [("a", 1), ("b", 1), ("c", 1)], 100)
+        assert sum(a.values()) == 100
+        assert a == {"a": 34, "b": 33, "c": 33}
+
+    def test_zero_weight_hosts_get_zero(self, spark):
+        a = self._alloc(spark, [("a", 7), ("z", 0), ("n", -3)], 10)
+        assert a["z"] == 0 and a["n"] == 0 and a["a"] == 10
+
+    def test_sum_invariant_under_skew(self, spark):
+        rows = [(f"h{i}", (i * 97) % 13 + 1) for i in range(50)]
+        a = self._alloc(spark, rows, 1234)
+        assert sum(a.values()) == 1234
+        assert len(a) == 50
+
+    def test_budget_smaller_than_host_count(self, spark):
+        # only the 3 largest remainders (= largest weights here,
+        # floors all 0) get a unit
+        a = self._alloc(spark, [(f"h{i}", i + 1) for i in range(10)], 3)
+        assert sum(a.values()) == 3
+        assert a["h9"] == 1 and a["h8"] == 1 and a["h7"] == 1
