@@ -27,6 +27,7 @@ HEADLINE = [
     "q_simhash",
     "q_ngram_jaccard",
     "q_knn_brute",
+    "q_hashed_vectors",
     "q_token_stats",
     "q_lang_id",
     "q_fingerprint",

@@ -321,3 +321,80 @@ def semantic_dedup(
             F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
         )
     )
+
+
+def hashed_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l2_normalize: bool = False,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) bag-of-words vectorizer
+    (Weinberger et al., ICML 2009): every lowercase whitespace token
+    lands in bucket md5[0:4] % dim with sign +/-1 from md5[4]'s
+    parity; a document's vector is the signed count per bucket. This
+    is the bridge from raw text to the ANN stack (brute/LSH/IVF kNN,
+    SemDeDup) when no model embeddings exist — vocabulary-free, so no
+    dictionary broadcast and no OOV, and the md5 arithmetic is the
+    repo's engine-stable hash (hash_permille's — the DuckDB oracle
+    reproduces every bucket and sign exactly; values are integer
+    sums, so parity is bit-for-bit unless ``l2_normalize``).
+
+    Output: (id_col, vec array<long> | array<double> when normalized,
+    n_tokens). Empty/whitespace-only docs keep a row with the zero
+    vector (explode_outer). Scale shape: explode -> groupBy(id, bkt)
+    with map-side partial aggregation (at most `dim` rows per doc
+    survive the shuffle regardless of document length) -> one
+    groupBy(id) assembling the dense vector from a bucket->value map;
+    no join, no UDF, no driver state.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    per = df.select(F.col(id_col), F.explode_outer(toks).alias("tok"))
+    real = F.col("tok").isNotNull()
+    bkt = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long") % dim
+    )
+    sgn = F.when(
+        F.conv(F.substring(F.md5("tok"), 5, 1), 16, 10).cast("long") % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    g1 = per.groupBy(F.col(id_col), bkt.alias("bkt")).agg(
+        F.sum(F.when(real, sgn).otherwise(0)).alias("v"),
+        F.sum(F.when(real, 1).otherwise(0)).alias("c"),
+    )
+    g2 = g1.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.filter(
+                F.collect_list(
+                    F.when(
+                        F.col("bkt").isNotNull(),
+                        F.struct(F.col("bkt"), F.col("v")),
+                    )
+                ),
+                lambda e: e.isNotNull(),
+            )
+        ).alias("_m"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("long")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    if l2_normalize:
+        norm = F.sqrt(
+            F.aggregate(
+                vec, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")
+            )
+        )
+        vec = F.transform(
+            vec,
+            lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)),
+        )
+    return g2.select(F.col(id_col), vec.alias("vec"), "n_tokens")

@@ -3422,6 +3422,59 @@ def q_budget_allocation(spark, sf_dir):
     return allocate_budget(hosts, 10_000)
 
 
+def _hex4_sql(expr: str) -> str:
+    """Value of the first 4 hex digits of md5(expr) — the DuckDB twin
+    of Spark's conv(substring(md5(x),1,4),16,10) (hash_permille's
+    arithmetic, parametric modulus left to the caller)."""
+    digits = " + ".join(
+        f"(strpos({_HEXD_S}, substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"({digits})"
+
+
+@_register(
+    "q_hashed_vectors",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, {_hex4_sql('tok')} % 16 AS bkt,
+             CASE WHEN (strpos({_HEXD_S}, substr(md5(tok), 5, 1)) - 1)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM t),
+    g AS (SELECT doc_id, bkt, sum(sgn) AS v, count(*) AS c
+          FROM b GROUP BY 1, 2),
+    grid AS (SELECT doc_id, i FROM documents,
+             (SELECT unnest(range(16)) AS i) ii),
+    d AS (
+      SELECT grid.doc_id, grid.i, coalesce(g.v, 0)::BIGINT AS v
+      FROM grid LEFT JOIN g ON g.doc_id = grid.doc_id AND g.bkt = grid.i),
+    nt AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens FROM g GROUP BY 1)
+    SELECT d.doc_id, list(v ORDER BY i) AS vec,
+           coalesce(n_tokens, 0)::BIGINT AS n_tokens
+    FROM d LEFT JOIN nt ON nt.doc_id = d.doc_id
+    GROUP BY d.doc_id, n_tokens
+    """,
+)
+def q_hashed_vectors(spark, sf_dir):
+    """operators/similarity.hashed_vectors — feature-hashing bag-of-
+    words vectors (dim=16) over the documents table: md5-bucketed
+    signed token counts, the vocabulary-free text->vector bridge into
+    the ANN operators. Integer sums end to end, so the DuckDB oracle
+    (same md5 strpos arithmetic, dense grid via LEFT JOIN) matches
+    every component bit-for-bit."""
+    from cloud_crawler_spark.operators.similarity import hashed_vectors
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_vectors(docs, dim=16)
+
+
 def queries():
     return dict(_Q)
 

@@ -246,3 +246,51 @@ def test_clean_corpus_keeps_distinct_languages(spark):
     df = spark.createDataFrame([(7, en), (8, de)], "doc_id long, text string")
     out = {r["doc_id"]: r["lang_pred"] for r in DD.clean_corpus(df).collect()}
     assert out == {7: "en", 8: "de"}
+
+
+class TestHashedVectors:
+    """Feature-hashing vectorizer (operators/similarity.hashed_vectors)."""
+
+    def _run(self, spark, rows, **kw):
+        from cloud_crawler_spark.operators.similarity import hashed_vectors
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in hashed_vectors(df, **kw).collect()}
+
+    def test_same_text_same_vector(self, spark):
+        out = self._run(spark, [(0, "alpha beta gamma"),
+                                (1, "ALPHA  Beta\tgamma")], dim=8)
+        assert out[0].vec == out[1].vec
+        assert out[0].n_tokens == 3 and len(out[0].vec) == 8
+
+    def test_counts_accumulate(self, spark):
+        a = self._run(spark, [(0, "word"), (1, "word word word")], dim=8)
+        assert [3 * x for x in a[0].vec] == list(a[1].vec)
+
+    def test_empty_doc_zero_vector(self, spark):
+        out = self._run(spark, [(0, ""), (1, "   ")], dim=8)
+        for r in out.values():
+            assert list(r.vec) == [0] * 8 and r.n_tokens == 0
+
+    def test_l2_normalized(self, spark):
+        import math
+        out = self._run(spark, [(0, "alpha beta gamma delta")],
+                        dim=8, l2_normalize=True)
+        n = math.sqrt(sum(x * x for x in out[0].vec))
+        assert abs(n - 1.0) < 1e-9
+
+    def test_l2_empty_doc_stays_zero(self, spark):
+        out = self._run(spark, [(0, "")], dim=8, l2_normalize=True)
+        assert list(out[0].vec) == [0.0] * 8
+
+    def test_feeds_knn(self, spark):
+        # the vectorizer's output schema plugs straight into brute kNN
+        from cloud_crawler_spark.operators.similarity import (
+            brute_force_knn, hashed_vectors)
+        df = spark.createDataFrame(
+            [(i, f"token{i} shared common words here") for i in range(6)],
+            "doc_id long, text string")
+        vecs = hashed_vectors(df, dim=16, l2_normalize=True) \
+            .select("doc_id", "vec")
+        res = brute_force_knn(vecs, vecs.limit(2), k=3,
+                              vec_col="vec", id_col="doc_id")
+        assert res.count() == 6  # 2 queries x top-3
