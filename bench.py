@@ -62,6 +62,7 @@ HEADLINE = [
     "q_token_kl",
     "q_length_quantiles",
     "q_text_normalize",
+    "q_charstats",
     "q_bpe_merges",
     "q_events_hourly",
     "q_politeness_topk",

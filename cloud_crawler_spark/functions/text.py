@@ -408,3 +408,89 @@ def normalize_text_udf(texts: pd.Series) -> pd.Series:
     built-in Spark SQL functions — this is the one honest UDF in the
     text-cleaning chain; per-row work, zero shuffle)."""
     return texts.map(normalize_text_py, na_action="ignore")
+
+
+# Unicode script ranges as LITERAL character classes (identical byte
+# strings run in Java regex and the DuckDB oracle's RE2 — no \u/\x{}
+# escape-dialect divergence). BMP ranges only: code-point semantics
+# agree across both engines' UTF-8/UTF-16 internals.
+SCRIPT_CLASSES = {
+    "latin": "[A-Za-z]",
+    "cyrillic": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+    "greek": f"[{chr(0x0370)}-{chr(0x03FF)}]",
+    "cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}]",
+    "arabic": f"[{chr(0x0600)}-{chr(0x06FF)}]",
+    "hangul": f"[{chr(0xAC00)}-{chr(0xD7AF)}]",
+}
+WS_CLASS = r"[ \t\n\r]"
+
+
+def script_profile(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_script_frac: float = 0.05,
+):
+    """Per-document Unicode-script mix — the homoglyph/keyword-spam
+    signal (Cyrillic letters salted into Latin text, CJK link farms
+    appended to English pages) and the sanity check on the stopword
+    language-ID: per script in SCRIPT_CLASSES, the fraction of
+    non-whitespace characters it covers, plus digit fraction,
+    n_scripts (scripts above ``min_script_frac``) and the
+    mixed_script flag (>= 2). Counting is length-difference over
+    regexp_replace with literal-range classes — ONE codegen
+    projection, zero shuffle, no UDF, and the exact same patterns run
+    in the DuckDB oracle (with its explicit 'g' flag)."""
+    t = F.col(text_col)
+
+    def n_of(pat):
+        return F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+
+    base = F.greatest(n_of(r"[^ \t\n\r]"), F.lit(1)).cast("double")
+    cols = [F.col(id_col),
+            n_of(r"[^ \t\n\r]").cast("long").alias("n_chars")]
+    fracs = {}
+    for name, pat in SCRIPT_CLASSES.items():
+        fracs[name] = F.round(n_of(pat) / base, 6)
+        cols.append(fracs[name].alias(f"frac_{name}"))
+    cols.append(F.round(n_of("[0-9]") / base, 6).alias("frac_digit"))
+    n_scripts = None
+    for name in SCRIPT_CLASSES:
+        hit = (fracs[name] >= min_script_frac).cast("int")
+        n_scripts = hit if n_scripts is None else n_scripts + hit
+    cols.append(n_scripts.cast("long").alias("n_scripts"))
+    cols.append((n_scripts >= 2).cast("long").alias("mixed_script"))
+    return df.select(*cols)
+
+
+def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document character-level Shannon entropy in nats —
+    H = ln(N) - sum(c*ln(c))/N over character counts c. Low entropy
+    flags keyboard-mash / repeated-char / template gibberish that
+    word-level heuristics miss; very high entropy flags base64/hex
+    blobs masquerading as text. Scale shape: explode characters (the
+    only way to see the distribution), then TWO keyed map-side-
+    combinable groupBys — character text shuffles once, counts only
+    after; explode_outer keeps empty docs alive with entropy 0."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    per = (
+        df.select(F.col(id_col), F.explode_outer(chars).alias("ch"))
+        .groupBy(id_col, "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    real = F.col("ch").isNotNull()
+    agg = per.groupBy(id_col).agg(
+        F.sum(F.when(real, F.col("c")).otherwise(0)).alias("_n"),
+        F.sum(
+            F.when(real, F.col("c") * F.log(F.col("c"))).otherwise(0.0)
+        ).alias("_clogc"),
+    )
+    nz = F.greatest(F.col("_n"), F.lit(1)).cast("double")
+    h = F.when(
+        F.col("_n") > 0, F.log(nz) - F.col("_clogc") / nz
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_chars"),
+        F.round(h, 6).alias("entropy_nats"),
+    )

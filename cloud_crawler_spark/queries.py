@@ -3475,6 +3475,89 @@ def q_hashed_vectors(spark, sf_dir):
     return hashed_vectors(docs, dim=16)
 
 
+def _charstats_oracle_sql() -> str:
+    from cloud_crawler_spark.functions.text import SCRIPT_CLASSES
+
+    lined = """
+      CASE doc_id % 5
+        WHEN 0 THEN text || ' Привет мир спам ссылка'
+        WHEN 1 THEN text || ' 中文垃圾链接'
+        WHEN 2 THEN text || ' مرحبا بالعالم'
+        WHEN 4 THEN text || ' aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa'
+        ELSE text
+      END
+    """
+    n_of = (
+        lambda pat: f"(length(text)"
+        f" - length(regexp_replace(text, '{pat}', '', 'g')))"
+    )
+    nonws = "[^ \t\n\r]"
+    base = f"greatest({n_of(nonws)}, 1)::DOUBLE"
+    frac_cols = ",\n".join(
+        f"round({n_of(pat)} / {base}, 6) AS frac_{name}"
+        for name, pat in SCRIPT_CLASSES.items()
+    )
+    hits = " + ".join(
+        f"(frac_{name} >= 0.05)::INT" for name in SCRIPT_CLASSES
+    )
+    return f"""
+    WITH lined AS (SELECT doc_id, {lined} AS text FROM documents),
+    s AS (
+      SELECT doc_id,
+             {n_of(nonws)}::BIGINT AS n_chars,
+             {frac_cols},
+             round({n_of('[0-9]')} / {base}, 6) AS frac_digit
+      FROM lined),
+    sp AS (
+      SELECT *, ({hits})::BIGINT AS n_scripts,
+             (({hits}) >= 2)::BIGINT AS mixed_script
+      FROM s),
+    ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM lined),
+    cg AS (SELECT doc_id, ch, count(*) AS c FROM ch
+           WHERE ch <> '' GROUP BY 1, 2),
+    ent AS (
+      SELECT doc_id, sum(c)::BIGINT AS n,
+             round(ln(greatest(sum(c), 1)::DOUBLE)
+                   - sum(c * ln(c)) / greatest(sum(c), 1)::DOUBLE, 6)
+               AS entropy_nats
+      FROM cg GROUP BY 1)
+    SELECT sp.*, coalesce(ent.entropy_nats, 0.0) AS entropy_nats
+    FROM sp LEFT JOIN ent USING (doc_id)
+    """
+
+
+@_register("q_charstats", _charstats_oracle_sql())
+def q_charstats(spark, sf_dir):
+    """functions/text.script_profile + char_entropy — Unicode-script
+    mix (homoglyph/keyword-spam signal: Cyrillic, CJK, Arabic runs
+    salted into the Latin corpus by doc_id%5) and character-level
+    Shannon entropy (gibberish/blob detector; class 4 gets a
+    low-entropy char flood). Script counting is literal-range
+    regexp_replace length arithmetic shared verbatim with the oracle;
+    entropy is ln(N) - sum(c*ln c)/N in both engines."""
+    from cloud_crawler_spark.functions.text import (
+        char_entropy,
+        script_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    lined = (
+        F.when(m == 0, F.concat(F.col("text"),
+                                F.lit(" Привет мир спам ссылка")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" 中文垃圾链接")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" مرحبا بالعالم")))
+        .when(m == 4, F.concat(
+            F.col("text"), F.lit(" aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")))
+        .otherwise(F.col("text"))
+    )
+    src = docs.select("doc_id", lined.alias("text"))
+    sp = script_profile(src)
+    ent = char_entropy(src).select("doc_id", "entropy_nats")
+    return sp.join(ent, "doc_id")
+
+
 def queries():
     return dict(_Q)
 

@@ -381,3 +381,59 @@ class TestUnitRepetition:
         r = self._run(spark, "a.\nb.\nc.\nd.\ne.\ne.",
                       max_dup_frac=0.1)
         assert r.keep_lines == 0
+
+
+class TestScriptProfileEntropy:
+    """Unicode-script mix + char entropy (functions/text.script_profile,
+    char_entropy)."""
+
+    def _sp(self, spark, text, **kw):
+        from cloud_crawler_spark.functions.text import script_profile
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return script_profile(df, **kw).collect()[0]
+
+    def _ent(self, spark, text):
+        from cloud_crawler_spark.functions.text import char_entropy
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        return char_entropy(df).collect()[0]
+
+    def test_pure_latin(self, spark):
+        r = self._sp(spark, "plain english words here")
+        assert r.frac_latin == round(21 / 21, 6)
+        assert r.n_scripts == 1 and r.mixed_script == 0
+
+    def test_mixed_cyrillic_flagged(self, spark):
+        r = self._sp(spark, "buy cheap поддельные товары now")
+        assert r.frac_cyrillic > 0.05 and r.frac_latin > 0.05
+        assert r.mixed_script == 1
+
+    def test_small_salting_below_threshold(self, spark):
+        # one Cyrillic char in a long Latin doc: homoglyph present but
+        # under the 5% gate -> not 'mixed', frac still nonzero
+        r = self._sp(spark, "a" * 100 + "о")
+        assert 0 < r.frac_cyrillic < 0.05 and r.mixed_script == 0
+
+    def test_digit_fraction_and_whitespace_excluded(self, spark):
+        r = self._sp(spark, "ab 12  34")
+        assert r.n_chars == 6
+        assert r.frac_digit == round(4 / 6, 6)
+
+    def test_entropy_uniform_vs_constant(self, spark):
+        import math
+        u = self._ent(spark, "abcd")
+        assert abs(u.entropy_nats - round(math.log(4), 6)) < 1e-6
+        c = self._ent(spark, "aaaaaaaa")
+        assert c.entropy_nats == 0.0
+
+    def test_entropy_empty_doc(self, spark):
+        r = self._ent(spark, "")
+        assert r.entropy_nats == 0.0 and r.n_chars == 0
+
+    def test_script_profile_single_projection(self, spark):
+        from cloud_crawler_spark.functions.text import script_profile
+        from pyspark.sql import functions as F
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit("text here").alias("text"))
+        plan = script_profile(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
