@@ -4,13 +4,20 @@ in their production order. Every stage is a documented operator with
 its own oracle-checked query; this example shows them composing.
 
 Order matters and mirrors real pipelines (CCNet / RefinedWeb / Dolma):
-  1. PII scrub      — redact before anything else persists text
-  2. Blocklist      — drop blocked-domain documents outright
-  3. Quality gates  — lang-ID + Gopher repetition signals
-  4. Exact dedup    — cheap hash collapse first
-  5. Span dedup     — strip boilerplate spans shared across docs
-  6. Decontaminate  — remove eval-set n-gram overlap
-  7. Mixture sample — deterministic per-language rates
+  1. PII scrub       — redact before anything else persists text
+  2. Blocklist       — drop blocked-domain documents outright
+  3. Chrome strip    — remove lines shared across >= N documents
+                       (RefinedWeb line-dedup) BEFORE quality stats,
+                       so banners don't distort them
+  4. Quality gates   — lang-ID, Gopher repetition (2-gram + line/
+                       paragraph), full Gopher §A1.2 rule set,
+                       script-mix + char-entropy spam gates
+  5. Exact dedup     — cheap hash collapse first
+  6. Span dedup      — strip boilerplate spans shared across docs
+  7. Decontaminate   — remove eval-set n-gram overlap
+  8. Mixture sample  — deterministic per-language rates
+  9. Vectorize       — feature-hashed doc vectors for the ANN stack
+                       (near-dup audit / SemDeDup downstream)
 """
 import sys
 
@@ -18,10 +25,20 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import SparkSession, functions as F
 
-from cloud_crawler_spark.functions.text import lang_id, repetition_metrics, scrub_pii
+from cloud_crawler_spark.functions.lines import strip_common_lines
+from cloud_crawler_spark.functions.text import (
+    char_entropy,
+    gopher_quality,
+    lang_id,
+    repetition_metrics,
+    script_profile,
+    scrub_pii,
+    unit_repetition_metrics,
+)
 from cloud_crawler_spark.operators.blocklist import apply_blocklist
 from cloud_crawler_spark.operators.dedup import decontaminate, exact_dedup, span_dedup
 from cloud_crawler_spark.operators.sampling import stratified_sample
+from cloud_crawler_spark.operators.similarity import hashed_vectors
 
 spark = (
     SparkSession.builder.master("local[4]")
@@ -45,26 +62,53 @@ hosts = docs.withColumn("host", F.concat(F.lit("h"), F.col("doc_id") % 7,
 bl = spark.createDataFrame([("spamsite.com",)], "domain string")
 docs = apply_blocklist(hosts, bl).where(F.col("blocked") == 0).drop("blocked", "host")
 
-# 3. quality gates: language + Gopher repetition
+# 3. cross-corpus chrome strip (synthetic banner shared by every doc;
+#    min_docs low because the sample corpus is small)
+lined = docs.withColumn(
+    "text", F.concat(F.lit("Subscribe to our newsletter.\n"), F.col("text")))
+stripped = strip_common_lines(lined, min_docs=30)
+docs = docs.drop("text").join(
+    stripped.where(F.col("text_clean") != "")
+    .select("doc_id", F.col("text_clean").alias("text")),
+    "doc_id",
+)
+
+# 4. quality gates: language, Gopher repetition (2-gram + line level),
+#    full Gopher rule set, script-mix + entropy spam gates
 docs = docs.withColumn("lang_pred", lang_id(F.col("text")))
 rep = repetition_metrics(docs).where(F.col("keep_repetition") == 1).select("doc_id")
-docs = docs.join(rep, "doc_id", "left_semi").where(F.col("lang_pred").isin("en", "de"))
+linerep = unit_repetition_metrics(docs, "line") \
+    .where(F.col("keep_lines") == 1).select("doc_id")
+# the sample corpus is ~30-80-word synthetic keyword streams: relax
+# the word-count floor and the 8-stopword gate (prose-calibrated) so
+# the structural gates (symbols, bullets, word shape) decide
+gq = gopher_quality(docs, min_words=10, min_stopwords=1) \
+    .where(F.col("keep_quality") == 1).select("doc_id")
+spam = script_profile(docs).where(F.col("mixed_script") == 0).select("doc_id")
+ent = char_entropy(docs).where(F.col("entropy_nats") >= 1.0).select("doc_id")
+for gate in (rep, linerep, gq, spam, ent):
+    docs = docs.join(gate, "doc_id", "left_semi")
+docs = docs.where(F.col("lang_pred").isin("en", "de"))
 
-# 4. exact dedup (min-id survivor per identical text)
+# 5. exact dedup (min-id survivor per identical text)
 docs = docs.join(exact_dedup(docs).select("doc_id"), "doc_id", "left_semi")
 
-# 5. span-level dedup (cross-document boilerplate strip)
+# 6. span-level dedup (cross-document boilerplate strip)
 clean = span_dedup(docs, window=10).where(F.col("clean_text") != "")
 docs = docs.drop("text").join(
     clean.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
 
-# 6. benchmark decontamination
+# 7. benchmark decontamination
 docs = decontaminate(docs, bench, n=4).where(F.col("contaminated") == 0)
 
-# 7. mixture sampling: keep 50% of en, 80% of the rest
+# 8. mixture sampling: keep 50% of en, 80% of the rest
 out = stratified_sample(docs, rates_permille={"en": 500}, default_permille=800)
 
+# 9. feature-hashed vectors: the text->vector bridge for the ANN stack
+vecs = hashed_vectors(out, dim=32, l2_normalize=True)
+
 print("surviving docs:", out.count())
+print("vectorized:", vecs.where(F.col("n_tokens") > 0).count())
 out.select("doc_id", "lang", F.substring("text", 1, 60).alias("text_head")) \
    .orderBy("doc_id").show(10, truncate=False)
 spark.stop()
