@@ -26,6 +26,7 @@ HEADLINE = [
     "q_lsh_pairs",
     "q_simhash",
     "q_ngram_jaccard",
+    "q_containment",
     "q_knn_brute",
     "q_hashed_vectors",
     "q_token_stats",

@@ -842,3 +842,50 @@ def exact_substr_dedup(df: DataFrame, text_col: str = "text",
             (F.size("_t") - F.size("_kept")).cast("long").alias("n_dropped"),
         )
     )
+
+
+def token_containment_consecutive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    containment_threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric near-dup screen: token-set CONTAINMENT alongside
+    Jaccard for consecutive doc ids. Containment(A in B) =
+    |A ∩ B| / |A| catches what Jaccard structurally cannot — a short
+    document wholly embedded in a longer one (syndicated articles
+    with added commentary, quoted posts, page + surrounding portal
+    chrome): Jaccard dilutes toward |A|/|B| while containment stays
+    1.0. `superset_dup` flags exactly those pairs (containment over
+    threshold, Jaccard under — the symmetric dedup would MISS them).
+
+    Same oracle-checked-slice shape as token_jaccard_consecutive:
+    tokenization runs once behind a localCheckpoint, the pairing is
+    one equi-join on adjacent ids. In production the same columns
+    drop onto lsh_candidate_pairs output instead of the id-adjacency.
+    """
+    toks = df.select(
+        F.col(id_col), norm_tokens(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=True)
+    a = toks.select(F.col(id_col).alias("doc_a"),
+                    F.col("toks").alias("toks_a"))
+    b = toks.select((F.col(id_col) - 1).alias("doc_a"),
+                    F.col("toks").alias("toks_b"),
+                    F.col(id_col).alias("doc_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    c_a = F.when(F.size("toks_a") > 0,
+                 inter / F.size("toks_a")).otherwise(F.lit(0.0))
+    c_b = F.when(F.size("toks_b") > 0,
+                 inter / F.size("toks_b")).otherwise(F.lit(0.0))
+    jac = _jaccard(F.col("toks_a"), F.col("toks_b"))
+    return a.join(b, "doc_a").select(
+        "doc_a", "doc_b",
+        F.round(jac, 6).alias("jaccard"),
+        F.round(c_a, 6).alias("containment_a"),
+        F.round(c_b, 6).alias("containment_b"),
+        (
+            (F.round(F.greatest(c_a, c_b), 6) >= containment_threshold)
+            & (F.round(jac, 6) < jaccard_threshold)
+        ).cast("long").alias("superset_dup"),
+    )

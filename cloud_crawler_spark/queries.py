@@ -3558,6 +3558,68 @@ def q_charstats(spark, sf_dir):
     return sp.join(ent, "doc_id")
 
 
+_SYND_EXTRA = (
+    " unique syndication commentary words appended alpha beta gamma"
+    " delta epsilon zeta eta theta"
+)
+
+
+@_register(
+    "q_containment",
+    f"""
+    WITH lined AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 2 = 1 AND p.text IS NOT NULL
+                  THEN p.text || '{_SYND_EXTRA}'
+                  ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+    toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               t -> t <> '')) AS toks
+      FROM lined),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks)) AS i,
+             len(a.toks) AS na, len(b.toks) AS nb
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1),
+    m AS (
+      SELECT doc_a, doc_b,
+             round(i / greatest(na + nb - i, 1)::DOUBLE, 6) AS jaccard,
+             round(CASE WHEN na > 0 THEN i / na::DOUBLE ELSE 0 END, 6)
+               AS containment_a,
+             round(CASE WHEN nb > 0 THEN i / nb::DOUBLE ELSE 0 END, 6)
+               AS containment_b
+      FROM pairs)
+    SELECT doc_a, doc_b, jaccard, containment_a, containment_b,
+           (greatest(containment_a, containment_b) >= 0.9
+            AND jaccard < 0.8)::BIGINT AS superset_dup
+    FROM m
+    """,
+)
+def q_containment(spark, sf_dir):
+    """operators/dedup.token_containment_consecutive — asymmetric
+    containment next to Jaccard: every odd doc is rewritten as its
+    predecessor's full text plus distinct commentary tokens (the
+    syndication case), so (even, odd) pairs show containment_a = 1.0
+    with diluted Jaccard and trip `superset_dup` — the duplicates a
+    symmetric Jaccard dedup structurally misses. The oracle replays
+    the token-set algebra with DuckDB list functions."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select((F.col("doc_id") + 1).alias("doc_id"),
+                       F.col("text").alias("_ptext"))
+    lined = docs.join(pred, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 2 == 1) & F.col("_ptext").isNotNull(),
+            F.concat(F.col("_ptext"), F.lit(_SYND_EXTRA)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return DD.token_containment_consecutive(lined)
+
+
 def queries():
     return dict(_Q)
 

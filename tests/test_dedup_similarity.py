@@ -294,3 +294,47 @@ class TestHashedVectors:
         res = brute_force_knn(vecs, vecs.limit(2), k=3,
                               vec_col="vec", id_col="doc_id")
         assert res.count() == 6  # 2 queries x top-3
+
+
+class TestTokenContainment:
+    """Asymmetric containment near-dup screen
+    (operators/dedup.token_containment_consecutive)."""
+
+    def _run(self, spark, rows, **kw):
+        from cloud_crawler_spark.operators.dedup import (
+            token_containment_consecutive)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {(r.doc_a, r.doc_b): r
+                for r in token_containment_consecutive(df, **kw).collect()}
+
+    def test_subset_flagged_where_jaccard_misses(self, spark):
+        short = "alpha beta gamma delta"
+        longer = short + " " + " ".join(f"extra{i}" for i in range(12))
+        out = self._run(spark, [(0, short), (1, longer)])
+        r = out[(0, 1)]
+        assert r.containment_a == 1.0
+        assert r.jaccard == round(4 / 16, 6)
+        assert r.superset_dup == 1  # Jaccard alone would keep both
+
+    def test_symmetric_duplicate_not_superset(self, spark):
+        out = self._run(spark, [(0, "same words here"),
+                                (1, "same words here")])
+        r = out[(0, 1)]
+        assert r.jaccard == 1.0 and r.containment_a == 1.0
+        assert r.superset_dup == 0  # plain dup: exact/Jaccard dedup's job
+
+    def test_disjoint_docs(self, spark):
+        out = self._run(spark, [(0, "aa bb cc"), (1, "dd ee ff")])
+        r = out[(0, 1)]
+        assert r.jaccard == 0.0 and r.containment_a == 0.0
+        assert r.superset_dup == 0
+
+    def test_containment_is_directional(self, spark):
+        out = self._run(spark, [(0, "a b c d e f g h i j"), (1, "a b")])
+        r = out[(0, 1)]
+        assert r.containment_b == 1.0 and r.containment_a == 0.2
+
+    def test_empty_doc(self, spark):
+        out = self._run(spark, [(0, ""), (1, "words here")])
+        r = out[(0, 1)]
+        assert r.containment_a == 0.0 and r.superset_dup == 0
