@@ -64,6 +64,11 @@ HEADLINE = [
     "q_length_quantiles",
     "q_text_normalize",
     "q_charstats",
+    "q_readability",
+    "q_lang_trigram",
+    "q_zipf_fit",
+    "q_ngram_topk",
+    "q_host_diversity",
     "q_bpe_merges",
     "q_events_hourly",
     "q_politeness_topk",

@@ -11,7 +11,7 @@ A rolling-hash fingerprint (not SQL-expressible) ships as a pandas UDF.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -493,4 +493,211 @@ def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
         F.col(id_col),
         F.col("_n").cast("long").alias("n_chars"),
         F.round(h, 6).alias("entropy_nats"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Readability (Flesch) — classic quality signal for LM-corpus curation
+# ----------------------------------------------------------------------
+
+# Flesch/Flesch-Kincaid constants (Kincaid et al. 1975, public formulas)
+_FLESCH_BASE, _FLESCH_WPS, _FLESCH_SPW = 206.835, 1.015, 84.6
+_FK_WPS, _FK_SPW, _FK_BASE = 0.39, 11.8, 15.59
+
+SYLLABLE_RUNS = "[aeiouy]+"
+SENTENCE_RUNS = "[.!?]+"
+
+
+def readability(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Flesch reading-ease and Flesch-Kincaid grade with
+    the standard large-corpus heuristics: words = whitespace tokens,
+    sentences = runs of terminal punctuation ([.!?]+, min 1),
+    syllables = vowel-group runs ([aeiouy]+) in the lowercased text.
+    Used as a curation signal (drop reading-ease outliers: word-salad
+    scores very low, alphabet-soup very high).
+
+    Scale shape: ONE codegen projection — regexp_extract_all counts,
+    no explode, no shuffle, no UDF — and every count is an integer, so
+    the DuckDB oracle reproduces the two float formulas bit-for-bit
+    after round(…, 6).
+    """
+    t = F.col(text_col)
+    n_words = token_count(t)
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(SENTENCE_RUNS), F.lit(0))),
+        F.lit(1),
+    )
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(SYLLABLE_RUNS), F.lit(0))
+    )
+    wps = n_words / F.greatest(n_sents, F.lit(1)).cast("double")
+    spw = n_syll / F.greatest(n_words, F.lit(1)).cast("double")
+    flesch = F.lit(_FLESCH_BASE) - F.lit(_FLESCH_WPS) * wps \
+        - F.lit(_FLESCH_SPW) * spw
+    fk = F.lit(_FK_WPS) * wps + F.lit(_FK_SPW) * spw - F.lit(_FK_BASE)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch_ease"),
+        F.round(fk, 6).alias("fk_grade"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Character-trigram language ID — the n-gram twin of the stopword lang_id
+# ----------------------------------------------------------------------
+
+# Salient trigram signatures per language (classic n-gram profiles:
+# Cavnar & Trenkle 1994 top-ranked trigrams, public knowledge). Chosen
+# to be pairwise-distinctive; counting is substring occurrences, so the
+# signal survives missing word boundaries (where stopword-ID fails).
+LANG_TRIGRAMS = {
+    "en": ["the", "he ", " th", "ing", "and", "ion", " of"],
+    "de": ["der", "ein", "ich", "sch", "und", "cht", "die"],
+    "fr": [" de", "les", "ent", "que", "ait", "eur", "ois"],
+    "es": ["los", "ado", "nte", "con", "ción", " de", "una"],
+}
+
+
+def trigram_hits(col, lang: str) -> Column:
+    """Total occurrences of `lang`'s signature trigrams in the
+    lowercased text — length-difference over literal replace(), one
+    codegen expression per trigram, no regex, no UDF."""
+    t = F.lower(col)
+    total = F.lit(0)
+    for tri in LANG_TRIGRAMS[lang]:
+        cnt = (F.length(t) - F.length(F.replace(t, F.lit(tri), F.lit("")))) \
+            / F.lit(len(tri))
+        total = total + cnt.cast("long")
+    return total
+
+
+def lang_id_trigram(col) -> Column:
+    """Character-trigram language ID: the language whose signature
+    trigrams occur most often (ties broken by lexicographically
+    greatest code, matching lang_id); 'und' when nothing hits."""
+    pairs = F.array(
+        *[
+            F.struct(trigram_hits(col, lang).alias("hits"),
+                     F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_TRIGRAMS)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ----------------------------------------------------------------------
+# Corpus-level distribution diagnostics
+# ----------------------------------------------------------------------
+
+
+def zipf_fit(df, text_col: str = "text", top_n: int = 200):
+    """Least-squares fit of ln(freq) ~ ln(rank) over the corpus's top_n
+    token frequencies — the Zipf slope (healthy natural-language
+    corpora sit near -1; template/boilerplate-heavy corpora flatten,
+    gibberish steepens). Returns ONE row: zipf_slope, zipf_intercept
+    (both round 6), n_ranks, n_types, n_tokens.
+
+    Scale shape: one token groupBy (map-side combinable), a top_n
+    window over the count-sorted vocabulary (top_n rows — tiny), then
+    a single closed-form aggregation (explicit normal-equation sums,
+    the same arithmetic the DuckDB oracle runs). No UDF, no collect.
+    """
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = freq.select(
+        F.row_number().over(w).alias("r"), F.col("n")
+    ).where(F.col("r") <= top_n)
+    totals = freq.agg(
+        F.count("*").alias("n_types"), F.sum("n").alias("n_tokens")
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    s = ranked.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    icept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return s.crossJoin(totals).select(
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(icept, 6).alias("zipf_intercept"),
+        F.col("k").cast("long").alias("n_ranks"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def top_ngrams(df, n: int = 2, k: int = 50, text_col: str = "text"):
+    """Corpus-wide top-k word n-grams with counts and dense rank —
+    the n-gram frequency table behind LM-data analysis (boilerplate
+    phrase detection, contamination probes, tokenizer sanity checks).
+    Deterministic order: count desc, gram asc.
+
+    Scale shape: n-gram arrays built JVM-side (zip_with over shifted
+    slices, the repetition_metrics construction), ONE map-side-
+    combinable groupBy, then a top-k window over the (already tiny
+    after aggregation) frequency table. For 100 TB the window's single
+    partition only ever sees the aggregated vocabulary, not documents;
+    a pre-filter on count > 1 would bound it further if needed.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + i,
+                    F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    freq = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("gram").asc())
+    return freq.select(
+        "gram", F.col("n").cast("long").alias("n"),
+        F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)
+
+
+def host_concentration(df, host_col: str = "host", weight_col=None):
+    """Corpus diversity scorecard over hosts: ONE row with n_hosts,
+    top-1/top-5 share, Herfindahl-Hirschman index (sum of squared
+    shares) and Shannon entropy of the host distribution — the
+    standard report a curation pipeline runs before fixing mixture
+    weights (a corpus dominated by three hosts is a deduplication
+    problem waiting to happen).
+
+    Scale shape: one keyed groupBy to per-host weights, then a single
+    global aggregation over hosts (already tiny); the top-k shares
+    come from a window over the per-host table. No UDF, no collect.
+    """
+    wcol = F.count("*") if weight_col is None else F.sum(weight_col)
+    hosts = df.groupBy(host_col).agg(wcol.cast("double").alias("w"))
+    tot = hosts.agg(F.sum("w").alias("tw"))
+    shared = hosts.crossJoin(tot).select(
+        (F.col("w") / F.col("tw")).alias("s")
+    )
+    rw = Window.orderBy(F.col("s").desc())
+    ranked = shared.withColumn("r", F.row_number().over(rw))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.round(F.max(F.when(F.col("r") == 1, F.col("s"))), 6)
+        .alias("top1_share"),
+        F.round(F.sum(F.when(F.col("r") <= 5, F.col("s")).otherwise(0.0)), 6)
+        .alias("top5_share"),
+        F.round(F.sum(F.col("s") * F.col("s")), 6).alias("hhi"),
+        F.round(-F.sum(F.col("s") * F.log(F.col("s"))), 6)
+        .alias("host_entropy"),
     )

@@ -3620,6 +3620,254 @@ def q_containment(spark, sf_dir):
     return DD.token_containment_consecutive(lined)
 
 
+@_register(
+    "q_readability",
+    """
+    WITH lined AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN replace(text, ' table ', '. ')
+               WHEN 1 THEN text || '! Read me? Yes.'
+               ELSE text
+             END AS text
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> ''))::BIGINT AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')),
+                      1)::BIGINT AS n_sentences,
+             len(regexp_extract_all(lower(text),
+                                    '[aeiouy]+'))::BIGINT AS n_syllables
+      FROM lined),
+    r AS (
+      SELECT *,
+             n_words / greatest(n_sentences, 1)::DOUBLE AS wps,
+             n_syllables / greatest(n_words, 1)::DOUBLE AS spw
+      FROM c)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * wps - 84.6 * spw, 6) AS flesch_ease,
+           round(0.39 * wps + 11.8 * spw - 15.59, 6) AS fk_grade
+    FROM r
+    """,
+)
+def q_readability(spark, sf_dir):
+    """functions/text.readability — Flesch reading-ease + Flesch-
+    Kincaid grade per document (words / [.!?]+ sentences / vowel-run
+    syllables, the standard large-corpus heuristics). The corpus text
+    carries no terminal punctuation, so sentences are salted
+    deterministically: doc_id%3==0 turns every ' table ' into a
+    sentence break, %3==1 appends mixed terminators, %3==2 stays raw
+    and exercises the min-1-sentence guard. One codegen projection;
+    integer counts feed two float formulas evaluated in the same
+    order in both engines."""
+    from cloud_crawler_spark.functions.text import readability
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    lined = (
+        F.when(m == 0, F.replace(F.col("text"), F.lit(" table "),
+                                 F.lit(". ")))
+        .when(m == 1, F.concat(F.col("text"), F.lit("! Read me? Yes.")))
+        .otherwise(F.col("text"))
+    )
+    return readability(docs.select("doc_id", lined.alias("text")))
+
+
+def _trigram_oracle_sql() -> str:
+    from cloud_crawler_spark.functions.text import LANG_TRIGRAMS
+
+    hit_cols = []
+    for lang in sorted(LANG_TRIGRAMS):
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{tri}', ''))) // {len(tri)}"
+            for tri in LANG_TRIGRAMS[lang]
+        )
+        hit_cols.append(f"({terms})::BIGINT AS hits_{lang}")
+    hits = ",\n             ".join(hit_cols)
+    return f"""
+    WITH lined AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 1 THEN text || ' der ich und die schule nicht'
+               WHEN 2 THEN text || ' les que vraiment entre eux trois'
+               WHEN 3 THEN text || ' los conquistadores una nación'
+               ELSE text
+             END AS text
+      FROM documents),
+    lo AS (SELECT doc_id, lower(text) AS t FROM lined),
+    h AS (
+      SELECT doc_id,
+             {hits}
+      FROM lo),
+    m AS (
+      SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS mx
+      FROM h)
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN mx = 0 THEN 'und'
+                WHEN hits_fr = mx THEN 'fr'
+                WHEN hits_es = mx THEN 'es'
+                WHEN hits_en = mx THEN 'en'
+                ELSE 'de' END AS trigram_lang
+    FROM m
+    """
+
+
+@_register("q_lang_trigram", _trigram_oracle_sql())
+def q_lang_trigram(spark, sf_dir):
+    """functions/text.lang_id_trigram — character-trigram language ID
+    (Cavnar & Trenkle-style signature profiles), the boundary-free
+    twin of the stopword lang_id: counting is literal replace()
+    length arithmetic, so it survives texts with no usable word
+    boundaries. doc_id%4 salts German/French/Spanish phrases into the
+    English corpus; ties break to the greatest language code
+    (array_max over (hits, lang) structs ≙ the oracle's descending
+    CASE chain), zero hits → 'und'."""
+    from cloud_crawler_spark.functions.text import (
+        LANG_TRIGRAMS,
+        lang_id_trigram,
+        trigram_hits,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    lined = (
+        F.when(m == 1, F.concat(F.col("text"),
+                                F.lit(" der ich und die schule nicht")))
+        .when(m == 2, F.concat(F.col("text"),
+                               F.lit(" les que vraiment entre eux trois")))
+        .when(m == 3, F.concat(F.col("text"),
+                               F.lit(" los conquistadores una nación")))
+        .otherwise(F.col("text"))
+    )
+    src = docs.select("doc_id", lined.alias("text"))
+    return src.select(
+        "doc_id",
+        *[
+            trigram_hits(F.col("text"), lang).alias(f"hits_{lang}")
+            for lang in sorted(LANG_TRIGRAMS)
+        ],
+        lang_id_trigram(F.col("text")).alias("trigram_lang"),
+    )
+
+
+_ZIPF_TOP_N = 200
+
+
+@_register(
+    "q_zipf_fit",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents),
+    freq AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS r, n
+      FROM freq),
+    top AS (SELECT ln(r::DOUBLE) AS x, ln(n::DOUBLE) AS y
+            FROM ranked WHERE r <= {_ZIPF_TOP_N}),
+    s AS (SELECT count(*)::DOUBLE AS k, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM top),
+    tot AS (SELECT count(*)::BIGINT AS n_types, sum(n)::BIGINT AS n_tokens
+            FROM freq)
+    SELECT
+      round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+      round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k,
+            6) AS zipf_intercept,
+      k::BIGINT AS n_ranks, n_types, n_tokens
+    FROM s, tot
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """functions/text.zipf_fit — least-squares ln(freq)~ln(rank) over
+    the top-200 token frequencies (corpus-health diagnostic: natural
+    language sits near slope -1, boilerplate flattens it, gibberish
+    steepens it). Closed-form normal-equation sums in both engines;
+    the ranked table is tiny after the one token groupBy."""
+    from cloud_crawler_spark.functions.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_n=_ZIPF_TOP_N)
+
+
+_NGRAM_TOP_K = 40
+
+
+@_register(
+    "q_ngram_topk",
+    f"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+               AS gram
+      FROM t),
+    freq AS (SELECT gram, count(*)::BIGINT AS n FROM g GROUP BY 1)
+    SELECT gram, n, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, gram ASC)::INT AS rank
+      FROM freq)
+    WHERE rank <= {_NGRAM_TOP_K}
+    """,
+)
+def q_ngram_topk(spark, sf_dir):
+    """functions/text.top_ngrams — corpus-wide top-40 word bigrams
+    (boilerplate-phrase / contamination-probe frequency table).
+    Bigram arrays are built JVM-side with zip_with over shifted
+    slices (the repetition_metrics construction), one map-side-
+    combinable groupBy, then a top-k window that only ever sees the
+    aggregated frequency table."""
+    from cloud_crawler_spark.functions.text import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    out = top_ngrams(docs, n=2, k=_NGRAM_TOP_K)
+    return out.select("gram", "n", F.col("rank").cast("int").alias("rank"))
+
+
+@_register(
+    "q_host_diversity",
+    """
+    WITH hosts AS (
+      SELECT 'h' || CAST(floor(sqrt(doc_id)) AS INT) AS host,
+             sum(n_chars)::DOUBLE AS w
+      FROM documents GROUP BY 1),
+    tot AS (SELECT sum(w) AS tw FROM hosts),
+    sh AS (SELECT w / tw AS s,
+                  row_number() OVER (ORDER BY w / tw DESC) AS r
+           FROM hosts, tot)
+    SELECT count(*)::BIGINT AS n_hosts,
+           round(max(CASE WHEN r = 1 THEN s END), 6) AS top1_share,
+           round(sum(CASE WHEN r <= 5 THEN s ELSE 0 END), 6) AS top5_share,
+           round(sum(s * s), 6) AS hhi,
+           round(-sum(s * ln(s)), 6) AS host_entropy
+    FROM sh
+    """,
+)
+def q_host_diversity(spark, sf_dir):
+    """functions/text.host_concentration — the corpus-diversity
+    scorecard (host count, top-1/top-5 share, Herfindahl index,
+    Shannon entropy) a curation pipeline reads before fixing mixture
+    weights. Hosts are the skewed floor(sqrt(doc_id)) buckets (host
+    h22 holds ~45 docs, h0 one), weighted by stored characters; ties
+    at the top-5 boundary carry equal shares, so the sum is
+    insensitive to their window order."""
+    from cloud_crawler_spark.functions.text import host_concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    hosted = docs.select(
+        F.concat(
+            F.lit("h"),
+            F.floor(F.sqrt(F.col("doc_id"))).cast("int").cast("string"),
+        ).alias("host"),
+        F.col("n_chars"),
+    )
+    return host_concentration(hosted, weight_col="n_chars")
+
+
 def queries():
     return dict(_Q)
 
