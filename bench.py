@@ -28,6 +28,8 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_containment",
     "q_knn_brute",
+    "q_pq_knn",
+    "q_embed_quantize",
     "q_hashed_vectors",
     "q_token_stats",
     "q_lang_id",

@@ -3868,6 +3868,108 @@ def q_host_diversity(spark, sf_dir):
     return host_concentration(hosted, weight_col="n_chars")
 
 
+@_register(
+    "q_embed_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+          FROM e),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(
+               v, x -> CASE WHEN scale > 0
+                            THEN greatest(-127, least(127,
+                                   floor(x / scale + 0.5)))::INT
+                            ELSE 0 END) AS q8
+      FROM s)
+    SELECT vec_id, q8, round(scale, 6) AS scale,
+           round(list_reduce(
+                   list_transform(range(1, len(v) + 1),
+                                  i -> pow(v[i] - q8[i] * scale, 2.0)),
+                   (a, b) -> a + b) / len(v), 6) AS mse
+    FROM q
+    """,
+)
+def q_embed_quantize(spark, sf_dir):
+    """operators/similarity.quantize_embeddings — symmetric int8
+    scalar quantization (scale = max|x|/127, half-up floor(x/s + .5))
+    with per-vector reconstruction MSE: 4x memory off the ANN corpus.
+    One codegen array projection, no UDF; the MSE fold is sequential
+    in index order, so the DuckDB list_reduce twin matches
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.quantize_embeddings(emb)
+
+
+_PQ_M, _PQ_K, _PQ_SAMPLE_MOD = 8, 16, 4
+
+
+@_register(
+    "q_pq_knn",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kk, v
+      FROM e WHERE vec_id % {_PQ_SAMPLE_MOD} = 0
+      ORDER BY vec_id LIMIT {_PQ_K}),
+    mm AS (SELECT unnest(range({_PQ_M}))::INT AS m),
+    sub_dim AS (SELECT (len(v) // {_PQ_M})::INT AS sd FROM e LIMIT 1),
+    cb AS (SELECT m, kk,
+                  init.v[m * sd + 1 : (m + 1) * sd] AS c
+           FROM init, mm, sub_dim),
+    subs AS (SELECT vec_id, m, e.v[m * sd + 1 : (m + 1) * sd] AS s
+             FROM e, mm, sub_dim),
+    dist AS (
+      SELECT vec_id, subs.m, kk,
+             list_reduce(
+               list_transform(range(1, (SELECT sd FROM sub_dim) + 1),
+                              i -> pow(s[i] - c[i], 2.0)),
+               (a, b) -> a + b) AS d
+      FROM subs JOIN cb ON cb.m = subs.m),
+    codes AS (
+      SELECT vec_id, m, kk AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, kk ASC) AS rn
+        FROM dist)
+      WHERE rn = 1),
+    dtab AS (SELECT vec_id AS query_id, m, kk, d
+             FROM dist WHERE vec_id % 100 = 0),
+    adc AS (
+      SELECT dt.query_id, c.vec_id AS neighbor_id,
+             list_reduce(list(dt.d ORDER BY dt.m), (a, b) -> a + b) AS a
+      FROM codes c JOIN dtab dt ON dt.m = c.m AND dt.kk = c.code
+      WHERE dt.query_id <> c.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, round(a, 6) AS adc_dist,
+           knn_rank::INT AS knn_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY a ASC, neighbor_id ASC)
+                      AS knn_rank
+          FROM adc)
+    WHERE knn_rank <= 5
+    """,
+)
+def q_pq_knn(spark, sf_dir):
+    """operators/similarity.pq_knn — product-quantization ADC top-k
+    (Jégou et al. 2011), the memory-bound 100 TB ANN path: the corpus
+    lives as m=8 small ints per vector, queries broadcast m x k
+    distance tables, candidates cost m table lookups via an equi-join
+    on (m, code). Registered with n_iters=0 (codebooks = sub-vectors
+    of the lowest-id sample rows, the IVF convention) and the
+    SQL-reproducible encoder, so codes, ADC sums (subspace-order
+    folds) and ranks match the DuckDB twin exactly; the Lloyd-trained
+    / Arrow-encoded path keeps its pytest recall + agreement gates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = SIM.pq_knn(
+        emb, queries, k=5, n_subspaces=_PQ_M, n_codes=_PQ_K,
+        n_iters=0, sample_mod=_PQ_SAMPLE_MOD, method="sql",
+    )
+    return out.select("query_id", "neighbor_id", "adc_dist",
+                      F.col("knn_rank").cast("int").alias("knn_rank"))
+
+
 def queries():
     return dict(_Q)
 
