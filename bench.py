@@ -48,6 +48,8 @@ HEADLINE = [
     "q_tfidf",
     "q_bm25",
     "q_trap_detection",
+    "q_cocitation",
+    "q_bibcoupling",
     "q_lm_perplexity",
     "q_vocab_coverage",
     "q_seq_pack",

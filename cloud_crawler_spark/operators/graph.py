@@ -334,3 +334,76 @@ def shortest_paths(
             F.col("depth").isNotNull().alias("visited"),
         )
     )
+
+
+def cocitation(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_out_degree: int = 1000,
+) -> DataFrame:
+    """Co-citation relatedness (Small 1973): pairs of pages cited
+    together — n_common = |{s : s->a and s->b}| for a < b. The classic
+    related-page / link-farm signal over a stored crawl's
+    link_edges_of output.
+
+    Scale shape: the self-join keys on src, so a hub with out-degree d
+    fans out d^2/2 pairs — the quadratic hot-key hazard. Sources above
+    `max_out_degree` are excluded BEFORE the join (the mirrors.py
+    gate; directory/sitemap hubs carry no relatedness signal anyway).
+    Distinct edges first, then one equi-join + one map-side-combinable
+    groupBy. Self-join sides are aliased (qualified refs — bare names
+    trip AMBIGUOUS_REFERENCE on a self-join).
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("_d"))
+    kept = (
+        e.join(deg, "src")
+        .where(F.col("_d") <= max_out_degree)
+        .select("src", "dst")
+    )
+    pairs = (
+        kept.alias("L")
+        .join(kept.alias("R"), F.expr("L.src = R.src"))
+        .where(F.expr("L.dst < R.dst"))
+        .select(F.expr("L.dst").alias("a"), F.expr("R.dst").alias("b"))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_in_degree: int = 1000,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): pairs of pages that cite
+    the same targets — n_common = |{t : a->t and b->t}| for a < b.
+    The forward-looking twin of cocitation (two pages linking the
+    same references are about the same thing NOW, while co-citation
+    needs the world to have linked them).
+
+    Same scale gate, mirrored: the join keys on dst, so targets above
+    `max_in_degree` (everyone links the homepage — pure noise) are
+    excluded before the join.
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("dst").agg(F.count("*").alias("_d"))
+    kept = (
+        e.join(deg, "dst")
+        .where(F.col("_d") <= max_in_degree)
+        .select("src", "dst")
+    )
+    pairs = (
+        kept.alias("L")
+        .join(kept.alias("R"), F.expr("L.dst = R.dst"))
+        .where(F.expr("L.src < R.src"))
+        .select(F.expr("L.src").alias("a"), F.expr("R.src").alias("b"))
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

@@ -3970,6 +3970,82 @@ def q_pq_knn(spark, sf_dir):
                       F.col("knn_rank").cast("int").alias("knn_rank"))
 
 
+_ARITH_EDGES_SQL = """
+    mod_n AS (SELECT count(*) AS m FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src,
+               (doc_id * 3 + 1) % (SELECT m FROM mod_n) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT m FROM mod_n)
+        FROM documents))
+"""
+
+
+def _arith_edges(spark, sf_dir):
+    """The arithmetic web's edge list as bare ids — the q_pagerank
+    graph without the crawl round-trip (src i -> (3i+1) mod N and
+    (7i+3) mod N)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 1) % n).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    return e1.unionByName(e2).distinct()
+
+
+@_register(
+    "q_cocitation",
+    f"""
+    WITH {_ARITH_EDGES_SQL},
+    pairs AS (
+      SELECT e1.dst AS a, e2.dst AS b
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst)
+    SELECT a, b, count(*)::BIGINT AS n_common
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_cocitation(spark, sf_dir):
+    """operators/graph.cocitation — co-citation relatedness (Small
+    1973) over the arithmetic web's edge list: pairs of pages cited
+    by the same sources, the related-page / link-farm signal. The
+    out-degree hub gate is a no-op here (every source has degree 2)
+    and is pinned separately in pytest."""
+    from cloud_crawler_spark.operators.graph import cocitation
+
+    return cocitation(_arith_edges(spark, sf_dir), min_common=1)
+
+
+@_register(
+    "q_bibcoupling",
+    f"""
+    WITH {_ARITH_EDGES_SQL},
+    pairs AS (
+      SELECT e1.src AS a, e2.src AS b
+      FROM edges e1 JOIN edges e2
+        ON e1.dst = e2.dst AND e1.src < e2.src)
+    SELECT a, b, count(*)::BIGINT AS n_common
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_bibcoupling(spark, sf_dir):
+    """operators/graph.bibliographic_coupling — Kessler 1963: pairs
+    of pages citing the same targets, the forward-looking twin of
+    co-citation (signal exists the moment a page is crawled, before
+    anyone links it). Same arithmetic web; the in-degree homepage
+    gate is a no-op here and pinned in pytest."""
+    from cloud_crawler_spark.operators.graph import bibliographic_coupling
+
+    return bibliographic_coupling(_arith_edges(spark, sf_dir), min_common=1)
+
+
 def queries():
     return dict(_Q)
 

@@ -131,3 +131,52 @@ def test_pagerank_ignores_edges_leaving_the_store(spark):
     want = _expected_pagerank(["0", "1"], [("0", "1"), ("1", "0")], iterations=2)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+class TestCocitationCoupling:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    def test_cocitation_counts(self, spark):
+        from cloud_crawler_spark.operators.graph import cocitation
+
+        # 0 cites {10,11}; 1 cites {10,11}; 2 cites {10}
+        e = self._edges(spark, [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10)])
+        got = {(r["a"], r["b"]): r["n_common"]
+               for r in cocitation(e).collect()}
+        assert got == {(10, 11): 2}
+
+    def test_cocitation_min_common_and_duplicate_edges(self, spark):
+        from cloud_crawler_spark.operators.graph import cocitation
+
+        e = self._edges(spark, [(0, 10), (0, 10), (0, 11), (1, 10), (1, 12)])
+        got = {(r["a"], r["b"]): r["n_common"]
+               for r in cocitation(e, min_common=1).collect()}
+        # duplicate (0,10) edge counts once; singleton pairs kept at min 1
+        assert got == {(10, 11): 1, (10, 12): 1}
+        assert cocitation(e, min_common=2).count() == 0
+
+    def test_cocitation_hub_gate(self, spark):
+        from cloud_crawler_spark.operators.graph import cocitation
+
+        rows = [(0, d) for d in range(10)] + [(1, 3), (1, 4)]
+        e = self._edges(spark, rows)
+        got = {(r["a"], r["b"]) for r in
+               cocitation(e, max_out_degree=5).collect()}
+        # the degree-10 hub is excluded before the join
+        assert got == {(3, 4)}
+
+    def test_coupling_counts_and_gate(self, spark):
+        from cloud_crawler_spark.operators.graph import (
+            bibliographic_coupling,
+        )
+
+        # 0 and 1 both cite {10, 11}; everyone cites 99 (homepage)
+        e = self._edges(
+            spark,
+            [(0, 10), (0, 11), (1, 10), (1, 11),
+             (0, 99), (1, 99), (2, 99), (3, 99)],
+        )
+        got = {(r["a"], r["b"]): r["n_common"]
+               for r in bibliographic_coupling(e, max_in_degree=3).collect()}
+        assert got == {(0, 1): 2}
