@@ -75,6 +75,9 @@ HEADLINE = [
     "q_host_diversity",
     "q_bpe_merges",
     "q_events_hourly",
+    "q_sessionize",
+    "q_url_templates",
+    "q_quality_lr",
     "q_politeness_topk",
     "q_budget_allocation",
     "q_crawl_bfs",

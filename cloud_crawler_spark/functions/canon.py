@@ -417,3 +417,18 @@ def canonical_aliases(
         .cast("long")
         .alias("is_alias"),
     )
+
+
+def url_template(url_col) -> "F.Column":
+    """URL template key for pattern mining: digit runs collapse to
+    '{n}' and query-parameter values to '=*', so shard hosts
+    (h1/h2/h3.cdn.com), paginated paths (/page/2) and id-carrying
+    params (?item=123&page=4) all land on one key. GroupBy this key to
+    find crawler traps the per-URL heuristics miss (one template, ten
+    million URLs), to budget frontiers per site SECTION instead of per
+    host, and to pick representative URLs per template for recrawl
+    sampling. Pure codegen string algebra (two regexp_replace passes),
+    zero shuffle, no UDF — the same regexes run verbatim in the DuckDB
+    oracle."""
+    t = F.regexp_replace(url_col, "[0-9]+", "{n}")
+    return F.regexp_replace(t, "=[^&#]*", "=*")

@@ -701,3 +701,60 @@ def host_concentration(df, host_col: str = "host", weight_col=None):
         F.round(-F.sum(F.col("s") * F.log(F.col("s"))), 6)
         .alias("host_entropy"),
     )
+
+
+# ----------------------------------------------------------------------
+# Model-based quality filter: logistic-regression inference
+# ----------------------------------------------------------------------
+
+# Hand-set interpretable weights over the quality_features ratios (the
+# fastText/FineWeb-Edu-style classifier gate, reduced to a linear model
+# whose inference is pure codegen arithmetic). Positive signal: natural
+# stopword density and moderate punctuation; negative: extreme token
+# lengths (word salad / base64 blobs).
+LR_QUALITY_WEIGHTS = {
+    "bias": -1.5,
+    "stop_ratio": 9.0,       # stopwords per token — the strongest signal
+    "punct_ratio": 4.0,      # punctuation per char
+    "avg_token_len": -0.15,  # penalize very long average tokens
+    "log_tokens": 0.25,      # mild length prior
+}
+
+
+def lr_quality_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict | None = None,
+    threshold: float = 0.5,
+):
+    """Logistic-regression quality classifier INFERENCE: score =
+    sigmoid(w . x) over deterministic text ratios, keep = score >=
+    threshold. The shape of every model-based corpus filter (quality,
+    toxicity, educational value): train offline, ship weights, score
+    the corpus in one embarrassingly-parallel pass. One codegen
+    projection — ratios, one exp(), no UDF, no shuffle; the DuckDB
+    oracle evaluates the identical formula (exp/ln float parity holds
+    at full precision on the bench hosts, as with entropy/KL).
+    """
+    w = weights or LR_QUALITY_WEIGHTS
+    t = F.col(text_col)
+    n_tok = token_count(t).cast("double")
+    stop_ratio = stopword_hits(t, "en") / F.greatest(n_tok, F.lit(1.0))
+    punct_ratio = punct_count(t) / F.greatest(
+        F.length(t).cast("double"), F.lit(1.0)
+    )
+    avg_len = F.length(t) / F.greatest(n_tok, F.lit(1.0))
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["stop_ratio"]) * stop_ratio
+        + F.lit(w["punct_ratio"]) * punct_ratio
+        + F.lit(w["avg_token_len"]) * avg_len
+        + F.lit(w["log_tokens"]) * F.log(F.lit(1.0) + n_tok)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(
+        F.col(id_col),
+        F.round(score, 6).alias("lr_score"),
+        (score >= threshold).cast("long").alias("keep_lr"),
+    )

@@ -1,0 +1,73 @@
+"""Gap-based sessionization of event streams.
+
+The batch twin of the streaming ingest's stateful rollups: split each
+entity's event sequence into sessions wherever the inter-event gap
+exceeds a timeout, then aggregate per session. The crawl engine uses
+the same shape for recurring-source visit analysis (per-host fetch
+sessions) and for log-derived politeness tuning (how long does a host
+stay "hot" after we start hitting it).
+
+Scale shape: ONE shuffle on the entity key feeds both the lag() and
+the running-sum window (same partitioning + sort, Spark reuses the
+exchange), then one map-side-combinable groupBy on (entity,
+session_seq). No join, no UDF, no driver state. All time arithmetic is
+integer microseconds (unix_micros ≙ DuckDB epoch_us), so the oracle
+matches bit-for-bit — no float epoch drift. Skewed mega-entities bound
+the window's partition size — for 100 TB, pre-split entities above a
+row cap by day before sessionizing (a no-op for web-scale user/host
+keys, which are far below executor memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US = 1_000_000
+
+
+def sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Split each entity's events into sessions at gaps > `gap_sec`.
+
+    Returns one row per session: (entity, session_seq [1-based, in
+    time order], n_events, start_epoch, end_epoch [floor seconds],
+    duration_sec [floor of the microsecond span]). Equal-timestamp
+    events share a session (gap 0) and count once each.
+    """
+    staged = events.select(
+        F.col(entity_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    ep = F.col("_us")
+    w = Window.partitionBy(entity_col).orderBy(ep.asc())
+    gap = ep - F.lag(ep).over(w)
+    is_break = F.when(
+        gap.isNull() | (gap <= F.lit(gap_sec * US)), 0
+    ).otherwise(1)
+    wsum = Window.partitionBy(entity_col).orderBy(ep.asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = staged.select(
+        F.col(entity_col), ep, is_break.alias("_brk")
+    ).withColumn("session_seq", (F.sum("_brk").over(wsum) + 1).cast("long"))
+    agg = tagged.groupBy(entity_col, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("_us").alias("_smin"),
+        F.max("_us").alias("_smax"),
+    )
+    # integer `div`, never float `/`: epoch micros sit near 2^53 where a
+    # float quotient can land one ulp under an exact second and floor off
+    return agg.select(
+        entity_col,
+        "session_seq",
+        "n_events",
+        F.expr(f"_smin div {US}").cast("long").alias("start_epoch"),
+        F.expr(f"_smax div {US}").cast("long").alias("end_epoch"),
+        F.expr(f"(_smax - _smin) div {US}").cast("long")
+        .alias("duration_sec"),
+    )

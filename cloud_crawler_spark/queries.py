@@ -4046,6 +4046,156 @@ def q_bibcoupling(spark, sf_dir):
     return bibliographic_coupling(_arith_edges(spark, sf_dir), min_common=1)
 
 
+@_register(
+    "q_sessionize",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    l AS (SELECT user_id, us,
+                 lag(us) OVER (PARTITION BY user_id ORDER BY us ASC) AS p
+          FROM e),
+    b AS (SELECT user_id, us,
+                 CASE WHEN p IS NULL OR us - p <= 1800 * 1000000
+                      THEN 0 ELSE 1 END AS brk
+          FROM l),
+    s AS (SELECT user_id,
+                 (sum(brk) OVER (PARTITION BY user_id ORDER BY us ASC
+                                 ROWS UNBOUNDED PRECEDING) + 1)::BIGINT
+                   AS session_seq,
+                 us
+          FROM b)
+    SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+           (min(us) // 1000000)::BIGINT AS start_epoch,
+           (max(us) // 1000000)::BIGINT AS end_epoch,
+           ((max(us) - min(us)) // 1000000)::BIGINT AS duration_sec
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """operators/sessions.sessionize — gap-based sessionization (30
+    min timeout) of the events stream per user: lag + running-sum
+    windows sharing ONE shuffle, then a keyed groupBy. All time
+    arithmetic is integer microseconds (unix_micros ≙ epoch_us) with
+    integer `div`, so the oracle matches without float epoch drift."""
+    from cloud_crawler_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_sec=1800)
+
+
+@_register(
+    "q_url_templates",
+    """
+    WITH u AS (
+      SELECT CASE doc_id % 4
+        WHEN 0 THEN 'http://h' || (doc_id % 16) || '.ex.com/item/'
+                    || doc_id || '?page=' || (doc_id % 5)
+        WHEN 1 THEN 'http://ex.com/blog/2024/' || (doc_id % 12 + 1)
+                    || '/post-' || doc_id
+        WHEN 2 THEN 'http://ex.com/static/about'
+        ELSE 'http://cdn' || (doc_id % 3) || '.ex.com/asset?id='
+             || doc_id || '&v=2'
+      END AS url
+      FROM documents),
+    t AS (
+      SELECT url,
+             regexp_replace(
+               regexp_replace(url, '[0-9]+', '{n}', 'g'),
+               '=[^&#]*', '=*', 'g') AS template,
+             regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+      FROM u)
+    SELECT template, count(*)::BIGINT AS n_urls,
+           count(DISTINCT host)::BIGINT AS n_hosts,
+           min(url) AS example_url
+    FROM t GROUP BY 1
+    """,
+)
+def q_url_templates(spark, sf_dir):
+    """functions/canon.url_template — URL template mining: digit runs
+    -> '{n}', query values -> '=*', then one groupBy: shard hosts,
+    paginated sections and id-carrying params collapse onto one key
+    (the template-level trap/budget signal per-URL heuristics miss).
+    Four synthetic URL shapes (sharded items, dated blog, static,
+    CDN assets) exercise host digits, path digits and query values."""
+    from cloud_crawler_spark.functions.canon import url_template
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit("http://h"), s(d % 16), F.lit(".ex.com/item/"), s(d),
+            F.lit("?page="), s(d % 5)))
+        .when(d % 4 == 1, F.concat(
+            F.lit("http://ex.com/blog/2024/"), s(d % 12 + 1),
+            F.lit("/post-"), s(d)))
+        .when(d % 4 == 2, F.lit("http://ex.com/static/about"))
+        .otherwise(F.concat(
+            F.lit("http://cdn"), s(d % 3), F.lit(".ex.com/asset?id="),
+            s(d), F.lit("&v=2")))
+    )
+    u = docs.select(url.alias("url"))
+    return (
+        u.select(
+            "url",
+            url_template(F.col("url")).alias("template"),
+            F.regexp_extract("url", r"^https?://([^/?#]+)", 1).alias("host"),
+        )
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.min("url").alias("example_url"),
+        )
+    )
+
+
+def _lr_oracle_sql() -> str:
+    from cloud_crawler_spark.functions.text import (
+        LR_QUALITY_WEIGHTS as W,
+        STOPWORDS,
+    )
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> ''))::DOUBLE AS n_tok,
+             (length(text)
+              - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::DOUBLE
+               AS n_punct,
+             length(text)::DOUBLE AS n_chars,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> list_contains([{sw}], t)))::DOUBLE
+               AS n_stop
+      FROM documents),
+    z AS (
+      SELECT doc_id,
+             {W['bias']}
+             + {W['stop_ratio']} * (n_stop / greatest(n_tok, 1.0))
+             + {W['punct_ratio']} * (n_punct / greatest(n_chars, 1.0))
+             + ({W['avg_token_len']}) * (n_chars / greatest(n_tok, 1.0))
+             + {W['log_tokens']} * ln(1.0 + n_tok) AS z
+      FROM c)
+    SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS lr_score,
+           (1.0 / (1.0 + exp(-z)) >= 0.5)::BIGINT AS keep_lr
+    FROM z
+    """
+
+
+@_register("q_quality_lr", _lr_oracle_sql())
+def q_quality_lr(spark, sf_dir):
+    """functions/text.lr_quality_score — model-based quality filter
+    inference (the fastText/FineWeb-Edu classifier-gate shape reduced
+    to a linear model): sigmoid over stopword/punctuation ratios,
+    average token length and a log-length prior, fixed public
+    weights, keep at 0.5. One codegen projection, one exp(); the
+    oracle evaluates the identical formula (exp/ln parity holds at
+    full precision, as with entropy/KL)."""
+    from cloud_crawler_spark.functions.text import lr_quality_score
+
+    return lr_quality_score(_t(spark, sf_dir, "documents"))
+
+
 def queries():
     return dict(_Q)
 
