@@ -29,11 +29,15 @@ from cloud_crawler_spark.functions.lines import strip_common_lines
 from cloud_crawler_spark.functions.text import (
     char_entropy,
     gopher_quality,
+    host_concentration,
     lang_id,
+    lang_id_trigram,
+    lr_quality_score,
     repetition_metrics,
     script_profile,
     scrub_pii,
     unit_repetition_metrics,
+    zipf_fit,
 )
 from cloud_crawler_spark.operators.blocklist import apply_blocklist
 from cloud_crawler_spark.operators.dedup import decontaminate, exact_dedup, span_dedup
@@ -42,6 +46,7 @@ from cloud_crawler_spark.operators.similarity import hashed_vectors
 
 spark = (
     SparkSession.builder.master("local[4]")
+    .config("spark.driver.memory", "4g")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
@@ -90,6 +95,19 @@ for gate in (rep, linerep, gq, spam, ent):
     docs = docs.join(gate, "doc_id", "left_semi")
 docs = docs.where(F.col("lang_pred").isin("en", "de"))
 
+# 4b. model-based gate: LR classifier inference (threshold lowered —
+#     the synthetic corpus carries no punctuation, so the punct term
+#     contributes 0 and scores top out near 0.49)
+lr = lr_quality_score(docs, threshold=0.2) \
+    .where(F.col("keep_lr") == 1).select("doc_id")
+docs = docs.join(lr, "doc_id", "left_semi")
+
+# 4c. language consensus: the trigram profile must agree with the
+#     stopword vote (or abstain) — two independent heuristics
+docs = docs.withColumn("lang_tri", lang_id_trigram(F.col("text"))).where(
+    (F.col("lang_tri") == F.col("lang_pred")) | (F.col("lang_tri") == "und")
+).drop("lang_tri")
+
 # 5. exact dedup (min-id survivor per identical text)
 docs = docs.join(exact_dedup(docs).select("doc_id"), "doc_id", "left_semi")
 
@@ -103,12 +121,39 @@ docs = decontaminate(docs, bench, n=4).where(F.col("contaminated") == 0)
 
 # 8. mixture sampling: keep 50% of en, 80% of the rest
 out = stratified_sample(docs, rates_permille={"en": 500}, default_permille=800)
+# truncate the 8-stage lineage before the fan-out stages below: zipf /
+# diversity / PQ each re-derive `out` several times, and the nested
+# plan alone (not the data) is what overflows the driver otherwise
+out = out.localCheckpoint(eager=True)
 
 # 9. feature-hashed vectors: the text->vector bridge for the ANN stack
 vecs = hashed_vectors(out, dim=32, l2_normalize=True)
 
+# 10. PQ-compress the vectors for the ANN store: m=4 codes/vector
+#     (the 100 TB memory story — codes + codebooks replace the floats)
+from cloud_crawler_spark.operators.similarity import (  # noqa: E402
+    pq_encode,
+    train_pq_codebooks,
+)
+
+emb = vecs.select(F.col("doc_id").alias("vec_id"),
+                  F.col("vec").alias("embedding"))
+books = train_pq_codebooks(emb, n_subspaces=4, n_codes=16, n_iters=1)
+codes = pq_encode(emb, books, method="arrow")
+
+# 11. corpus health report (one-row diagnostics a pipeline logs per dump)
+zipf = zipf_fit(out).collect()[0]
+hosted = out.withColumn(
+    "host", F.concat(F.lit("h"), F.col("doc_id") % 7))
+div = host_concentration(hosted, weight_col="n_chars").collect()[0]
+
 print("surviving docs:", out.count())
 print("vectorized:", vecs.where(F.col("n_tokens") > 0).count())
+print("pq codes:", codes.count(), "(4 per vector)")
+print(f"zipf slope {zipf['zipf_slope']} over {zipf['n_types']} types / "
+      f"{zipf['n_tokens']} tokens")
+print(f"host diversity: hhi {div['hhi']} entropy {div['host_entropy']} "
+      f"top1 {div['top1_share']}")
 out.select("doc_id", "lang", F.substring("text", 1, 60).alias("text_head")) \
    .orderBy("doc_id").show(10, truncate=False)
 spark.stop()
