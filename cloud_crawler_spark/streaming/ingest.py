@@ -313,3 +313,33 @@ def streaming_crawl(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation — the streaming twin of
+    operators/sessions.sessionize, on Spark's built-in session_window
+    (merge events whose [t, t+gap) windows overlap) instead of the
+    batch lag/running-sum windows. State is bounded by the watermark:
+    a session closes (and emits, in append mode) once the watermark
+    passes its end, so per-entity state never outlives gap+watermark.
+
+    Output: session STRUCT<start,end>, entity, n_events. Boundary
+    nuance vs the batch operator: an event exactly `gap` after its
+    predecessor starts a NEW session here ([t, t+gap) half-open
+    merge), while the batch rule `gap <= timeout` keeps it — equal
+    only away from that knife edge, which is where real data lives.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(entity_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )

@@ -191,3 +191,56 @@ def test_streaming_crawl_cross_batch_seen(spark, tmp_path):
     assert sorted(set(got)) == sorted(
         f"http://www.example.com/{u}" for u in ("0", "1", "2", "4", "5"))
     assert len(got) == len(set(got))  # nothing fetched twice
+
+
+def test_session_rollup_stream_matches_batch_and_operator(spark, tmp_path):
+    from cloud_crawler_spark.operators.sessions import sessionize
+    from cloud_crawler_spark.streaming.ingest import session_rollup
+
+    # user 1: two sessions well clear of the 30-min boundary;
+    # user 2: one session; a final late anchor event advances the
+    # watermark far enough that availableNow emits everything
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=5)),         # session A
+        (1, t0 + dt.timedelta(hours=3)),                    # session B
+        (2, t0 + dt.timedelta(minutes=1)),                  # session C
+        (99, t0 + dt.timedelta(days=2)),                    # watermark anchor
+    ]
+    d = str(tmp_path / "sess_events")
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    events.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = session_rollup(
+        spark.readStream.schema("user_id long, ts timestamp").parquet(d)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("session_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session"]["start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM session_sink").collect()
+    }
+    want = {
+        (r["user_id"], r["session"]["start"], r["n_events"])
+        for r in session_rollup(spark.read.parquet(d)).collect()
+    }
+    # append emits only watermark-closed sessions; the anchor's own
+    # session may stay open, everything else must have emitted
+    assert got <= want
+    closed = {g for g in got if g[0] != 99}
+    assert closed == {g for g in want if g[0] != 99}
+
+    # cross-check session boundaries against the batch lag operator
+    # (identical away from the exact-gap knife edge, as here)
+    op = {
+        (r["user_id"], r["n_events"])
+        for r in sessionize(events, gap_sec=1800).collect()
+    }
+    assert {(g[0], g[2]) for g in want} == op
