@@ -61,6 +61,8 @@ HEADLINE = [
     "q_url_strip_tracking",
     "q_line_filter",
     "q_strip_common",
+    "q_host_chrome",
+    "q_source_dedup",
     "q_surt_keys",
     "q_canonical_aliases",
     "q_mirror_hosts",

@@ -100,6 +100,7 @@ def strip_common_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_max_lines: int = 100_000,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Cross-CORPUS duplicated-line removal (the RefinedWeb/CCNet
     boilerplate pass `clean_lines` cannot do): a line that appears in
@@ -118,23 +119,33 @@ def strip_common_lines(
     `broadcast_max_lines`, shuffle anti-join past it) and the hot
     keys never shuffle. Reassembly is one groupBy(doc) over
     sort_array(collect_list(struct(pos, line))).
+
+    With `scope_col` (e.g. host) the pass becomes the RefinedWeb
+    WITHIN-SITE chrome strip: a line must repeat across `min_docs`
+    documents OF THE SAME SCOPE to be stripped there — one site's
+    banner never bleeds into another's counting, and a globally-rare
+    line that happens to be one host's boilerplate is still caught.
+    Counting keys and the anti-join become (scope, line); the shape
+    is otherwise identical.
     """
+    scope = [scope_col] if scope_col else []
     lines = df.select(
         F.col(id_col),
+        *[F.col(c) for c in scope],
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     candidates = lines.where(F.trim(F.col("line")) != "")
     common = (
-        candidates.groupBy("line")
+        candidates.groupBy(*scope, "line")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
-        .select("line")
+        .select(*scope, "line")
     )
     n_common = common.count()
     if n_common <= broadcast_max_lines:
         common = F.broadcast(common)
     kept = lines.where(F.trim(F.col("line")) == "").unionByName(
-        candidates.join(common, "line", "left_anti")
+        candidates.join(common, [*scope, "line"], "left_anti")
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(

@@ -702,6 +702,34 @@ def latest_snapshot(df: DataFrame, key_col: str = "url", ts_col: str = "warc_ts"
     )
 
 
+def priority_dedup(df: DataFrame, key_col: str = "fp",
+                   rank_col: str = "source_rank",
+                   tiebreak_col: str = "doc_id") -> DataFrame:
+    """Cross-corpus duplicate election by SOURCE PRIORITY: when the
+    same content key appears in several corpora (curated dump, fresh
+    crawl, CC backfill), keep the row from the most-trusted source —
+    lowest rank_col wins, ties broken by tiebreak_col (Dolma/Pile-
+    style union building, where curated text beats its web mirror).
+
+    Plan shape — latest_snapshot's, with min_by in place of max_by:
+    ONE groupBy(key) with min_by(payload struct, (rank, tiebreak)),
+    map-side partial, no window, no join-back.
+    """
+    others = [c for c in df.columns
+              if c not in (key_col, rank_col, tiebreak_col)]
+    packed = F.struct(
+        F.col(rank_col), F.col(tiebreak_col), *[F.col(c) for c in others]
+    )
+    order = F.struct(F.col(rank_col), F.col(tiebreak_col))
+    best = df.groupBy(key_col).agg(F.min_by(packed, order).alias("_b"))
+    return best.select(
+        F.col(key_col),
+        F.col(f"_b.{rank_col}").alias(rank_col),
+        F.col(f"_b.{tiebreak_col}").alias(tiebreak_col),
+        *[F.col(f"_b.{c}").alias(c) for c in others],
+    )
+
+
 def intradoc_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    window: int = 10) -> DataFrame:
     """Within-document span dedup (Dolma-style repeated-paragraph

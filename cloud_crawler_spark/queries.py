@@ -4196,6 +4196,101 @@ def q_quality_lr(spark, sf_dir):
     return lr_quality_score(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "q_host_chrome",
+    """
+    WITH lined AS (
+      SELECT doc_id, 'h' || (doc_id % 5) AS host,
+             'Banner of host ' || (doc_id % 5) ||
+             CASE WHEN doc_id % 25 = 0
+                  THEN chr(10) || 'Rare global line' ELSE '' END ||
+             chr(10) || text AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, host,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM lined),
+    common AS (
+      SELECT host, line FROM (
+        SELECT host, line, count(DISTINCT doc_id) AS n_docs
+        FROM lines WHERE trim(line) <> '' GROUP BY 1, 2)
+      WHERE n_docs >= 30),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l
+      WHERE trim(l.line) = ''
+         OR NOT EXISTS (SELECT 1 FROM common c
+                        WHERE c.host = l.host AND c.line = l.line)),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             count(*)::BIGINT AS n_kept
+      FROM kept GROUP BY doc_id)
+    SELECT l.doc_id,
+           coalesce(r.text_clean, '') AS text_clean,
+           len(string_split(l.text, chr(10)))::BIGINT AS n_lines,
+           coalesce(r.n_kept, 0)::BIGINT AS n_kept
+    FROM lined l LEFT JOIN rebuilt r ON r.doc_id = l.doc_id
+    """,
+)
+def q_host_chrome(spark, sf_dir):
+    """functions/lines.strip_common_lines(scope_col='host') — the
+    RefinedWeb WITHIN-SITE chrome strip: each of 5 synthetic hosts
+    gets its own banner line (100 docs/host at sf0.01 — stripped),
+    while a 'Rare global line' salted into every 25th doc stays (only
+    ~4 occurrences per host, under the min_docs=30 bar within every
+    scope). Counting keys and the anti-join are (host, line); one
+    host's boilerplate never bleeds into another's counting."""
+    from cloud_crawler_spark.functions.lines import strip_common_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
+    banner = F.concat(F.lit("Banner of host "),
+                      (F.col("doc_id") % 5).cast("string"))
+    rare = F.when(F.col("doc_id") % 25 == 0,
+                  F.lit("\nRare global line")).otherwise(F.lit(""))
+    lined = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(banner, rare, F.lit("\n"), F.col("text")).alias("text"),
+    )
+    return strip_common_lines(lined, min_docs=30, scope_col="host")
+
+
+@_register(
+    "q_source_dedup",
+    """
+    WITH keyed AS (
+      SELECT doc_id, doc_id % 250 AS content_key,
+             doc_id % 3 AS source_rank, n_chars
+      FROM documents)
+    SELECT content_key, source_rank, doc_id, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY content_key
+                                   ORDER BY source_rank, doc_id) AS rn
+      FROM keyed)
+    WHERE rn = 1
+    """,
+)
+def q_source_dedup(spark, sf_dir):
+    """operators/dedup.priority_dedup — cross-corpus duplicate
+    election by source priority (Dolma/Pile union building: curated
+    text beats its web mirror): one groupBy(key) with min_by(payload,
+    (rank, tiebreak)) — map-side partial, no window, no join-back.
+    Synthetic duplicates: content_key = doc_id % 250 (two claimants
+    per key), source_rank = doc_id % 3."""
+    from cloud_crawler_spark.operators.dedup import priority_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 250).alias("content_key"),
+        (F.col("doc_id") % 3).alias("source_rank"),
+        "n_chars",
+    )
+    return priority_dedup(keyed, key_col="content_key")
+
+
 def queries():
     return dict(_Q)
 

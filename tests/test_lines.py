@@ -144,3 +144,52 @@ class TestStripCommonLines:
         b = strip_common_lines(df, min_docs=6,
                                broadcast_max_lines=0).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestScopedChromeStrip:
+    def test_scope_confines_counting(self, spark):
+        from cloud_crawler_spark.functions.lines import strip_common_lines
+
+        # 'SAME BANNER' appears in 3 docs of host A but only 1 of host B
+        rows = [
+            (1, "A", "SAME BANNER\nalpha"),
+            (2, "A", "SAME BANNER\nbeta"),
+            (3, "A", "SAME BANNER\ngamma"),
+            (4, "B", "SAME BANNER\ndelta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        got = {
+            r["doc_id"]: r["text_clean"]
+            for r in strip_common_lines(df, min_docs=3,
+                                        scope_col="host").collect()
+        }
+        # stripped within host A (3 >= 3), kept in host B (1 < 3)
+        assert got[1] == "alpha" and got[3] == "gamma"
+        assert got[4] == "SAME BANNER\ndelta"
+
+    def test_unscoped_default_unchanged(self, spark):
+        from cloud_crawler_spark.functions.lines import strip_common_lines
+
+        rows = [(i, "SAME\nu%d" % i) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text_clean"]
+               for r in strip_common_lines(df, min_docs=4).collect()}
+        assert got[0] == "u0"
+
+
+class TestPriorityDedup:
+    def test_lowest_rank_wins_then_tiebreak(self, spark):
+        from cloud_crawler_spark.operators.dedup import priority_dedup
+
+        rows = [
+            ("k1", 2, 10, "cc"),
+            ("k1", 0, 11, "curated"),   # wins: rank 0
+            ("k1", 0, 12, "curated2"),  # loses tiebreak to doc 11
+            ("k2", 1, 20, "web"),
+        ]
+        df = spark.createDataFrame(
+            rows, "fp string, source_rank int, doc_id long, body string"
+        )
+        got = {r["fp"]: (r["doc_id"], r["body"])
+               for r in priority_dedup(df).collect()}
+        assert got == {"k1": (11, "curated"), "k2": (20, "web")}
