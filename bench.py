@@ -34,6 +34,7 @@ HEADLINE = [
     "q_token_stats",
     "q_lang_id",
     "q_fingerprint",
+    "q_winnow",
     "q_gopher_repetition",
     "q_gopher_quality",
     "q_unit_repetition",

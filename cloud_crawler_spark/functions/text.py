@@ -758,3 +758,84 @@ def lr_quality_score(
         F.round(score, 6).alias("lr_score"),
         (score >= threshold).cast("long").alias("keep_lr"),
     )
+
+
+# ----------------------------------------------------------------------
+# Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 — MOSS)
+# ----------------------------------------------------------------------
+
+# encode (hash asc, pos desc) as ONE BIGINT so the window min needs no
+# struct ordering: key = h * POS_SPAN + (POS_SPAN - pos). Rightmost-min
+# ("robust winnowing") falls out of the min() and both engines compare
+# plain integers.
+_WINNOW_POS_SPAN = 1 << 32
+
+
+def winnow_fingerprints(
+    df,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing (Schleimer et al. 2003): hash every k-gram, slide a
+    w-window over the hash sequence, select each window's minimum
+    (ties -> rightmost), dedup selections. Guarantees every match of
+    length >= w+k-1 shares a fingerprint while storing ~2/(w+1) of all
+    hashes — the position-robust near-dup/plagiarism fingerprint that
+    fixed-stride sampling can't give.
+
+    The k-gram hash is the repo's engine-stable md5 arithmetic
+    (hash_permille's conv(substr(md5,1,4)) over substring(text,p,k)),
+    so the DuckDB oracle reproduces every selection exactly.
+
+    Scale shape: positions are generated JVM-side (transform over
+    sequence), exploded once; the ONLY shuffle is the per-doc window
+    sort (doc_id partitioning), and only (id, pos, int hash) rows ride
+    it — k-gram text never leaves the scan stage. Selection is a
+    plain-BIGINT window min + distinct (map-side combinable). Output:
+    (id_col, pos [1-based], fp) — the document's fingerprint set.
+    """
+    t = F.col(text_col)
+    n_pos = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")  # noqa: E731
+    # sequence(1, 0) auto-DESCENDS to [1, 0] — guard docs shorter than k
+    idx = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda p: F.struct(
+            p.alias("pos"),
+            (
+                h(F.substring(t, p, F.lit(k)))
+                * F.lit(_WINNOW_POS_SPAN)
+                + (F.lit(_WINNOW_POS_SPAN) - p)
+            ).alias("key"),
+        ),
+    )
+    rows = df.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.key").alias("key"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = rows.select(
+        F.col(id_col),
+        F.col("pos").alias("_end"),
+        F.min("key").over(w).alias("_mkey"),
+    ).where(F.col("_end") >= window)  # full windows only
+    return (
+        sel.select(
+            F.col(id_col),
+            (F.lit(_WINNOW_POS_SPAN) - F.col("_mkey") % _WINNOW_POS_SPAN)
+            .cast("long")
+            .alias("pos"),
+            (F.col("_mkey") / F.lit(_WINNOW_POS_SPAN))
+            .cast("long")
+            .alias("fp"),
+        )
+        .distinct()
+    )

@@ -4291,6 +4291,50 @@ def q_source_dedup(spark, sf_dir):
     return priority_dedup(keyed, key_col="content_key")
 
 
+_WINNOW_K, _WINNOW_W, _WINNOW_SPAN = 12, 6, 1 << 32
+
+
+def _winnow_oracle_sql() -> str:
+    h = _hex4_sql(f"substr(text, p::INT, {_WINNOW_K})")
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1,
+               greatest(length(text) - {_WINNOW_K - 1}, 0) + 1)) AS p
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, p,
+             ({h})::BIGINT * {_WINNOW_SPAN}
+             + ({_WINNOW_SPAN} - p) AS key
+      FROM pos),
+    m AS (
+      SELECT doc_id, p AS e,
+             min(key) OVER (PARTITION BY doc_id ORDER BY p ASC
+                            ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                            AND CURRENT ROW) AS mkey
+      FROM keyed)
+    SELECT DISTINCT doc_id,
+           ({_WINNOW_SPAN} - (mkey % {_WINNOW_SPAN}))::BIGINT AS pos,
+           (mkey // {_WINNOW_SPAN})::BIGINT AS fp
+    FROM m WHERE e >= {_WINNOW_W}
+    """
+
+
+@_register("q_winnow", _winnow_oracle_sql())
+def q_winnow(spark, sf_dir):
+    """functions/text.winnow_fingerprints — winnowing (Schleimer et
+    al. 2003, the MOSS fingerprint): k-gram md5 hashes, sliding-window
+    minimum with rightmost tie-break (encoded as one BIGINT key so
+    both engines compare plain integers), distinct selections. Every
+    match of length >= w+k-1 shares a fingerprint at ~2/(w+1) storage;
+    k-gram text never leaves the scan stage — only (id, pos, int)
+    rows ride the one per-doc window shuffle."""
+    from cloud_crawler_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
+
+
 def queries():
     return dict(_Q)
 

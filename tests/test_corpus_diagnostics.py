@@ -165,3 +165,56 @@ class TestHostConcentration:
         row = host_concentration(df).collect()[0]
         assert row["hhi"] == pytest.approx(1.0, abs=1e-6)
         assert row["host_entropy"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestWinnowing:
+    def test_guarantee_shared_fingerprint_on_long_match(self, spark):
+        from cloud_crawler_spark.functions.text import winnow_fingerprints
+
+        # identical substring of length >= w+k-1 MUST share a selected
+        # fingerprint (the winnowing guarantee)
+        shared = "thequickbrownfoxjumps"   # len 21 >= 4+8-1
+        df = spark.createDataFrame(
+            [(1, "XXXX" + shared + "YYYYYY"), (2, "ZZ" + shared + "WW")],
+            "doc_id long, text string",
+        )
+        out = winnow_fingerprints(df, k=8, window=4).collect()
+        fps = {1: set(), 2: set()}
+        for r in out:
+            fps[r["doc_id"]].add(r["fp"])
+        assert fps[1] & fps[2]
+
+    def test_density_bound(self, spark):
+        from cloud_crawler_spark.functions.text import winnow_fingerprints
+
+        text = "abcdefghij" * 40  # periodic, 400 chars
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        n_sel = winnow_fingerprints(df, k=8, window=4).count()
+        n_pos = len(text) - 7
+        assert n_sel <= n_pos  # never denser than the hash sequence
+
+    def test_short_and_empty_docs_yield_nothing(self, spark):
+        from cloud_crawler_spark.functions.text import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "short"), (2, "")], "doc_id long, text string"
+        )
+        assert winnow_fingerprints(df, k=8, window=1).count() == 0
+
+    def test_rightmost_min_positions_selected(self, spark):
+        from cloud_crawler_spark.functions.text import winnow_fingerprints
+
+        # repeated content: selections repeat at the period offset
+        df = spark.createDataFrame(
+            [(1, "abcdef" * 3)], "doc_id long, text string"
+        )
+        got = sorted(
+            (r["pos"], r["fp"])
+            for r in winnow_fingerprints(df, k=4, window=3).collect()
+        )
+        by_fp = {}
+        for pos, fp in got:
+            by_fp.setdefault(fp, []).append(pos)
+        # every selected fp recurs at stride 6 (the content period)
+        for fp, poss in by_fp.items():
+            assert all((b - a) % 6 == 0 for a, b in zip(poss, poss[1:]))
