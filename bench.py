@@ -82,6 +82,10 @@ HEADLINE = [
     "q_url_templates",
     "q_quality_lr",
     "q_politeness_topk",
+    "q_harmonic",
+    "q_outlink_entropy",
+    "q_dust_rules",
+    "q_nav_transitions",
     "q_budget_allocation",
     "q_crawl_bfs",
 ]

@@ -432,3 +432,85 @@ def url_template(url_col) -> "F.Column":
     oracle."""
     t = F.regexp_replace(url_col, "[0-9]+", "{n}")
     return F.regexp_replace(t, "=[^&#]*", "=*")
+
+
+def dust_rules(
+    docs: "DataFrame",
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    max_aliases_per_hash: int = 50,
+) -> "DataFrame":
+    """DUST rule mining — "Do Not Crawl in the DUST: Different URLs
+    with Similar Text" (Bar-Yossef, Keidar & Schonfeld, WWW 2007):
+    from pairs of DISTINCT URLs serving identical content, learn which
+    URL rewrite rules the site obeys, so the frontier can collapse
+    aliases BEFORE fetching (the paper's point: dedup after fetch
+    wastes the fetch). Emits per-rule support: how many alias pairs
+    each rewrite explains, over how many hosts — rules with broad
+    support become canonicalizer extensions (the engine's
+    canonicalize() already hard-codes the universal ones; this mines
+    the site-specific ones).
+
+    Rules classified per same-content pair (directional, from the
+    more-decorated to the plainer URL):
+      strip_index_file  a = b + 'index.html'
+      strip_slash       a = b + '/'
+      https_to_http     a = b with https scheme
+      strip_www         a = b with a www. host prefix
+      other             same content, no mined rewrite explains it
+
+    Scale shape: ONE self-join keyed on the 32-byte content hash —
+    hashes with more than `max_aliases_per_hash` distinct URLs are
+    excluded first (a hash shared by thousands of URLs is a template/
+    soft-404 artifact, and the alias-pair fan-out is quadratic), then
+    a codegen CASE classification and one map-side-combinable groupBy.
+    No UDF, no explode.
+    """
+    u = docs.select(
+        F.col(url_col).alias("u"), F.col(hash_col).alias("h")
+    ).distinct()
+    sz = u.groupBy("h").agg(F.count("*").alias("_n"))
+    kept = (
+        u.join(sz, "h")
+        .where((F.col("_n") >= 2) & (F.col("_n") <= max_aliases_per_hash))
+        .select("u", "h")
+    )
+    pairs = (
+        kept.alias("L")
+        .join(kept.alias("R"), F.expr("L.h = R.h"))
+        .where(F.expr("L.u < R.u"))
+        .select(F.expr("L.u").alias("a"), F.expr("R.u").alias("b"))
+    )
+    rule = (
+        F.when(
+            (F.col("a") == F.concat(F.col("b"), F.lit("index.html")))
+            | (F.col("b") == F.concat(F.col("a"), F.lit("index.html"))),
+            F.lit("strip_index_file"),
+        )
+        .when(
+            (F.col("a") == F.concat(F.col("b"), F.lit("/")))
+            | (F.col("b") == F.concat(F.col("a"), F.lit("/"))),
+            F.lit("strip_slash"),
+        )
+        .when(
+            (F.regexp_replace("a", "^https://", "http://") == F.col("b"))
+            | (F.regexp_replace("b", "^https://", "http://") == F.col("a")),
+            F.lit("https_to_http"),
+        )
+        .when(
+            (F.regexp_replace("a", "^(https?://)www\\.", "$1") == F.col("b"))
+            | (F.regexp_replace("b", "^(https?://)www\\.", "$1")
+               == F.col("a")),
+            F.lit("strip_www"),
+        )
+        .otherwise(F.lit("other"))
+    )
+    host = F.regexp_extract("a", "^https?://([^/?#]+)", 1)
+    return (
+        pairs.select(rule.alias("rule"), host.alias("_host"))
+        .groupBy("rule")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("_host").alias("n_hosts"),
+        )
+    )

@@ -407,3 +407,162 @@ def bibliographic_coupling(
         .agg(F.count("*").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+def opic(crawled: DataFrame, iterations: int = 3) -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003), the crawl-ORDERING importance metric:
+    unlike PageRank it needs no convergence before it is useful, which
+    is why production crawlers greedily fetch the highest-cash page.
+    This is the synchronous batch variant over a stored crawl: every
+    page starts with cash 1/n and zero history; each round a page
+    banks its cash into history and distributes it equally over its
+    out-links (dangling cash spreads uniformly — the paper's virtual
+    page, inlined). Importance after T rounds = (history + cash) /
+    (T + 1), a probability vector (total cash is 1 per round, so
+    banked history sums to T).
+
+    The engine's use: feed `importance` into CrawlConfig priority in
+    place of depth for importance-first frontier ordering (the
+    reference's BFS order is the special case where every page weighs
+    the same).
+
+    Returns (canon_url, importance double), summing to 1.
+
+    Scale shape: identical BSP envelope to `pagerank` — per round ONE
+    equi-join cash⋈edges shuffling on src + ONE map-side-combinable
+    groupBy dst; the dangling scalar rides a 1-row broadcast
+    crossJoin; per-round localCheckpoint keeps the plan flat. No
+    driver state, no collect.
+    """
+    nodes = crawled.select(F.col("canon_url").alias("id")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return crawled.sparkSession.createDataFrame(
+            [], "canon_url string, importance double"
+        )
+    edges = link_edges_of(crawled)
+    edges = edges.join(nodes.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    w_edges = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    state = nodes.select(
+        "id", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    for _ in range(max(0, iterations)):
+        inflow = (
+            state.join(w_edges, state.id == w_edges.src, "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") / F.col("_deg")).alias("_c"))
+        )
+        dangling = (
+            state.join(deg, state.id == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dm"))
+        )
+        state = (
+            state.join(inflow, state.id == inflow.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dm") / n
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("id").alias("canon_url"),
+        ((F.col("hist") + F.col("cash")) / (iterations + 1)).alias(
+            "importance"
+        ),
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Bounded-radius harmonic centrality: C(v) = sum over u != v with
+    d(u, v) <= max_depth of 1 / d(u, v), shortest directed distance
+    along (src, dst) edges. Harmonic centrality is THE published
+    host-ranking metric for web graphs (Boldi & Vigna, "Axioms for
+    Centrality", Internet Math 2014 — the ranking Common Crawl ships
+    for its host-level webgraph releases); the bounded radius makes it
+    exact and cheap where it carries most of its mass (1/d decays so
+    fast that radius-3 captures the head of the ranking).
+
+    Returns (dst id, n_reaching, harmonic double) — pages no in-path
+    reaches within the radius are absent (centrality 0).
+
+    Scale shape: unrolled BFS products — level k+1 = level k ⋈ edges
+    on the frontier key, then ONE min-distance groupBy dedup over the
+    union and ONE map-side-combinable rollup. Fan-out is bounded by
+    out-degree^depth per source; at web scale run it on the HOST graph
+    (the Common Crawl practice — million-node, not trillion) or swap
+    the exact reach sets for HyperLogLog registers (HyperBall, Boldi &
+    Vigna 2013) — the exact bounded form here IS the oracle-checkable
+    core of that estimator.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    level = e.withColumn("d", F.lit(1))
+    seen = [level]
+    for k in range(2, max_depth + 1):
+        level = (
+            level.alias("L")
+            .join(e.alias("E"), F.expr("L.dst = E.src"))
+            .select(
+                F.expr("L.src").alias("src"),
+                F.expr("E.dst").alias("dst"),
+                F.lit(k).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        seen.append(level)
+    paths = seen[0]
+    for lv in seen[1:]:
+        paths = paths.unionByName(lv)
+    dist = (
+        paths.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("d").alias("d"))
+    )
+    return dist.groupBy("dst").agg(
+        F.count("*").alias("n_reaching"),
+        F.sum(F.lit(1.0) / F.col("d")).alias("harmonic"),
+    )
+
+
+def outlink_entropy(
+    edges: DataFrame,
+    src_col: str = "src",
+    host_col: str = "dst_host",
+) -> DataFrame:
+    """Per-page out-link host diversity — the classic link-farm /
+    SEO-boilerplate signal (Fetterly, Manasse & Najork, "Spam, Damn
+    Spam, and Statistics", WebDB 2004: spam pages show anomalous link
+    host distributions): a page with hundreds of out-links
+    concentrated on one or two hosts (entropy ~ 0) is a link dump; a
+    navigation hub spreads across many (entropy ~ ln n_hosts).
+
+    Input: one row per link (src page, destination host). Returns
+    (src, n_links, n_hosts, entropy double) with entropy in nats via
+    the exact-sum form H = ln(N) - sum(c*ln c)/N over per-host counts
+    c (the char_entropy discipline — one expression both engines
+    evaluate identically).
+
+    Scale shape: two chained map-side-combinable groupBys on the same
+    leading key (src, host) -> (src); no join, no UDF, no explode.
+    Feed `TrapGate`/mirror detection with the low-entropy high-count
+    tail, or demote those srcs in the frontier priority.
+    """
+    per_host = edges.groupBy(src_col, host_col).agg(
+        F.count("*").alias("_c")
+    )
+    return per_host.groupBy(src_col).agg(
+        F.sum("_c").alias("n_links"),
+        F.count("*").alias("n_hosts"),
+        (
+            F.log(F.sum("_c"))
+            - F.sum(F.col("_c") * F.log("_c")) / F.sum("_c")
+        ).alias("entropy"),
+    )

@@ -71,3 +71,60 @@ def sessionize(
         F.expr(f"(_smax - _smin) div {US}").cast("long")
         .alias("duration_sec"),
     )
+
+
+def transitions(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    label_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Within-session transition mining — the Markov/funnel rollup of
+    web analytics: for consecutive event pairs inside one session
+    (same gap rule as `sessionize`), count each (from_label ->
+    to_label) step and how many distinct entities took it. Feed it a
+    page-view stream and it is the navigation-path graph; feed it the
+    crawl log (entity=host, label=status class) and it shows
+    fetch-outcome churn per host (200->429 spikes tune politeness).
+
+    Deterministic: events are ordered by (timestamp, `id_col`) so
+    equal-timestamp events have a stable order in both engines.
+
+    Scale shape: ONE shuffle on the entity key feeds the session-break
+    lag window, the running session counter, and the transition lag —
+    all three windows share the exact same partitioning + ordering, so
+    Spark plans one Exchange + one Sort; the rollup is one
+    map-side-combinable groupBy on (from_label, to_label). No join,
+    no UDF.
+    """
+    staged = events.select(
+        F.col(entity_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+    )
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col("_us").asc(), F.col("_id").asc()
+    )
+    gap = F.col("_us") - F.lag("_us").over(w)
+    is_break = F.when(gap.isNull() | (gap <= F.lit(gap_sec * US)), 0).otherwise(1)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = (
+        staged.withColumn("_brk", is_break)
+        .withColumn("session_seq", F.sum("_brk").over(wsum))
+        .withColumn("_prev_lbl", F.lag("_lbl").over(w))
+        .withColumn("_prev_sess", F.lag("session_seq").over(w))
+    )
+    steps = tagged.where(
+        F.col("_prev_lbl").isNotNull()
+        & (F.col("_prev_sess") == F.col("session_seq"))
+    )
+    return steps.groupBy(
+        F.col("_prev_lbl").alias("from_label"),
+        F.col("_lbl").alias("to_label"),
+    ).agg(
+        F.count("*").alias("n_transitions"),
+        F.countDistinct(entity_col).alias("n_entities"),
+    )

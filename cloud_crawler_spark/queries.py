@@ -4335,6 +4335,259 @@ def q_winnow(spark, sf_dir):
     return winnow_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
 
 
+_OPIC_ITER_SQL = """
+    i{t} AS (
+      SELECT l.dst AS id, sum(s{p}.c / deg.d) AS c
+      FROM s{p} JOIN links l ON l.src = s{p}.id JOIN deg ON deg.src = l.src
+      GROUP BY l.dst),
+    dm{t} AS (
+      SELECT coalesce(sum(s{p}.c), 0.0) AS m
+      FROM s{p} LEFT JOIN deg ON deg.src = s{p}.id WHERE deg.src IS NULL),
+    s{t} AS (
+      SELECT s{p}.id,
+             coalesce(i{t}.c, 0.0)
+               + (SELECT m FROM dm{t}) / (SELECT n FROM nn) AS c,
+             s{p}.h + s{p}.c AS h
+      FROM s{p} LEFT JOIN i{t} ON i{t}.id = s{p}.id)"""
+
+
+@_register(
+    "q_opic",
+    """
+    WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    mod_n AS (SELECT count(*) AS m FROM documents),
+    links AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT m FROM mod_n) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT m FROM mod_n)
+        FROM documents)),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM links GROUP BY src),
+    s0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS c, 0.0 AS h
+           FROM documents),"""
+    + ",".join(_OPIC_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2, 3))
+    + """
+    SELECT 'http://ex.com/p' || id AS canon_url,
+           round((h + c) / 4.0 * 1e6)::BIGINT AS importance_ppm
+    FROM s3
+    """,
+)
+def q_opic(spark, sf_dir):
+    """operators/graph.opic — OPIC (Abiteboul, Preda & Cobena, WWW
+    2003) importance over the stored arithmetic web: curl-store the
+    site, run 3 synchronous cash/history rounds, report
+    (history+cash)/(T+1) as integer ppm (the q_pagerank float
+    discipline). The crawl-native importance metric: feed it back as
+    frontier priority for importance-first fetch ordering."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.operators.graph import opic
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    imp = opic(res.crawled, iterations=3)
+    return imp.select(
+        "canon_url",
+        F.round(F.col("importance") * 1e6).cast("long").alias(
+            "importance_ppm"
+        ),
+    )
+
+
+@_register(
+    "q_harmonic",
+    f"""
+    WITH {_ARITH_EDGES_SQL},
+    p1 AS (SELECT src, dst, 1 AS d FROM edges),
+    p2 AS (SELECT p1.src AS src, l.dst AS dst, 2 AS d
+           FROM p1 JOIN edges l ON l.src = p1.dst),
+    p3 AS (SELECT p2.src AS src, l.dst AS dst, 3 AS d
+           FROM p2 JOIN edges l ON l.src = p2.dst),
+    allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             UNION ALL SELECT * FROM p3),
+    dist AS (SELECT src, dst, min(d) AS d FROM allp
+             WHERE src <> dst GROUP BY src, dst)
+    SELECT dst, count(*)::BIGINT AS n_reaching,
+           round(sum(1.0 / d) * 1e6)::BIGINT AS harmonic_ppm
+    FROM dist GROUP BY dst
+    """,
+)
+def q_harmonic(spark, sf_dir):
+    """operators/graph.harmonic_centrality — radius-3 harmonic
+    centrality (Boldi & Vigna 2014; the Common Crawl host-ranking
+    metric) over the arithmetic web's edge list: unrolled BFS joins,
+    min-distance dedup, sum(1/d) as integer ppm (1/d multiples never
+    land on a .5 ppm boundary, so rounding is engine-stable)."""
+    from cloud_crawler_spark.operators.graph import harmonic_centrality
+
+    hc = harmonic_centrality(_arith_edges(spark, sf_dir), max_depth=3)
+    return hc.select(
+        "dst",
+        "n_reaching",
+        F.round(F.col("harmonic") * 1e6).cast("long").alias("harmonic_ppm"),
+    )
+
+
+@_register(
+    "q_outlink_entropy",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    l AS (
+      SELECT doc_id AS src, unnest(range(0, doc_id % 8 + 1)) AS j
+      FROM documents),
+    t AS (
+      SELECT src,
+             CASE WHEN src % 11 = 0 THEN 'farm.ex.com'
+                  ELSE 'h' ||
+                       (((src * (j + 2) + j) % (SELECT n FROM nn)) % 16)
+                       || '.ex.com' END AS dst_host
+      FROM l),
+    ph AS (SELECT src, dst_host, count(*) AS c FROM t GROUP BY 1, 2)
+    SELECT src, sum(c)::BIGINT AS n_links, count(*)::BIGINT AS n_hosts,
+           ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+    FROM ph GROUP BY src
+    """,
+)
+def q_outlink_entropy(spark, sf_dir):
+    """operators/graph.outlink_entropy — per-page out-link host
+    diversity (Fetterly et al., WebDB 2004 spam statistics) over a
+    variable-out-degree synthetic link table (page i emits i%8+1
+    links; every 11th page is a single-host link farm, entropy 0).
+    Exact-sum entropy ln(N) - sum(c*ln c)/N — the char_entropy
+    float discipline both engines evaluate identically."""
+    from cloud_crawler_spark.operators.graph import outlink_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id")
+    fan = docs.select(
+        src.alias("src"),
+        F.explode(F.sequence(F.lit(0).cast("long"), src % 8)).alias("j"),
+    )
+    tgt = ((F.col("src") * (F.col("j") + 2) + F.col("j")) % n) % 16
+    host = F.when(
+        F.col("src") % 11 == 0, F.lit("farm.ex.com")
+    ).otherwise(F.concat(F.lit("h"), tgt.cast("string"), F.lit(".ex.com")))
+    edges = fan.select("src", host.alias("dst_host"))
+    return outlink_entropy(edges)
+
+
+@_register(
+    "q_dust_rules",
+    r"""
+    WITH d AS (
+      SELECT doc_id AS id, 'h' || (doc_id % 16) || '.ex.com' AS hst,
+             md5('d' || doc_id) AS h
+      FROM documents),
+    urls AS (
+      SELECT h, 'http://' || hst || '/d' || id
+                || CASE WHEN id % 5 = 0 THEN '/' ELSE '' END AS u
+      FROM d
+      UNION ALL
+      SELECT h,
+        CASE id % 5
+          WHEN 0 THEN 'http://' || hst || '/d' || id || '/index.html'
+          WHEN 1 THEN 'http://' || hst || '/d' || id || '/'
+          WHEN 2 THEN 'https://' || hst || '/d' || id
+          WHEN 3 THEN 'http://www.' || hst || '/d' || id
+          ELSE 'http://' || hst || '/d' || id || '?ref=rss'
+        END AS u
+      FROM d),
+    pairs AS (
+      SELECT L.u AS a, R.u AS b
+      FROM urls L JOIN urls R ON L.h = R.h AND L.u < R.u),
+    labeled AS (
+      SELECT CASE
+        WHEN a = b || 'index.html' OR b = a || 'index.html'
+          THEN 'strip_index_file'
+        WHEN a = b || '/' OR b = a || '/' THEN 'strip_slash'
+        WHEN regexp_replace(a, '^https://', 'http://') = b
+          OR regexp_replace(b, '^https://', 'http://') = a
+          THEN 'https_to_http'
+        WHEN regexp_replace(a, '^(https?://)www\.', '\1') = b
+          OR regexp_replace(b, '^(https?://)www\.', '\1') = a
+          THEN 'strip_www'
+        ELSE 'other' END AS rule,
+        regexp_extract(a, '^https?://([^/?#]+)', 1) AS hh
+      FROM pairs)
+    SELECT rule, count(*)::BIGINT AS n_pairs,
+           count(DISTINCT hh)::BIGINT AS n_hosts
+    FROM labeled GROUP BY rule
+    """,
+)
+def q_dust_rules(spark, sf_dir):
+    """functions/canon.dust_rules — DUST alias-rule mining
+    (Bar-Yossef et al., WWW 2007) over a synthetic alias table: each
+    doc publishes two same-content URLs related by one of
+    index.html / trailing-slash / scheme / www rewrites (every 5th
+    pair is an unexplained '?ref=rss' twin -> 'other'). Support
+    counts per mined rule across 16 hosts."""
+    from cloud_crawler_spark.functions.canon import dust_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    hst = F.concat(F.lit("h"), (i % 16).cast("string"), F.lit(".ex.com"))
+    base = F.concat(F.lit("http://"), hst, F.lit("/d"), i.cast("string"))
+    u1 = F.when(i % 5 == 0, F.concat(base, F.lit("/"))).otherwise(base)
+    m = i % 5
+    u2 = (
+        F.when(m == 0, F.concat(base, F.lit("/index.html")))
+        .when(m == 1, F.concat(base, F.lit("/")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://"), hst, F.lit("/d"), i.cast("string")
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("http://www."), hst, F.lit("/d"), i.cast("string")
+            ),
+        )
+        .otherwise(F.concat(base, F.lit("?ref=rss")))
+    )
+    ch = F.md5(F.concat(F.lit("d"), i.cast("string")))
+    aliases = docs.select(u1.alias("url"), ch.alias("content_hash")).unionByName(
+        docs.select(u2.alias("url"), ch.alias("content_hash"))
+    )
+    return dust_rules(aliases)
+
+
+@_register(
+    "q_nav_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      FROM events),
+    l AS (
+      SELECT user_id, us, event_type,
+             lag(us) OVER w AS pus,
+             lag(event_type) OVER w AS plbl
+      FROM e WINDOW w AS (PARTITION BY user_id
+                          ORDER BY us ASC, event_id ASC))
+    SELECT plbl AS from_label, event_type AS to_label,
+           count(*)::BIGINT AS n_transitions,
+           count(DISTINCT user_id)::BIGINT AS n_entities
+    FROM l
+    WHERE plbl IS NOT NULL AND us - pus <= 1800 * 1000000
+    GROUP BY 1, 2
+    """,
+)
+def q_nav_transitions(spark, sf_dir):
+    """operators/sessions.transitions — within-session event
+    transition mining (the Markov/funnel rollup of web analytics;
+    crawl-log use: entity=host, label=status class shows 200->429
+    churn for politeness tuning). Same 30-min gap rule as
+    q_sessionize; (ts, event_id) ordering pins equal-timestamp
+    determinism in both engines."""
+    from cloud_crawler_spark.operators.sessions import transitions
+
+    return transitions(_t(spark, sf_dir, "events"), gap_sec=1800)
+
+
 def queries():
     return dict(_Q)
 

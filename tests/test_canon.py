@@ -310,3 +310,53 @@ class TestCanonicalAliases:
         plan = canonical_aliases(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestDustRules:
+    def _aliases(self, spark, rows):
+        return spark.createDataFrame(rows, "url string, content_hash string")
+
+    def test_classifies_each_rule(self, spark):
+        from cloud_crawler_spark.functions.canon import dust_rules
+
+        got = {
+            r["rule"]: (r["n_pairs"], r["n_hosts"])
+            for r in dust_rules(self._aliases(spark, [
+                ("http://a.com/x/", "h1"),
+                ("http://a.com/x/index.html", "h1"),
+                ("http://b.com/y", "h2"),
+                ("http://b.com/y/", "h2"),
+                ("http://c.com/z", "h3"),
+                ("https://c.com/z", "h3"),
+                ("http://d.com/w", "h4"),
+                ("http://www.d.com/w", "h4"),
+                ("http://e.com/v", "h5"),
+                ("http://e.com/v?ref=rss", "h5"),
+            ])).collect()
+        }
+        assert got == {
+            "strip_index_file": (1, 1),
+            "strip_slash": (1, 1),
+            "https_to_http": (1, 1),
+            "strip_www": (1, 1),
+            "other": (1, 1),
+        }
+
+    def test_mega_alias_hash_gated(self, spark):
+        from cloud_crawler_spark.functions.canon import dust_rules
+
+        # one hash shared by 60 urls (soft-404 template) must be
+        # excluded by max_aliases_per_hash, not fan out 1770 pairs
+        rows = [(f"http://t.com/{i}", "tmpl") for i in range(60)]
+        rows += [("http://a.com/x", "h1"), ("http://a.com/x/", "h1")]
+        out = dust_rules(self._aliases(spark, rows),
+                         max_aliases_per_hash=50).collect()
+        assert {r["rule"] for r in out} == {"strip_slash"}
+
+    def test_singleton_hash_no_pair(self, spark):
+        from cloud_crawler_spark.functions.canon import dust_rules
+
+        out = dust_rules(
+            self._aliases(spark, [("http://a.com/only", "h1")])
+        ).collect()
+        assert out == []

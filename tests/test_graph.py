@@ -180,3 +180,148 @@ class TestCocitationCoupling:
         got = {(r["a"], r["b"]): r["n_common"]
                for r in bibliographic_coupling(e, max_in_degree=3).collect()}
         assert got == {(0, 1): 2}
+
+
+def _expected_opic(nodes, edges, iterations=3):
+    """Plain-python synchronous OPIC with uniform dangling spread."""
+    n = len(nodes)
+    out = {u: [v for (s, v) in edges if s == u] for u in nodes}
+    c = {u: 1.0 / n for u in nodes}
+    h = {u: 0.0 for u in nodes}
+    for _ in range(iterations):
+        nxt = {u: 0.0 for u in nodes}
+        dm = 0.0
+        for u in nodes:
+            h[u] += c[u]
+            if out[u]:
+                for v in out[u]:
+                    nxt[v] += c[u] / len(out[u])
+            else:
+                dm += c[u]
+        c = {u: nxt[u] + dm / n for u in nodes}
+    return {u: (h[u] + c[u]) / (iterations + 1) for u in nodes}
+
+
+class TestOpic:
+    def test_matches_reference_iteration_with_dangling(self, spark):
+        from cloud_crawler_spark.operators.graph import opic
+
+        # 2 is dangling: its cash must spread uniformly, not vanish
+        graph = {
+            "0": {"links": ["1", "2"]},
+            "1": {"links": ["0"]},
+            "2": {"links": []},
+        }
+        res = crawl(
+            spark, make_corpus(spark, graph),
+            make_seeds(spark, [f"http://{HOST}/0"]), CrawlConfig(),
+        )
+        got = {
+            r["canon_url"].replace(f"http://{HOST}/", ""): r["importance"]
+            for r in opic(res.crawled, iterations=3).collect()
+        }
+        want = _expected_opic(
+            ["0", "1", "2"], [("0", "1"), ("0", "2"), ("1", "0")],
+            iterations=3,
+        )
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # probability vector
+
+    def test_hub_outranks_leaf(self, spark):
+        from cloud_crawler_spark.operators.graph import opic
+
+        # everyone links 0; 0 links 1 — 0 accumulates the cash
+        graph = {
+            "0": {"links": ["1"]},
+            "1": {"links": ["0"]},
+            "2": {"links": ["0"]},
+            "3": {"links": ["0"]},
+        }
+        res = crawl(
+            spark, make_corpus(spark, graph),
+            make_seeds(spark, [f"http://{HOST}/0", f"http://{HOST}/2",
+                               f"http://{HOST}/3"]), CrawlConfig(),
+        )
+        # odd iteration count: the 0<->1 cycle parks the banked cash
+        # on 0 (even counts balance the two — the cash oscillates)
+        got = {
+            r["canon_url"].replace(f"http://{HOST}/", ""): r["importance"]
+            for r in opic(res.crawled, iterations=3).collect()
+        }
+        want = _expected_opic(
+            ["0", "1", "2", "3"],
+            [("0", "1"), ("1", "0"), ("2", "0"), ("3", "0")],
+            iterations=3,
+        )
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+        assert got["0"] > got["1"] > got["2"] == got["3"]
+
+
+class TestHarmonicCentrality:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    def test_hand_graph(self, spark):
+        from cloud_crawler_spark.operators.graph import harmonic_centrality
+
+        # 0->1->2->3->4 chain plus 0->2 shortcut
+        e = self._edges(
+            spark, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)]
+        )
+        got = {
+            r["dst"]: (r["n_reaching"], r["harmonic"])
+            for r in harmonic_centrality(e, max_depth=3).collect()
+        }
+        # 1: only 0 at d1. 2: 0 at d1 (shortcut wins over d2), 1 at d1.
+        # 3: 2@1, 0@2 (via shortcut), 1@2. 4: 3@1, 2@2, 0@3, 1@3.
+        assert got[1] == (1, 1.0)
+        assert got[2] == (2, 2.0)
+        assert got[3] == (3, 1.0 + 0.5 + 0.5)
+        assert got[4][0] == 4
+        assert abs(got[4][1] - (1.0 + 0.5 + 1 / 3 + 1 / 3)) < 1e-12
+        assert 0 not in got  # nothing reaches the root
+
+    def test_radius_bounds_reach(self, spark):
+        from cloud_crawler_spark.operators.graph import harmonic_centrality
+
+        e = self._edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+        got = {
+            r["dst"]: r["n_reaching"]
+            for r in harmonic_centrality(e, max_depth=2).collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 2, 4: 2}  # d<=2 only
+
+    def test_cycle_excludes_self(self, spark):
+        from cloud_crawler_spark.operators.graph import harmonic_centrality
+
+        e = self._edges(spark, [(0, 1), (1, 0)])
+        got = {
+            r["dst"]: (r["n_reaching"], r["harmonic"])
+            for r in harmonic_centrality(e, max_depth=3).collect()
+        }
+        # 0 reaches itself at d2 — excluded; each node scores only 1/1
+        assert got == {0: (1, 1.0), 1: (1, 1.0)}
+
+
+class TestOutlinkEntropy:
+    def test_hand_counts(self, spark):
+        import math
+
+        from cloud_crawler_spark.operators.graph import outlink_entropy
+
+        rows = (
+            [("p", "a.com")] * 4
+            + [("p", "b.com")] * 4
+            + [("farm", "x.com")] * 8
+        )
+        e = spark.createDataFrame(rows, "src string, dst_host string")
+        got = {
+            r["src"]: (r["n_links"], r["n_hosts"], r["entropy"])
+            for r in outlink_entropy(e).collect()
+        }
+        assert got["p"][:2] == (8, 2)
+        assert abs(got["p"][2] - math.log(2)) < 1e-12  # 50/50 split
+        assert got["farm"] == (8, 1, 0.0)  # link farm: zero entropy

@@ -93,3 +93,54 @@ class TestLrQualityScore:
         )
         assert lr_quality_score(df, threshold=0.0).collect()[0]["keep_lr"] == 1
         assert lr_quality_score(df, threshold=1.0).collect()[0]["keep_lr"] == 0
+
+
+class TestTransitions:
+    def _ev(self, spark, rows):
+        # rows: (user_id, iso_ts, event_id, event_type)
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, event_id long, event_type string"
+        ).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            "event_id", "event_type",
+        )
+
+    def test_counts_within_session_only(self, spark):
+        from cloud_crawler_spark.operators.sessions import transitions
+
+        e = self._ev(spark, [
+            (1, "2024-01-01 00:00:00", 0, "view"),
+            (1, "2024-01-01 00:05:00", 1, "cart"),
+            (1, "2024-01-01 02:00:00", 2, "view"),   # new session: no edge
+            (1, "2024-01-01 02:01:00", 3, "cart"),
+            (2, "2024-01-01 00:00:00", 4, "view"),
+            (2, "2024-01-01 00:01:00", 5, "cart"),
+        ])
+        got = {
+            (r["from_label"], r["to_label"]): (r["n_transitions"],
+                                               r["n_entities"])
+            for r in transitions(e, gap_sec=1800).collect()
+        }
+        assert got == {("view", "cart"): (3, 2)}
+
+    def test_equal_timestamps_ordered_by_id(self, spark):
+        from cloud_crawler_spark.operators.sessions import transitions
+
+        e = self._ev(spark, [
+            (1, "2024-01-01 00:00:00", 2, "c"),
+            (1, "2024-01-01 00:00:00", 1, "b"),
+            (1, "2024-01-01 00:00:00", 0, "a"),
+        ])
+        got = {(r["from_label"], r["to_label"])
+               for r in transitions(e).collect()}
+        assert got == {("a", "b"), ("b", "c")}  # id order, not input order
+
+    def test_gap_exactly_at_timeout_keeps_edge(self, spark):
+        from cloud_crawler_spark.operators.sessions import transitions
+
+        e = self._ev(spark, [
+            (1, "2024-01-01 00:00:00", 0, "a"),
+            (1, "2024-01-01 00:30:00", 1, "b"),   # == 1800s: same session
+        ])
+        out = transitions(e, gap_sec=1800).collect()
+        assert len(out) == 1 and out[0]["n_transitions"] == 1
