@@ -86,6 +86,8 @@ HEADLINE = [
     "q_outlink_entropy",
     "q_dust_rules",
     "q_nav_transitions",
+    "q_sorted_neighborhood",
+    "q_graph_stats",
     "q_budget_allocation",
     "q_crawl_bfs",
 ]

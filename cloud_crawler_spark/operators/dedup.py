@@ -917,3 +917,64 @@ def token_containment_consecutive(
             & (F.round(jac, 6) < jaccard_threshold)
         ).cast("long").alias("superset_dup"),
     )
+
+
+def sorted_neighborhood(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernandez & Stolfo,
+    SIGMOD 1995 merge/purge) — the third candidate-generation family
+    next to LSH banding and half-key SimHash bucketing: sort the
+    corpus by a similarity-preserving key (the 16-bit SimHash; near
+    identical texts get equal or close keys), then compare each doc
+    only against its `window - 1` successors in sort order. Catches
+    near-key neighbors that EXACT-bucket blocking splits across
+    bucket boundaries, with linear candidate count (n * (window-1))
+    instead of per-bucket quadratics.
+
+    Returns (doc_a, doc_b, hamming) for in-window pairs with SimHash
+    Hamming distance <= max_hamming, doc_a ranked before doc_b.
+
+    Scale shape: the global sort rank comes from with_global_rank's
+    range-partition prefix sum (NO single-partition window above its
+    small-input cutoff); each slim (id, key, rank) row explodes into
+    window-1 offset probes that meet their successor on a plain
+    rank equi-join — shuffle volume is (window-1) * 24-byte rows,
+    independent of document width. Hamming is codegen bit_count(xor).
+    """
+    from cloud_crawler_spark.operators.rank import with_global_rank
+
+    keyed = df.select(
+        F.col(id_col).alias("_id"), simhash16(F.col(text_col)).alias("_sh")
+    )
+    ranked = with_global_rank(
+        keyed, [F.col("_sh").asc(), F.col("_id").asc()], rank_col="_rn"
+    ).localCheckpoint(eager=True)
+    probes = ranked.select(
+        F.col("_id").alias("doc_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.col("_rn"),
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("_k"),
+    ).select(
+        "doc_a", "_sh_a", (F.col("_rn") + F.col("_k")).alias("_rn_b")
+    )
+    succ = ranked.select(
+        F.col("_id").alias("doc_b"),
+        F.col("_sh").alias("_sh_b"),
+        F.col("_rn").alias("_rn_b"),
+    )
+    return (
+        probes.join(succ, "_rn_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))
+            ).cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -4588,6 +4588,85 @@ def q_nav_transitions(spark, sf_dir):
     return transitions(_t(spark, sf_dir, "events"), gap_sec=1800)
 
 
+_SNM_WINDOW = 8
+
+
+@_register(
+    "q_sorted_neighborhood",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, ({_SIMHASH_BITS_SQL})::BIGINT AS sh
+      FROM (SELECT doc_id,
+                   list_distinct(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '')) AS toks
+            FROM documents)),
+    ranked AS (
+      SELECT doc_id, sh,
+             row_number() OVER (ORDER BY sh ASC, doc_id ASC) AS rn
+      FROM keyed)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+    FROM ranked a JOIN ranked b
+      ON b.rn - a.rn BETWEEN 1 AND {_SNM_WINDOW - 1}
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def q_sorted_neighborhood(spark, sf_dir):
+    """operators/dedup.sorted_neighborhood — Hernandez & Stolfo
+    (SIGMOD 1995) merge/purge blocking: rank the corpus by 16-bit
+    SimHash (range-partition prefix-sum rank, no global window),
+    compare each doc with its 7 sort-order successors, keep pairs at
+    Hamming <= 3. The third candidate family next to LSH banding and
+    exact-bucket SimHash — catches neighbors bucket boundaries split."""
+    from cloud_crawler_spark.operators.dedup import sorted_neighborhood
+
+    docs = _t(spark, sf_dir, "documents")
+    return sorted_neighborhood(
+        docs, window=_SNM_WINDOW, max_hamming=3
+    )
+
+
+@_register(
+    "q_graph_stats",
+    """
+    WITH raw AS (
+      SELECT doc_id AS src,
+             doc_id % (1 << (doc_id % 10)) AS dst
+      FROM documents),
+    e AS (SELECT DISTINCT src, dst FROM raw),
+    nn AS (
+      SELECT count(*)::BIGINT AS n_nodes FROM (
+        SELECT src AS id FROM e UNION SELECT dst FROM e)),
+    ne AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+    rc AS (
+      SELECT count(*) AS n_recip
+      FROM e L JOIN e R ON L.src = R.dst AND L.dst = R.src),
+    al AS (
+      SELECT 1.0 + count(*) / sum(ln(d / 0.5)) AS alpha_in
+      FROM (SELECT dst, count(*)::DOUBLE AS d FROM e GROUP BY dst))
+    SELECT nn.n_nodes, ne.n_edges,
+           n_recip / ne.n_edges AS reciprocity, al.alpha_in
+    FROM nn, ne, rc, al
+    """,
+)
+def q_graph_stats(spark, sf_dir):
+    """operators/graph.graph_scorecard — one-row webgraph health
+    report (reciprocity per Serrano et al. 2007; in-degree power-law
+    MLE alpha per Clauset et al. 2009) over a deterministic
+    skewed-in-degree synthetic graph (dst = i mod 2^(i mod 10): low
+    ids soak up inlinks, zipf-ish tail)."""
+    from cloud_crawler_spark.operators.graph import graph_scorecard
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    edges = docs.select(
+        i.alias("src"),
+        F.expr("doc_id % shiftleft(1L, int(doc_id % 10))").alias("dst"),
+    )
+    return graph_scorecard(edges)
+
+
 def queries():
     return dict(_Q)
 

@@ -338,3 +338,42 @@ class TestTokenContainment:
         out = self._run(spark, [(0, ""), (1, "words here")])
         r = out[(0, 1)]
         assert r.containment_a == 0.0 and r.superset_dup == 0
+
+
+class TestSortedNeighborhood:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_near_dups_meet_in_window(self, spark):
+        from cloud_crawler_spark.operators.dedup import sorted_neighborhood
+
+        d = self._docs(spark, [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about database systems"),
+        ])
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                 for r in sorted_neighborhood(d, window=3,
+                                              max_hamming=3).collect()}
+        assert (0, 1) in pairs or (1, 0) in pairs
+        assert all(h <= 3 for h in pairs.values())
+
+    def test_identical_docs_hamming_zero(self, spark):
+        from cloud_crawler_spark.operators.dedup import sorted_neighborhood
+
+        d = self._docs(spark, [
+            (0, "alpha beta gamma"), (1, "alpha beta gamma"),
+        ])
+        out = sorted_neighborhood(d, window=2, max_hamming=0).collect()
+        assert len(out) == 1 and out[0]["hamming"] == 0
+        # rank order (sh, id): doc 0 ranks first
+        assert (out[0]["doc_a"], out[0]["doc_b"]) == (0, 1)
+
+    def test_window_bounds_candidates(self, spark):
+        from cloud_crawler_spark.operators.dedup import sorted_neighborhood
+
+        # 5 identical docs, window=2: only 4 adjacent pairs, never the
+        # full 10-pair quadratic
+        d = self._docs(spark, [(i, "same text here") for i in range(5)])
+        out = sorted_neighborhood(d, window=2, max_hamming=16).collect()
+        assert len(out) == 4

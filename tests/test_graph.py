@@ -325,3 +325,30 @@ class TestOutlinkEntropy:
         assert got["p"][:2] == (8, 2)
         assert abs(got["p"][2] - math.log(2)) < 1e-12  # 50/50 split
         assert got["farm"] == (8, 1, 0.0)  # link farm: zero entropy
+
+
+class TestGraphScorecard:
+    def test_hand_graph(self, spark):
+        import math
+
+        from cloud_crawler_spark.operators.graph import graph_scorecard
+
+        # 0<->1 reciprocal pair, 2->0, 3->0, dup edge collapses
+        e = spark.createDataFrame(
+            [(0, 1), (1, 0), (2, 0), (3, 0), (3, 0)], "src long, dst long"
+        )
+        row = graph_scorecard(e).collect()[0]
+        assert row["n_nodes"] == 4
+        assert row["n_edges"] == 4
+        assert abs(row["reciprocity"] - 0.5) < 1e-12  # 2 of 4 edges
+        # in-degrees: 0 has 3, 1 has 1 -> alpha = 1 + 2/(ln6 + ln2)
+        want = 1.0 + 2.0 / (math.log(3 / 0.5) + math.log(1 / 0.5))
+        assert abs(row["alpha_in"] - want) < 1e-12
+
+    def test_self_loop_counts_as_reciprocal(self, spark):
+        from cloud_crawler_spark.operators.graph import graph_scorecard
+
+        e = spark.createDataFrame([(0, 0), (0, 1)], "src long, dst long")
+        row = graph_scorecard(e).collect()[0]
+        assert row["n_nodes"] == 2 and row["n_edges"] == 2
+        assert abs(row["reciprocity"] - 0.5) < 1e-12
