@@ -88,6 +88,9 @@ HEADLINE = [
     "q_nav_transitions",
     "q_sorted_neighborhood",
     "q_graph_stats",
+    "q_sparse_cosine",
+    "q_collocations",
+    "q_lpa_communities",
     "q_budget_allocation",
     "q_crawl_bfs",
 ]

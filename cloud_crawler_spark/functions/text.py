@@ -839,3 +839,69 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def collocations(df, min_count: int = 5, k: int = 50,
+                 text_col: str = "text"):
+    """Top-k bigram collocations by pointwise mutual information —
+    the classic corpus diagnostic (Church & Hanks 1990): PMI =
+    ln(p(ab) / (p(a) p(b))) with p(ab) = c_ab / B (bigram census) and
+    p(w) = c_w / T (unigram census). High-PMI pairs are multiword
+    units ("los angeles") and template/boilerplate fossils; the
+    `min_count` gate kills PMI's famous hapax bias (a 1-count bigram
+    of two 1-count words maxes the score on noise).
+
+    Returns (gram, n, pmi, rank) for the top-k by (pmi desc, gram
+    asc), deterministic.
+
+    Scale shape: bigram arrays built JVM-side (the top_ngrams
+    zip_with construction), two map-side-combinable census groupBys;
+    the scalar totals T and B ride 1-row broadcast crossJoins, the
+    unigram joins key on single words against the (tiny, post-gate)
+    surviving bigram table. The rank window only ever sees <= the
+    gated collocation table.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    uni = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+    big = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    tot_u = uni.agg(F.sum("cw").cast("double").alias("_t"))
+    tot_b = (
+        df.select(F.size(grams).alias("nb"))
+        .agg(F.sum("nb").cast("double").alias("_b"))
+    )
+    ua = uni.select(F.col("w").alias("_wa"), F.col("cw").alias("_ca"))
+    ub = uni.select(F.col("w").alias("_wb"), F.col("cw").alias("_cb"))
+    scored = (
+        big.withColumn("_wa", F.split("gram", " ").getItem(0))
+        .withColumn("_wb", F.split("gram", " ").getItem(1))
+        .join(ua, "_wa")
+        .join(ub, "_wb")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "gram",
+            F.col("n").cast("long").alias("n"),
+            F.log(
+                (F.col("n") / F.col("_b"))
+                / ((F.col("_ca") / F.col("_t")) * (F.col("_cb") / F.col("_t")))
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("gram").asc())
+    return scored.select(
+        "gram", "n", "pmi", F.row_number().over(w).cast("int").alias("rank")
+    ).where(F.col("rank") <= k)

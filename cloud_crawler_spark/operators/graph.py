@@ -625,3 +625,58 @@ def graph_scorecard(edges: DataFrame) -> DataFrame:
             "alpha_in",
         )
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    over the UNDIRECTED closure of (src, dst) — near-linear community
+    detection for host graphs: mirror rings, link farms and topic
+    clusters surface as shared labels where connected_components
+    would lump everything reachable into one blob. Deterministic
+    variant: every node starts labeled with its own id; each round
+    all nodes simultaneously adopt their neighbors' most frequent
+    label, ties broken by SMALLEST label (no randomness — the same
+    input always yields the same communities, which is what makes an
+    exact oracle possible; sync LPA can oscillate on bipartite
+    structures, so treat `iterations` as a fixed budget, not a
+    convergence promise).
+
+    Returns (id, community) for every node.
+
+    Scale shape: per round ONE equi-join labels⋈edges shuffling on
+    src + ONE map-side-combinable vote groupBy + an argmax fold via
+    min(struct(-count, label)) — no window over raw edges; isolated
+    nodes keep their label through the left join. Per-round
+    localCheckpoint keeps the plan flat (the PageRank BSP envelope).
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("lbl", F.col("id"))
+    for _ in range(max(0, iterations)):
+        votes = (
+            labels.join(und, labels.id == und.src)
+            .groupBy(F.col("dst").alias("_v"), "lbl")
+            .agg(F.count("*").alias("_c"))
+        )
+        pick = votes.groupBy("_v").agg(
+            F.min(F.struct((-F.col("_c")).alias("_nc"), "lbl")).alias("_m")
+        )
+        labels = (
+            labels.join(pick, labels.id == pick._v, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_m.lbl"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

@@ -667,3 +667,79 @@ def pq_knn(
             F.round("_adc", 6).alias("adc_dist"), "knn_rank",
         )
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity over TF-IDF vectors via an
+    inverted-index self-join — the token-space twin of the embedding
+    near-dup pass, for corpora with no model embeddings. The classic
+    similarity-join scale trick (Bayardo, Ma & Srikant, WWW 2007
+    "Scaling Up All Pairs Similarity Search"): candidate pairs only
+    materialize where a SHARED term's posting list joins them, and
+    terms with df > `max_df` are cut BEFORE the join — a stopword's
+    posting list would fan out df^2 pairs while contributing almost
+    nothing to any cosine (its idf ~ 0). The cosine is exact over the
+    kept (df <= max_df) coordinates; idf weights are computed on the
+    FULL corpus statistics before the cut.
+
+    Returns (doc_a, doc_b, cos_sim) with doc_a < doc_b and
+    cos_sim >= min_sim, rounded to 6 places (the embedding near-dup
+    float discipline).
+
+    Scale shape: postings and df are map-side-combinable groupBys;
+    the df gate bounds every posting list, so the term self-join is
+    bucket-quadratic with a hard cap (the LSH mega-bucket lesson);
+    norms ride an equi-join on doc id. Prefix filtering would tighten
+    the candidate set further at equal exactness — the df cut is its
+    coarse, one-pass form.
+    """
+    from cloud_crawler_spark.operators.index import doc_freq, postings
+
+    post = postings(docs, id_col, text_col)
+    n = docs.agg(F.count("*").cast("double").alias("_n"))
+    weighted = (
+        post.join(doc_freq(post), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col).alias("_id"),
+            "term",
+            "df",
+            (F.col("tf") * F.log(F.col("_n") / F.col("df"))).alias("_w"),
+        )
+    )
+    kept = weighted.where(F.col("df") <= max_df).localCheckpoint(eager=True)
+    norms = kept.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_norm")
+    )
+    dots = (
+        kept.alias("L")
+        .join(kept.alias("R"), F.expr("L.term = R.term AND L._id < R._id"))
+        .groupBy(
+            F.expr("L._id").alias("doc_a"), F.expr("R._id").alias("doc_b")
+        )
+        .agg(F.sum(F.expr("L._w * R._w")).alias("_dot"))
+    )
+    na = norms.select(
+        F.col("_id").alias("doc_a"), F.col("_norm").alias("_na")
+    )
+    nb = norms.select(
+        F.col("_id").alias("doc_b"), F.col("_norm").alias("_nb")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_dot") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_sim)
+    )

@@ -4667,6 +4667,181 @@ def q_graph_stats(spark, sf_dir):
     return graph_scorecard(edges)
 
 
+@_register(
+    "q_sparse_cosine",
+    """
+    WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    syn AS (
+      SELECT doc_id,
+             list_concat(
+               list_transform(range(0, 8),
+                 j -> 'g' || (doc_id // 25) || 'w' || j),
+               list_transform(range(0, 4),
+                 j -> 'n' || ((doc_id * 5 + j) % 137))) AS toks
+      FROM documents),
+    post AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS t FROM syn) GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+    kept AS (
+      SELECT doc_id AS id, post.term,
+             tf * ln((SELECT n FROM nn) / df) AS w
+      FROM post JOIN dfreq ON post.term = dfreq.term
+      WHERE df <= 30),
+    norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM kept GROUP BY id),
+    dots AS (
+      SELECT L.id AS doc_a, R.id AS doc_b, sum(L.w * R.w) AS dot
+      FROM kept L JOIN kept R ON L.term = R.term AND L.id < R.id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.id = doc_a
+    JOIN norms nb ON nb.id = doc_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def q_sparse_cosine(spark, sf_dir):
+    """operators/similarity.sparse_cosine_pairs — all-pairs TF-IDF
+    cosine via inverted-index self-join with the Bayardo et al. (WWW
+    2007) df cut, over a grouped-topic synthetic corpus (25-doc topic
+    groups share 8 tokens, 4 noise tokens each): within-group pairs
+    score ~0.6, cross-group ~0.4 — the 0.5 gate keeps exactly the
+    topic neighborhoods."""
+    from cloud_crawler_spark.operators.similarity import sparse_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    topic = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.concat(
+            F.lit("g"), F.floor(i / 25).cast("string"),
+            F.lit("w"), j.cast("string"),
+        ),
+    )
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda j: F.concat(
+            F.lit("n"), ((i * 5 + j) % 137).cast("string")
+        ),
+    )
+    syn = docs.select(
+        "doc_id",
+        F.array_join(F.concat(topic, noise), " ").alias("text"),
+    )
+    return sparse_cosine_pairs(syn, min_sim=0.5, max_df=30)
+
+
+_COLLOC_MIN, _COLLOC_K = 5, 40
+
+
+@_register(
+    "q_collocations",
+    f"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    uni AS (
+      SELECT w, count(*) AS cw
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    tu AS (SELECT sum(cw)::DOUBLE AS tt FROM uni),
+    big AS (
+      SELECT gram, count(*) AS n
+      FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM t)
+      GROUP BY gram HAVING count(*) >= {_COLLOC_MIN}),
+    tb AS (SELECT sum(greatest(len(toks) - 1, 0))::DOUBLE AS bb FROM t),
+    scored AS (
+      SELECT gram, n::BIGINT AS n,
+             ln((n / (SELECT bb FROM tb))
+                / ((ua.cw / (SELECT tt FROM tu))
+                   * (ub.cw / (SELECT tt FROM tu)))) AS pmi
+      FROM big
+      JOIN uni ua ON ua.w = string_split(gram, ' ')[1]
+      JOIN uni ub ON ub.w = string_split(gram, ' ')[2])
+    SELECT gram, n, pmi, rank FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, gram ASC)::INT
+                  AS rank
+      FROM scored)
+    WHERE rank <= {_COLLOC_K}
+    """,
+)
+def q_collocations(spark, sf_dir):
+    """functions/text.collocations — top-40 bigram PMI (Church &
+    Hanks 1990) with a min-count gate against the hapax bias, over
+    the documents table. Identical ln/division shapes both engines
+    (the charstats float discipline); rank by (pmi desc, gram asc)."""
+    from cloud_crawler_spark.functions.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, min_count=_COLLOC_MIN, k=_COLLOC_K)
+
+
+_LPA_ITER_SQL = """
+    v{t} AS (
+      SELECT e.dst AS id, l{p}.lbl AS lbl, count(*) AS c
+      FROM l{p} JOIN ue e ON e.src = l{p}.id GROUP BY 1, 2),
+    p{t} AS (
+      SELECT id, lbl FROM (
+        SELECT id, lbl,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY c DESC, lbl ASC) AS rk
+        FROM v{t}) WHERE rk = 1),
+    l{t} AS (
+      SELECT l{p}.id, coalesce(p{t}.lbl, l{p}.lbl) AS lbl
+      FROM l{p} LEFT JOIN p{t} ON p{t}.id = l{p}.id)"""
+
+
+@_register(
+    "q_lpa_communities",
+    """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src, doc_id + d AS dst
+      FROM documents, range(1, 4) t(d)
+      WHERE doc_id + d < (SELECT n FROM nn)
+        AND doc_id // 10 = (doc_id + d) // 10
+      UNION ALL
+      SELECT doc_id, doc_id + 1 FROM documents
+      WHERE doc_id % 10 = 9 AND doc_id + 1 < (SELECT n FROM nn)),
+    ue AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+      WHERE src <> dst),
+    l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ue),"""
+    + ",".join(_LPA_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2, 3, 4))
+    + """
+    SELECT id, lbl AS community FROM l4
+    """,
+)
+def q_lpa_communities(spark, sf_dir):
+    """operators/graph.label_propagation — deterministic synchronous
+    LPA (Raghavan et al. 2007, min-label tie-break), 4 rounds over a
+    ring-of-cliques host graph (10-node cliques chained by single
+    bridge edges): communities align with cliques, bridges don't
+    bleed labels through in 4 rounds."""
+    from cloud_crawler_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    intra = docs.select(
+        i.alias("src"),
+        F.explode(F.sequence(F.lit(1).cast("long"), F.lit(3))).alias("d"),
+    ).select(
+        "src", (F.col("src") + F.col("d")).alias("dst")
+    ).where(
+        (F.col("dst") < n)
+        & (F.floor(F.col("src") / 10) == F.floor(F.col("dst") / 10))
+    )
+    bridge = docs.where((i % 10 == 9) & (i + 1 < n)).select(
+        i.alias("src"), (i + 1).alias("dst")
+    )
+    return label_propagation(intra.unionByName(bridge), iterations=4)
+
+
 def queries():
     return dict(_Q)
 

@@ -377,3 +377,69 @@ class TestSortedNeighborhood:
         d = self._docs(spark, [(i, "same text here") for i in range(5)])
         out = sorted_neighborhood(d, window=2, max_hamming=16).collect()
         assert len(out) == 4
+
+
+class TestSparseCosinePairs:
+    def test_exact_cosine_on_hand_corpus(self, spark):
+        from cloud_crawler_spark.operators.similarity import (
+            sparse_cosine_pairs,
+        )
+
+        d = spark.createDataFrame([
+            (0, "apple banana cherry"),
+            (1, "apple banana durian"),
+            (2, "xylo zulu waldo"),
+        ], "doc_id long, text string")
+        got = {(r["doc_a"], r["doc_b"]): r["cos_sim"]
+               for r in sparse_cosine_pairs(d, min_sim=0.1,
+                                            max_df=10).collect()}
+        # docs 0,1 share 2 of 3 equal-weight terms (idf ln(3/2) for
+        # shared, ln 3 for unique): cos = 2a^2/(2a^2+b^2)
+        import math
+        a, b = math.log(3 / 2), math.log(3.0)
+        want = 2 * a * a / (2 * a * a + b * b)
+        assert set(got) == {(0, 1)}
+        assert abs(got[(0, 1)] - round(want, 6)) < 1e-9
+
+    def test_df_cut_kills_stopword_pairs(self, spark):
+        from cloud_crawler_spark.operators.similarity import (
+            sparse_cosine_pairs,
+        )
+
+        # 'the' appears in all docs: with max_df=2 it can't join pairs
+        d = spark.createDataFrame([
+            (0, "the alpha"), (1, "the beta"), (2, "the gamma"),
+        ], "doc_id long, text string")
+        assert sparse_cosine_pairs(d, min_sim=0.0, max_df=2).count() == 0
+
+
+class TestCollocations:
+    def test_pmi_ranks_true_collocation_first(self, spark):
+        import math
+
+        from cloud_crawler_spark.functions.text import collocations
+
+        # "los angeles" always together; "a b" crossed with others
+        d = spark.createDataFrame(
+            [(i, "los angeles a b") for i in range(3)]
+            + [(9, "b a a b")],
+            "doc_id long, text string",
+        )
+        out = {r["gram"]: (r["n"], r["pmi"], r["rank"])
+               for r in collocations(d, min_count=3, k=10).collect()}
+        assert out["los angeles"][2] == 1  # top PMI
+        # hand-check: c(los angeles)=3, B=12, c(los)=3, c(angeles)=3, T=16
+        want = math.log((3 / 12) / ((3 / 16) * (3 / 16)))
+        assert abs(out["los angeles"][1] - want) < 1e-12
+
+    def test_min_count_gates_hapax(self, spark):
+        from cloud_crawler_spark.functions.text import collocations
+
+        d = spark.createDataFrame(
+            [(0, "rare pair common common common common")],
+            "doc_id long, text string",
+        )
+        grams = {r["gram"] for r in
+                 collocations(d, min_count=2, k=10).collect()}
+        assert "rare pair" not in grams
+        assert "common common" in grams

@@ -352,3 +352,78 @@ class TestGraphScorecard:
         row = graph_scorecard(e).collect()[0]
         assert row["n_nodes"] == 2 and row["n_edges"] == 2
         assert abs(row["reciprocity"] - 0.5) < 1e-12
+
+
+class TestLabelPropagation:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    @staticmethod
+    def _expected_lpa(edges, iterations):
+        """Plain-python synchronous min-tie-break LPA."""
+        und = set()
+        for s_, d_ in edges:
+            if s_ != d_:
+                und.add((s_, d_))
+                und.add((d_, s_))
+        nodes = sorted({u for u, _ in und})
+        lbl = {u: u for u in nodes}
+        for _ in range(iterations):
+            new = {}
+            for v in nodes:
+                votes = {}
+                for u, w in und:
+                    if w == v:
+                        votes[lbl[u]] = votes.get(lbl[u], 0) + 1
+                if votes:
+                    best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+                    new[v] = best[0]
+                else:
+                    new[v] = lbl[v]
+            lbl = new
+        return lbl
+
+    def test_matches_reference_on_bridged_cliques(self, spark):
+        from cloud_crawler_spark.operators.graph import label_propagation
+
+        rows = [(0, 1), (1, 2), (0, 2),
+                (10, 11), (11, 12), (10, 12), (2, 10)]
+        for it in (1, 2, 3, 4):
+            got = {
+                r["id"]: r["community"]
+                for r in label_propagation(
+                    self._edges(spark, rows), iterations=it
+                ).collect()
+            }
+            assert got == self._expected_lpa(rows, it), it
+
+    def test_clean_cliques_converge_to_min_label(self, spark):
+        from cloud_crawler_spark.operators.graph import label_propagation
+
+        # two 4-cliques, NO bridge: each converges to its min label
+        def clique(base):
+            ids = [base + i for i in range(4)]
+            return [(a, b) for a in ids for b in ids if a < b]
+
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(
+                self._edges(spark, clique(0) + clique(20)), iterations=4
+            ).collect()
+        }
+        assert {got[i] for i in range(4)} == {0}
+        assert {got[20 + i] for i in range(4)} == {20}
+
+    def test_selfloop_dropped_direction_ignored(self, spark):
+        from cloud_crawler_spark.operators.graph import label_propagation
+
+        rows = [(5, 3), (3, 3)]
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(
+                self._edges(spark, rows), iterations=2
+            ).collect()
+        }
+        # the 2-node graph oscillates under sync LPA: after an EVEN
+        # round count each node is back to its own label
+        assert got == self._expected_lpa(rows, 2) == {3: 3, 5: 5}
