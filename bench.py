@@ -91,6 +91,8 @@ HEADLINE = [
     "q_sparse_cosine",
     "q_collocations",
     "q_lpa_communities",
+    "q_hash_split",
+    "q_chunking",
     "q_budget_allocation",
     "q_crawl_bfs",
 ]

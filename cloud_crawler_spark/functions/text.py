@@ -905,3 +905,48 @@ def collocations(df, min_count: int = 5, k: int = 50,
     return scored.select(
         "gram", "n", "pmi", F.row_number().over(w).cast("int").alias("rank")
     ).where(F.col("rank") <= k)
+
+
+def chunk_documents(df, chunk_tokens: int = 128, overlap: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Fixed-window document chunking with overlap — the RAG /
+    long-context preprocessing pass: split each doc's token stream
+    into windows of `chunk_tokens` whitespace tokens advancing by
+    `chunk_tokens - overlap`, so consecutive chunks share `overlap`
+    tokens and no sentence straddling a boundary is lost to both
+    sides. The batch complement of sequence packing (pack_sequences
+    joins short docs; this splits long ones).
+
+    Returns (id, chunk_id [0-based], n_tokens, chunk). Zero-token
+    documents yield no chunks; the final chunk may be shorter than
+    `chunk_tokens` (standard; it is never empty).
+
+    Scale shape: ONE codegen projection builds the start-offset array
+    (sequence with step), one explode, slices + array_join — no
+    shuffle at all, no UDF; a pure map over the corpus that
+    parallelizes with the scan. Chunk counts are bounded by doc
+    length, so no skew beyond the documents themselves.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0), n - 1, F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("_start") + 1, F.lit(chunk_tokens)
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )

@@ -948,9 +948,13 @@ def sorted_neighborhood(
     """
     from cloud_crawler_spark.operators.rank import with_global_rank
 
+    # materialize the SimHash before ranking: with_global_rank's range
+    # machinery evaluates its input several times (sampling pass, size
+    # census, final shuffle) — without this the 200k-md5 key expression
+    # runs ~3x (measured 14.4s -> 6.2s solo at sf0.1)
     keyed = df.select(
         F.col(id_col).alias("_id"), simhash16(F.col(text_col)).alias("_sh")
-    )
+    ).localCheckpoint(eager=True)
     ranked = with_global_rank(
         keyed, [F.col("_sh").asc(), F.col("_id").asc()], rank_col="_rn"
     ).localCheckpoint(eager=True)

@@ -394,3 +394,47 @@ def length_quantiles(
             .alias(f"p{int(round(q * 100))}")
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def hash_split(
+    df: DataFrame,
+    weights_permille: dict[str, int],
+    key_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the leakage-safe LM
+    split: bucket = hash_permille(salt || key), carved into named
+    splits by cumulative permille thresholds in SORTED split-name
+    order (deterministic regardless of dict order). Pass the DEDUP
+    CLUSTER id (dedup_clusters / canonical_aliases output) as
+    `key_col`, not the doc id — near-duplicates then land on the SAME
+    side of the split, which is the whole point (a val doc's twin in
+    train is contamination the n-gram decontaminator only catches
+    later and more expensively). The salt versions the split: new
+    salt, new assignment, old one reproducible forever.
+
+    weights_permille must sum to 1000 (e.g. {"train": 980, "val": 10,
+    "test": 10}).
+
+    Scale shape: ONE codegen projection (md5 + conv arithmetic + a
+    CASE ladder), no shuffle, no UDF, no sampling seed that interacts
+    with partitioning. Same md5 arithmetic as hash_permille, so the
+    DuckDB oracle reproduces assignments bit-for-bit.
+    """
+    total = sum(weights_permille.values())
+    if total != 1000:
+        raise ValueError(f"weights_permille must sum to 1000, got {total}")
+    pm = hash_permille(
+        F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    expr = None
+    acc = 0
+    names = sorted(weights_permille)
+    for name in names[:-1]:
+        acc += int(weights_permille[name])
+        cond = pm < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

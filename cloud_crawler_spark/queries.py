@@ -4842,6 +4842,74 @@ def q_lpa_communities(spark, sf_dir):
     return label_propagation(intra.unionByName(bridge), iterations=4)
 
 
+@_register(
+    "q_hash_split",
+    f"""
+    WITH d AS (SELECT doc_id, doc_id // 4 AS cluster FROM documents),
+    b AS (SELECT doc_id, cluster,
+                 ({_hex4_sql("'split-v1:' || cluster")}) % 1000 AS pm
+          FROM d)
+    SELECT doc_id, cluster,
+           CASE WHEN pm < 10 THEN 'test'
+                WHEN pm < 990 THEN 'train'
+                ELSE 'val' END AS split
+    FROM b
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    """operators/sampling.hash_split — deterministic leakage-safe
+    train/val/test assignment keyed on the DEDUP CLUSTER id (groups
+    of 4 docs here), 98/1/1 permille weights: near-duplicates land on
+    the same side by construction. Same md5 bucket arithmetic as
+    hash_permille, bit-for-bit in both engines."""
+    from cloud_crawler_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("doc_id div 4").alias("cluster")
+    )
+    return hash_split(
+        docs, {"train": 980, "val": 10, "test": 10}, key_col="cluster"
+    )
+
+
+_CHUNK_LEN, _CHUNK_OVERLAP = 32, 8
+
+
+@_register(
+    "q_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, len(toks), {_CHUNK_LEN - _CHUNK_OVERLAP}))
+               AS st
+      FROM t)
+    SELECT doc_id,
+           (st // {_CHUNK_LEN - _CHUNK_OVERLAP})::BIGINT AS chunk_id,
+           len(list_slice(toks, st + 1, st + {_CHUNK_LEN}))::BIGINT
+             AS n_tokens,
+           array_to_string(list_slice(toks, st + 1, st + {_CHUNK_LEN}), ' ')
+             AS chunk
+    FROM s
+    """,
+)
+def q_chunking(spark, sf_dir):
+    """functions/text.chunk_documents — fixed-window RAG chunking
+    (32-token windows, 8-token overlap, 24-token stride) over the
+    documents table: one codegen projection + posexplode, no shuffle;
+    chunk_id via posexplode matches the oracle's st/stride identity."""
+    from cloud_crawler_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_LEN, overlap=_CHUNK_OVERLAP
+    )
+
+
 def queries():
     return dict(_Q)
 

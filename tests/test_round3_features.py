@@ -597,3 +597,106 @@ class TestAnchorText:
                     CrawlConfig(link_selector="div.follow a",
                                 anchor_pattern="keep"))
         assert crawled_names(res) == {"0", "1"}
+
+
+class TestHashSplit:
+    def _docs(self, spark, n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.expr("id div 4").alias("cluster"),
+        )
+
+    def test_cluster_members_share_split(self, spark):
+        from cloud_crawler_spark.operators.sampling import hash_split
+
+        out = hash_split(
+            self._docs(spark, 400),
+            {"train": 980, "val": 10, "test": 10},
+            key_col="cluster",
+        )
+        per = out.groupBy("cluster").agg(
+            F.countDistinct("split").alias("ns")
+        )
+        assert per.where("ns > 1").count() == 0
+
+    def test_weights_roughly_hold_and_deterministic(self, spark):
+        from cloud_crawler_spark.operators.sampling import hash_split
+
+        d = spark.range(5000).select(F.col("id").alias("doc_id"))
+        out = hash_split(
+            d, {"train": 900, "val": 50, "test": 50}, key_col="doc_id"
+        )
+        counts = {r["split"]: r["c"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > 4000
+        assert 100 < counts["val"] + counts["test"] < 900
+        again = hash_split(
+            d, {"train": 900, "val": 50, "test": 50}, key_col="doc_id"
+        )
+        assert out.exceptAll(again).count() == 0
+
+    def test_salt_versions_the_split(self, spark):
+        from cloud_crawler_spark.operators.sampling import hash_split
+
+        d = spark.range(1000).select(F.col("id").alias("doc_id"))
+        a = hash_split(d, {"train": 500, "test": 500}, key_col="doc_id")
+        b = hash_split(d, {"train": 500, "test": 500}, key_col="doc_id",
+                       salt="split-v2")
+        assert a.exceptAll(b).count() > 0
+
+    def test_rejects_bad_weights(self, spark):
+        import pytest as _pt
+
+        from cloud_crawler_spark.operators.sampling import hash_split
+
+        with _pt.raises(ValueError):
+            hash_split(spark.range(1), {"train": 999}, key_col="id")
+
+
+class TestChunkDocuments:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_windows_and_overlap(self, spark):
+        from cloud_crawler_spark.functions.text import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(10))
+        out = sorted(
+            (r["chunk_id"], r["n_tokens"], r["chunk"])
+            for r in chunk_documents(
+                self._docs(spark, [(0, text)]),
+                chunk_tokens=4, overlap=1,
+            ).collect()
+        )
+        # stride 3: starts 0,3,6,9
+        assert [c[0] for c in out] == [0, 1, 2, 3]
+        assert out[0] == (0, 4, "w0 w1 w2 w3")
+        assert out[1] == (1, 4, "w3 w4 w5 w6")
+        assert out[3] == (3, 1, "w9")  # short tail kept, never empty
+
+    def test_empty_doc_yields_no_chunks(self, spark):
+        from cloud_crawler_spark.functions.text import chunk_documents
+
+        out = chunk_documents(
+            self._docs(spark, [(0, ""), (1, "a b")]),
+            chunk_tokens=4, overlap=1,
+        ).collect()
+        assert {r["doc_id"] for r in out} == {1}
+
+    def test_short_doc_single_chunk(self, spark):
+        from cloud_crawler_spark.functions.text import chunk_documents
+
+        out = chunk_documents(
+            self._docs(spark, [(0, "a b c")]), chunk_tokens=10, overlap=2
+        ).collect()
+        assert len(out) == 1 and out[0]["chunk"] == "a b c"
+
+    def test_rejects_overlap_ge_chunk(self, spark):
+        import pytest as _pt
+
+        from cloud_crawler_spark.functions.text import chunk_documents
+
+        with _pt.raises(ValueError):
+            chunk_documents(self._docs(spark, [(0, "x")]),
+                            chunk_tokens=4, overlap=4)
