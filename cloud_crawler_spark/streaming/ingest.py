@@ -343,3 +343,69 @@ def session_rollup(
         )
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def session_transitions_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    label_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of operators/sessions.transitions: per-session
+    (from_label -> to_label) step rows, emitted append-mode once the
+    watermark closes the session. ONE stateful operator (the
+    session_window collect) — chained streaming aggregations carry
+    correctness restrictions, so the global rollup stays downstream
+    (sum the emitted per-step rows in batch or with a second job).
+
+    Output: one row per consecutive in-session step —
+    (entity, session STRUCT<start,end>, from_label, to_label).
+    Within-session order is (ts, id), matching the batch operator;
+    the session-boundary nuance vs the batch gap rule is
+    session_rollup's (half-open window merge vs `gap <=`).
+
+    Scale shape: state per (entity, open session) is the event list
+    — bounded by watermark horizon x per-entity event rate (cap
+    pathological entities upstream if that product is unbounded);
+    pair derivation is codegen zip_with over shifted slices of the
+    already-aggregated array, stateless.
+    """
+    collected = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(entity_col),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("_ts"),
+                        F.col(id_col).alias("_id"),
+                        F.col(label_col).alias("_lbl"),
+                    )
+                )
+            ).alias("_seq")
+        )
+    )
+    n1 = F.greatest(F.size("_seq") - 1, F.lit(0))
+    steps = F.zip_with(
+        F.slice(F.col("_seq"), 1, n1),
+        F.slice(F.col("_seq"), 2, n1),
+        lambda a, b: F.struct(
+            a["_lbl"].alias("from_label"), b["_lbl"].alias("to_label")
+        ),
+    )
+    return collected.select(
+        entity_col,
+        "session",
+        F.explode(steps).alias("_s"),
+    ).select(
+        entity_col,
+        "session",
+        F.col("_s.from_label").alias("from_label"),
+        F.col("_s.to_label").alias("to_label"),
+    )

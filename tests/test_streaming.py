@@ -244,3 +244,55 @@ def test_session_rollup_stream_matches_batch_and_operator(spark, tmp_path):
         for r in sessionize(events, gap_sec=1800).collect()
     }
     assert {(g[0], g[2]) for g in want} == op
+
+
+def test_session_transitions_stream_matches_batch_operator(spark, tmp_path):
+    import datetime as dt
+
+    from cloud_crawler_spark.operators.sessions import transitions
+    from cloud_crawler_spark.streaming.ingest import (
+        session_transitions_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, t0, 0, "view"), (1, t0 + dt.timedelta(minutes=5), 1, "cart"),
+        (1, t0 + dt.timedelta(minutes=6), 2, "buy"),
+        (1, t0 + dt.timedelta(hours=3), 3, "view"),   # new session
+        (2, t0 + dt.timedelta(minutes=1), 4, "view"),
+        (2, t0 + dt.timedelta(minutes=2), 5, "view"),
+        (99, t0 + dt.timedelta(days=2), 6, "anchor"),  # watermark anchor
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    d = str(tmp_path / "trans_events")
+    events = spark.createDataFrame(rows, schema)
+    events.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = session_transitions_stream(
+        spark.readStream.schema(schema).parquet(d)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("trans_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["user_id"], r["from_label"], r["to_label"])
+        for r in spark.sql("SELECT * FROM trans_sink").collect()
+        if r["user_id"] != 99
+    ]
+    # aggregate emitted steps -> must equal the batch operator's counts
+    from collections import Counter
+
+    agg = Counter((f, t) for _, f, t in got)
+    want = {
+        (r["from_label"], r["to_label"]): r["n_transitions"]
+        for r in transitions(events, gap_sec=1800).collect()
+    }
+    assert dict(agg) == want
+    # per-entity step provenance survives (the batch rollup loses it)
+    assert (1, "view", "cart") in got and (2, "view", "view") in got
