@@ -93,6 +93,7 @@ HEADLINE = [
     "q_lpa_communities",
     "q_hash_split",
     "q_chunking",
+    "q_aimd_rate",
     "q_budget_allocation",
     "q_crawl_bfs",
 ]

@@ -680,3 +680,119 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels.select("id", F.col("lbl").alias("community"))
+
+
+def hyperball_harmonic(
+    edges: DataFrame, max_depth: int = 3, p: int = 6
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", ICDMW 2013) — the web-scale
+    estimator behind `harmonic_centrality`: each node carries a
+    HyperLogLog counter of its in-ball; per round every counter
+    absorbs its in-neighbors' counters (register-wise max — HLL union
+    is lossless), and the harmonic score accumulates
+    (|ball_t| - |ball_{t-1}|) / t. Memory per node is m = 2^p
+    registers instead of an exact reach set — THE trick that lets
+    radius-k centrality run on trillion-edge graphs.
+
+    Returns (id, n_reaching_est double, harmonic_est double) for
+    every node. Deterministic (xxhash64 node hashing, no RNG).
+    Estimates carry HLL error ~1.04/sqrt(m) (~13% at p=6); the exact
+    bounded operator is the oracle-checkable twin — this one trades
+    exactness for state size, pytest-pinned against it.
+
+    Scale shape: registers live in LONG format (node, reg_idx,
+    reg_val) — per round ONE equi-join states⋈edges on src and ONE
+    map-side-combinable groupBy(dst, reg_idx) max; estimation is a
+    groupBy(node) fold over m rows. No arrays to element-wise-max
+    across rows (Spark has no such aggregate), no UDF, no driver
+    state; per-round localCheckpoint (the BSP envelope). Rows per
+    node = m — constant, tune p against executor memory.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # singleton-{v} registers: idx = low p bits of xxhash64, rho =
+    # leading-zero count of the remaining 64-p bits + 1, computed
+    # EXACTLY as (64-p) - floor(log2(w)) via length(bin(w)) integer
+    # string algebra (no float log)
+    h = F.xxhash64(F.col("id").cast("string"))
+    idx = F.pmod(h, F.lit(m)).cast("int")
+    w_sql = f"shiftrightunsigned(xxhash64(cast(id as string)), {p})"
+    w = F.expr(w_sql)
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(64 - p) - F.length(F.expr(f"bin({w_sql})")) + 1
+    ).cast("int")
+    grid = nodes.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("reg_idx"),
+    )
+    state = (
+        grid.join(
+            nodes.select("id", idx.alias("_i"), rho.alias("_r")), "id"
+        )
+        .select(
+            "id",
+            "reg_idx",
+            F.when(F.col("reg_idx") == F.col("_i"), F.col("_r"))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("reg_val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _estimate(st):
+        est = st.groupBy("id").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("reg_val"))).alias("_z"),
+            F.sum((F.col("reg_val") == 0).cast("int")).alias("_v"),
+        )
+        raw = F.lit(alpha * m * m) / F.col("_z")
+        lin = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v"))
+        return est.select(
+            "id",
+            F.when((raw <= 2.5 * m) & (F.col("_v") > 0), lin)
+            .otherwise(raw)
+            .alias("est"),
+        )
+
+    scores = _estimate(state).select(
+        "id", F.col("est").alias("_prev"), F.lit(0.0).alias("harmonic_est")
+    )
+    for t in range(1, max_depth + 1):
+        inbound = (
+            state.join(e, state.id == e.src)
+            .select(F.col("dst").alias("id"), "reg_idx", "reg_val")
+        )
+        state = (
+            state.unionByName(inbound)
+            .groupBy("id", "reg_idx")
+            .agg(F.max("reg_val").alias("reg_val"))
+            .localCheckpoint(eager=True)
+        )
+        est = _estimate(state)
+        scores = (
+            scores.join(est, "id")
+            .select(
+                "id",
+                F.col("est").alias("_prev"),
+                (
+                    F.col("harmonic_est")
+                    + F.greatest(
+                        F.col("est") - F.col("_prev"), F.lit(0.0)
+                    )
+                    / t
+                ).alias("harmonic_est"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores.select(
+        "id",
+        (F.col("_prev") - 1.0).alias("n_reaching_est"),
+        "harmonic_est",
+    )

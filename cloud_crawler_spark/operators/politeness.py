@@ -193,3 +193,67 @@ def allocate_budget(
         F.col(host_col), F.lit(0).cast("long").alias("budget")
     )
     return alloc.unionByName(zero)
+
+
+def aimd_rates(
+    fetch_log: DataFrame,
+    n_rounds: int,
+    init_rate: int = 4,
+    max_rate: int = 16,
+    host_col: str = "host",
+    round_col: str = "round",
+    code_col: str = "code",
+) -> DataFrame:
+    """AIMD adaptive per-host fetch rate — TCP's congestion rule
+    applied to politeness (additive increase on clean rounds,
+    multiplicative decrease on throttle signals): replay a fetch log
+    round by round per host; any HTTP 429 in a round halves the
+    host's rate (floor, min 1), a clean fetched round adds 1 (cap
+    `max_rate`), a round with no fetches holds. The result seeds the
+    next crawl's per-host budget (politeness.host_budget /
+    allocate_budget weights) from observed server pushback instead of
+    a global constant.
+
+    Returns (host, final_rate, n_throttle_rounds, n_active_rounds).
+    All-integer arithmetic — the DuckDB oracle reproduces the fold
+    bit-for-bit via list_reduce.
+
+    Scale shape: one map-side-combinable groupBy(host, round), one
+    groupBy(host) building a round->flag map, then the whole rate
+    replay is ONE codegen aggregate() fold over an n_rounds-long
+    array per host — no per-round joins, no window, no UDF; rounds
+    are a constant, hosts shard the shuffle.
+    """
+    is_thr = F.max((F.col(code_col) == 429).cast("int")).alias("_thr")
+    per_round = fetch_log.groupBy(
+        F.col(host_col).alias("host"),
+        F.col(round_col).cast("int").alias("_r"),
+    ).agg(is_thr)
+    per_host = per_round.groupBy("host").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_r"), F.col("_thr")))
+        ).alias("_m")
+    )
+    flags = F.transform(
+        F.sequence(F.lit(0), F.lit(n_rounds - 1)),
+        lambda r: F.coalesce(F.element_at(F.col("_m"), r), F.lit(-1)),
+    )
+    folded = F.aggregate(
+        flags,
+        F.lit(int(init_rate)),
+        lambda acc, f: F.when(
+            f == 1, F.greatest(F.lit(1), F.floor(acc / 2).cast("int"))
+        )
+        .when(f == 0, F.least(F.lit(int(max_rate)), acc + 1))
+        .otherwise(acc),
+    )
+    return per_host.select(
+        "host",
+        folded.cast("long").alias("final_rate"),
+        F.size(F.filter(flags, lambda f: f == 1))
+        .cast("long")
+        .alias("n_throttle_rounds"),
+        F.size(F.filter(flags, lambda f: f >= 0))
+        .cast("long")
+        .alias("n_active_rounds"),
+    )

@@ -4910,6 +4910,54 @@ def q_chunking(spark, sf_dir):
     )
 
 
+@_register(
+    "q_aimd_rate",
+    """
+    WITH log AS (
+      SELECT 'h' || (doc_id % 20) AS host,
+             ((doc_id // 20) % 6)::INT AS rnd,
+             CASE WHEN doc_id % 7 = 0 THEN 429 ELSE 200 END AS code
+      FROM documents),
+    pr AS (
+      SELECT host, rnd,
+             max(CASE WHEN code = 429 THEN 1 ELSE 0 END) AS thr
+      FROM log GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT host, r::INT AS r FROM pr, range(0, 6) t(r)),
+    dense AS (
+      SELECT g.host, g.r, coalesce(pr.thr, -1) AS f
+      FROM grid g LEFT JOIN pr ON pr.host = g.host AND pr.rnd = g.r),
+    flags AS (SELECT host, list(f ORDER BY r) AS fl FROM dense
+              GROUP BY host)
+    SELECT host,
+           list_reduce(list_prepend(4, fl),
+             (acc, f) -> CASE WHEN f = 1 THEN greatest(1, acc // 2)
+                              WHEN f = 0 THEN least(16, acc + 1)
+                              ELSE acc END)::BIGINT AS final_rate,
+           len(list_filter(fl, f -> f = 1))::BIGINT
+             AS n_throttle_rounds,
+           len(list_filter(fl, f -> f >= 0))::BIGINT
+             AS n_active_rounds
+    FROM flags
+    """,
+)
+def q_aimd_rate(spark, sf_dir):
+    """operators/politeness.aimd_rates — TCP-style AIMD politeness
+    replay over a synthetic 6-round fetch log (20 hosts, every 7th
+    fetch a 429): halve on throttle rounds, +1 on clean rounds, hold
+    on idle rounds. All-integer fold, bit-for-bit in both engines
+    (Spark aggregate() vs DuckDB list_reduce)."""
+    from cloud_crawler_spark.operators.politeness import aimd_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    log = docs.select(
+        F.concat(F.lit("h"), (i % 20).cast("string")).alias("host"),
+        (F.expr("doc_id div 20") % 6).alias("round"),
+        F.when(i % 7 == 0, F.lit(429)).otherwise(F.lit(200)).alias("code"),
+    )
+    return aimd_rates(log, n_rounds=6)
+
+
 def queries():
     return dict(_Q)
 

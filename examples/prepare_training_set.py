@@ -30,7 +30,12 @@ from pyspark.sql import SparkSession, functions as F
 from cloud_crawler_spark.operators.dedup import exact_substr_dedup, latest_snapshot
 from cloud_crawler_spark.operators.lm import bigram_lm_score, vocab_coverage
 from cloud_crawler_spark.operators.packing import pack_sequences, packing_stats
-from cloud_crawler_spark.operators.sampling import dsir_weights, rebalance_sample
+from cloud_crawler_spark.functions.text import chunk_documents
+from cloud_crawler_spark.operators.sampling import (
+    dsir_weights,
+    hash_split,
+    rebalance_sample,
+)
 
 spark = (
     SparkSession.builder.master("local[4]")
@@ -102,8 +107,29 @@ mixed.groupBy("lang").count().orderBy("lang").show()
 oov = vocab_coverage(mixed.select("doc_id", "text"))
 oov.agg(F.round(F.avg("oov_rate"), 4).alias("mean_oov")).show()
 
-# 7. pack into 512-token training sequences, report fill rate
-packed = pack_sequences(mixed, seq_len=512, n_buckets=8)
+# 7. leakage-safe split: key on the exact-dedup text hash so any
+#    residual duplicates land on ONE side of the split
+splits = hash_split(
+    mixed.withColumn("dedup_key", F.md5("text")),
+    {"train": 980, "val": 10, "test": 10}, key_col="dedup_key",
+)
+splits.groupBy("split").count().orderBy("split").show()
+train = splits.where(F.col("split") == "train").drop("split", "dedup_key")
+
+# 8. chunk overlong docs into 128-token windows (16-token overlap) so
+#    no single doc spans training sequences un-shuffled
+chunks = chunk_documents(train, chunk_tokens=128, overlap=16)
+print("chunks:", chunks.count(), "docs in train:", train.count())
+train = chunks.select(
+    (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("doc_id"),
+    F.col("doc_id").alias("_orig"),
+    F.col("chunk").alias("text"),
+).join(
+    train.select(F.col("doc_id").alias("_orig"), "lang"), "_orig"
+).drop("_orig").localCheckpoint()
+
+# 9. pack into 512-token training sequences, report fill rate
+packed = pack_sequences(train, seq_len=512, n_buckets=8)
 packing_stats(packed, seq_len=512).orderBy("bucket").show()
 print("sequences:", packed.agg(F.countDistinct("bucket", "bin_id")).first()[0],
-      "docs packed:", packed.count())
+      "chunks packed:", packed.count())

@@ -427,3 +427,50 @@ class TestLabelPropagation:
         # the 2-node graph oscillates under sync LPA: after an EVEN
         # round count each node is back to its own label
         assert got == self._expected_lpa(rows, 2) == {3: 3, 5: 5}
+
+
+class TestHyperballHarmonic:
+    def test_tracks_exact_harmonic(self, spark):
+        from cloud_crawler_spark.operators.graph import (
+            harmonic_centrality,
+            hyperball_harmonic,
+        )
+
+        # ring of 60 + star into node 0: node 0's in-ball dominates
+        rows = [(i, (i + 1) % 60) for i in range(60)]
+        rows += [(100 + i, 0) for i in range(40)]
+        e = spark.createDataFrame(rows, "src long, dst long")
+        exact = {r["dst"]: r["harmonic"]
+                 for r in harmonic_centrality(e, max_depth=3).collect()}
+        est = {r["id"]: r["harmonic_est"]
+               for r in hyperball_harmonic(e, max_depth=3, p=6).collect()}
+        # node 0 (43 in-ball) must clearly outrank a plain ring node
+        assert est[0] > 2 * est[5]
+        # HLL error ~13% at p=6; allow 40% slack on the big score
+        assert abs(est[0] - exact[0]) / exact[0] < 0.4
+        # nodes 1 and 2 sit downstream of the star hub within radius 3
+        # (star->0->1->2), so only 3..59 are plain ring nodes with the
+        # same exact score: their estimates must sit in a tight band
+        assert est[1] > est[3] and est[2] > est[3]
+        ring = [est[i] for i in range(3, 60)]
+        assert min(ring) > 0
+        assert max(ring) / min(ring) < 3.0
+
+    def test_deterministic(self, spark):
+        from cloud_crawler_spark.operators.graph import hyperball_harmonic
+
+        e = spark.createDataFrame(
+            [(i, (i * 3 + 1) % 20) for i in range(20)], "src long, dst long"
+        )
+        a = sorted(map(tuple, hyperball_harmonic(e, 2, p=5).collect()))
+        b = sorted(map(tuple, hyperball_harmonic(e, 2, p=5).collect()))
+        assert a == b
+
+    def test_empty_ball_nodes_score_zero(self, spark):
+        from cloud_crawler_spark.operators.graph import hyperball_harmonic
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        got = {r["id"]: r["harmonic_est"]
+               for r in hyperball_harmonic(e, 2, p=4).collect()}
+        assert got[0] == 0.0  # nothing reaches 0
+        assert got[1] > 0.0

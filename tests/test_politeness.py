@@ -150,3 +150,39 @@ class TestAllocateBudget:
         a = self._alloc(spark, [(f"h{i}", i + 1) for i in range(10)], 3)
         assert sum(a.values()) == 3
         assert a["h9"] == 1 and a["h8"] == 1 and a["h7"] == 1
+
+
+class TestAimdRates:
+    def _log(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, round int, code int")
+
+    def test_fold_semantics(self, spark):
+        from cloud_crawler_spark.operators.politeness import aimd_rates
+
+        # h1: throttle r0 (4->2), clean r1 (3), idle r2 (3), throttle
+        # r3 (1), clean r4+r5 (2, 3)
+        rows = [
+            ("h1", 0, 429), ("h1", 0, 200),
+            ("h1", 1, 200),
+            ("h1", 3, 429),
+            ("h1", 4, 200), ("h1", 5, 200),
+            # h2: clean every round -> caps at init+6 below max
+            *[("h2", r, 200) for r in range(6)],
+        ]
+        got = {r["host"]: (r["final_rate"], r["n_throttle_rounds"],
+                           r["n_active_rounds"])
+               for r in aimd_rates(self._log(spark, rows),
+                                   n_rounds=6).collect()}
+        assert got["h1"] == (3, 2, 5)
+        assert got["h2"] == (10, 0, 6)
+
+    def test_rate_floor_and_cap(self, spark):
+        from cloud_crawler_spark.operators.politeness import aimd_rates
+
+        rows = [("slow", r, 429) for r in range(6)]
+        rows += [("fast", r, 200) for r in range(6)]
+        got = {r["host"]: r["final_rate"]
+               for r in aimd_rates(self._log(spark, rows), n_rounds=6,
+                                   init_rate=15, max_rate=16).collect()}
+        assert got["slow"] == 1    # halving floors at 1
+        assert got["fast"] == 16   # additive increase caps
