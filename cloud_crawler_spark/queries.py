@@ -4964,3 +4964,109 @@ def queries():
 
 def oracle_sql():
     return dict(_ORACLE)
+
+
+# ======================================================================
+# Graph-structure metrics (round-3 continuation)
+# ======================================================================
+
+_RINGHUB_EDGES_SQL = """
+    nn AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+      UNION ALL
+      SELECT doc_id, doc_id % 16 FROM documents),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst)
+"""
+
+
+def _ringhub_edges(spark, sf_dir):
+    """Deterministic ring+hub test graph over `documents`: ring edges
+    i->(i+1)%n and i->(i+2)%n close a triangle at every i (organic
+    clustering), hub edges i -> i%16 concentrate degree on 16 hubs
+    (skew) while closing almost nothing — the hub out-list stays tiny
+    under degree-ordered orientation, which is exactly the skew case
+    the orientation exists for."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    return (
+        docs.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+        .unionByName(docs.select(i.alias("src"), ((i + 2) % n).alias("dst")))
+        .unionByName(docs.select(i.alias("src"), (i % 16).alias("dst")))
+    )
+
+
+@_register(
+    "q_triangles",
+    f"""
+    WITH {_RINGHUB_EDGES_SQL},
+    deg AS (
+      SELECT id, count(*)::BIGINT AS deg FROM (
+        SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      GROUP BY id),
+    tr AS (
+      SELECT e1.a AS p, e1.b AS u, e2.b AS v
+      FROM und e1
+      JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+    per_node AS (
+      SELECT id, count(*)::BIGINT AS tri FROM (
+        SELECT p AS id FROM tr UNION ALL SELECT u FROM tr
+        UNION ALL SELECT v FROM tr)
+      GROUP BY id)
+    SELECT deg.id, deg.deg, coalesce(per_node.tri, 0)::BIGINT AS tri,
+           CASE WHEN deg.deg >= 2
+                THEN 2.0 * coalesce(per_node.tri, 0)
+                     / (deg.deg * (deg.deg - 1))
+                ELSE 0.0 END AS lcc
+    FROM deg LEFT JOIN per_node ON deg.id = per_node.id
+    """,
+)
+def q_triangles(spark, sf_dir):
+    """operators/graph.triangles — distributed triangle counting with
+    degree-ordered edge orientation (Suri & Vassilvitskii WWW'11) +
+    local clustering coefficient, over the ring+hub skew graph. The
+    oracle enumerates each triangle once as a < u < v via three joins;
+    the Spark plan pivots wedges only through oriented out-lists so a
+    10^8-degree hub cannot explode the self-join."""
+    from cloud_crawler_spark.operators.graph import triangles
+
+    return triangles(_ringhub_edges(spark, sf_dir))
+
+
+@_register(
+    "q_assortativity",
+    f"""
+    WITH {_RINGHUB_EDGES_SQL},
+    deg AS (
+      SELECT id, count(*)::BIGINT AS deg FROM (
+        SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      GROUP BY id),
+    m AS (
+      SELECT 2 * count(*)::BIGINT AS s1,
+             sum(da.deg + db.deg)::BIGINT AS sj,
+             2 * sum(da.deg * db.deg)::BIGINT AS sjk,
+             sum(da.deg * da.deg + db.deg * db.deg)::BIGINT AS sjj
+      FROM und
+      JOIN deg da ON und.a = da.id
+      JOIN deg db ON und.b = db.id)
+    SELECT (s1 // 2)::BIGINT AS n_edges,
+           (s1 * sjk - sj * sj)::DOUBLE
+             / (s1 * sjj - sj * sj) AS r
+    FROM m
+    """,
+)
+def q_assortativity(spark, sf_dir):
+    """operators/graph.assortativity — Newman (2002) degree
+    assortativity of the ring+hub graph: exact integer moment sums,
+    one fp division at the end (hub skew drives r negative, the
+    organic-web signature)."""
+    from cloud_crawler_spark.operators.graph import assortativity
+
+    return assortativity(_ringhub_edges(spark, sf_dir))

@@ -474,3 +474,56 @@ class TestHyperballHarmonic:
                for r in hyperball_harmonic(e, 2, p=4).collect()}
         assert got[0] == 0.0  # nothing reaches 0
         assert got[1] > 0.0
+
+
+# --- triangles / local clustering (operators/graph.triangles) --------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def test_triangles_k4(spark):
+    from cloud_crawler_spark.operators.graph import triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    rows = {r["id"]: r for r in triangles(_edges_df(spark, k4)).collect()}
+    assert len(rows) == 4
+    for i in range(4):
+        assert rows[i]["deg"] == 3
+        assert rows[i]["tri"] == 3  # every node sits in C(3,2) = 3 triangles
+        assert rows[i]["lcc"] == 1.0
+
+
+def test_triangles_star_and_direction_invariance(spark):
+    from cloud_crawler_spark.operators.graph import triangles
+
+    # star: no triangles; duplicates / reversed edges / self-loops
+    # must not change anything
+    star = [(0, i) for i in range(1, 5)]
+    noisy = star + [(i, 0) for i in range(1, 5)] + [(0, 0), (0, 1)]
+    got = {r["id"]: r for r in triangles(_edges_df(spark, noisy)).collect()}
+    assert got[0]["deg"] == 4 and got[0]["tri"] == 0 and got[0]["lcc"] == 0.0
+    for i in range(1, 5):
+        assert got[i]["deg"] == 1 and got[i]["tri"] == 0 and got[i]["lcc"] == 0.0
+
+
+def test_triangles_hub_pivot_stays_small(spark):
+    from cloud_crawler_spark.operators.graph import triangles
+
+    # hub 0 connected to 20 leaves, one triangle hanging off it
+    edges = [(0, i) for i in range(1, 21)] + [(1, 2)]
+    got = {r["id"]: (r["tri"], r["lcc"]) for r in
+           triangles(_edges_df(spark, edges)).collect()}
+    assert got[0] == (1, 2.0 * 1 / (20 * 19))
+    assert got[1] == (1, 1.0) and got[2] == (1, 1.0)
+    assert got[3] == (0, 0.0)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from cloud_crawler_spark.operators.graph import assortativity
+
+    star = [(0, i) for i in range(1, 4)]
+    row = assortativity(_edges_df(spark, star)).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["r"] == -1.0
