@@ -4634,7 +4634,7 @@ def q_sorted_neighborhood(spark, sf_dir):
       SELECT doc_id AS src,
              doc_id % (1 << (doc_id % 10)) AS dst
       FROM documents),
-    e AS (SELECT DISTINCT src, dst FROM raw),
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
     nn AS (
       SELECT count(*)::BIGINT AS n_nodes FROM (
         SELECT src AS id FROM e UNION SELECT dst FROM e)),
@@ -5070,3 +5070,143 @@ def q_assortativity(spark, sf_dir):
     from cloud_crawler_spark.operators.graph import assortativity
 
     return assortativity(_ringhub_edges(spark, sf_dir))
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 12) -> str:
+    """Unrolled peeling oracle: core-ring + 8-chains converge in <= 9
+    rounds regardless of corpus size (peeling depth = chain length,
+    not graph size), so a fixed 12-round unroll IS the fixpoint; the
+    Spark operator raises if its own loop ever fails to converge."""
+    raw = """
+    raw AS (
+      SELECT doc_id AS src, (doc_id + 1) % 64 AS dst
+      FROM documents WHERE doc_id < 64
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % 64 FROM documents WHERE doc_id < 64
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN (doc_id - 64) % 8 > 0 THEN doc_id - 1
+                  ELSE doc_id % 64 END
+      FROM documents WHERE doc_id >= 64),
+    und0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst)"""
+    steps = []
+    for t in range(rounds):
+        steps.append(f"""
+    k{t} AS MATERIALIZED (
+      SELECT id FROM (SELECT a AS id FROM und{t}
+                      UNION ALL SELECT b FROM und{t})
+      GROUP BY id HAVING count(*) >= {k}),
+    und{t + 1} AS MATERIALIZED (
+      SELECT u.a, u.b FROM und{t} u
+      JOIN k{t} ka ON u.a = ka.id
+      JOIN k{t} kb ON u.b = kb.id)""")
+    return f"""
+    WITH {raw},{",".join(steps)}
+    SELECT id, count(*)::BIGINT AS deg
+    FROM (SELECT a AS id FROM und{rounds} UNION ALL SELECT b FROM und{rounds})
+    GROUP BY id HAVING count(*) >= {k}
+    """
+
+
+@_register("q_kcore", _kcore_oracle_sql())
+def q_kcore(spark, sf_dir):
+    """operators/graph.kcore — BSP peeling to the 2-core over a
+    core-ring (64 nodes, deg 4) + hanging 8-chains graph: the chains
+    unravel one layer per round (multi-round peeling is the point),
+    the ring survives intact. Oracle = fixed 12-round unrolled CTE
+    peel (provably the fixpoint for chain length 8)."""
+    from cloud_crawler_spark.operators.graph import kcore
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    core = docs.where(i < 64)
+    ring = (
+        core.select(i.alias("src"), ((i + 1) % 64).alias("dst"))
+        .unionByName(core.select(i.alias("src"), ((i + 2) % 64).alias("dst")))
+    )
+    chain = docs.where(i >= 64).select(
+        i.alias("src"),
+        F.when((i - 64) % 8 > 0, i - 1).otherwise(i % 64).alias("dst"),
+    )
+    return kcore(ring.unionByName(chain), k=2)
+
+
+def _bowtie_oracle_sql(radius: int = 16) -> str:
+    """Unrolled forward/backward bounded reachability from seed 0 over
+    the ring-SCC(50, steps 1+11) / IN / OUT / tendril graph; 16 hops
+    covers the SCC's <= 13-hop diameter plus the 1-hop IN/OUT fringe."""
+    raw = """
+    raw AS (
+      SELECT doc_id AS src, (doc_id + 1) % 50 AS dst
+      FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id, (doc_id + 11) % 50 FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id, doc_id % 50
+      FROM documents WHERE doc_id >= 50 AND doc_id < 100
+      UNION ALL
+      SELECT (doc_id - 100) % 50, doc_id
+      FROM documents WHERE doc_id >= 100 AND doc_id < 150
+      UNION ALL
+      SELECT doc_id, doc_id + 1
+      FROM documents WHERE doc_id >= 150 AND (doc_id - 150) % 2 = 0),
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw)"""
+    steps = ["f0 AS (SELECT 0::BIGINT AS id)", "b0 AS (SELECT 0::BIGINT AS id)"]
+    for t in range(radius):
+        steps.append(f"""
+    f{t + 1} AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM f{t}
+        UNION ALL SELECT e.dst FROM f{t} JOIN e ON f{t}.id = e.src))""")
+        steps.append(f"""
+    b{t + 1} AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT id FROM b{t}
+        UNION ALL SELECT e.src FROM b{t} JOIN e ON b{t}.id = e.dst))""")
+    return f"""
+    WITH {raw},{",".join(steps)},
+    nodes AS (
+      SELECT DISTINCT id FROM (SELECT src AS id FROM e
+                               UNION ALL SELECT dst FROM e))
+    SELECT nodes.id,
+           CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'CORE'
+                WHEN b.id IS NOT NULL THEN 'IN'
+                WHEN f.id IS NOT NULL THEN 'OUT'
+                ELSE 'OTHER' END AS component
+    FROM nodes
+    LEFT JOIN f{radius} f ON nodes.id = f.id
+    LEFT JOIN b{radius} b ON nodes.id = b.id
+    """
+
+
+@_register("q_bowtie", _bowtie_oracle_sql())
+def q_bowtie(spark, sf_dir):
+    """operators/graph.bowtie — bounded bow-tie decomposition (Broder
+    et al. WWW 2000) around seed 0 of a synthetic web with a 50-node
+    SCC (ring steps 1+11, diameter <= 13), 50 IN feeders, 50 OUT
+    sinks, and tendril pairs; radius 16 provably saturates all four
+    classes."""
+    from cloud_crawler_spark.operators.graph import bowtie
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    scc = docs.where(i < 50)
+    edges = (
+        scc.select(i.alias("src"), ((i + 1) % 50).alias("dst"))
+        .unionByName(scc.select(i.alias("src"), ((i + 11) % 50).alias("dst")))
+        .unionByName(
+            docs.where((i >= 50) & (i < 100))
+            .select(i.alias("src"), (i % 50).alias("dst"))
+        )
+        .unionByName(
+            docs.where((i >= 100) & (i < 150))
+            .select(((i - 100) % 50).alias("src"), i.alias("dst"))
+        )
+        .unionByName(
+            docs.where((i >= 150) & ((i - 150) % 2 == 0))
+            .select(i.alias("src"), (i + 1).alias("dst"))
+        )
+    )
+    return bowtie(edges, seed=0, radius=16)

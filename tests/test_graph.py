@@ -527,3 +527,33 @@ def test_assortativity_star_is_minus_one(spark):
     row = assortativity(_edges_df(spark, star)).collect()[0]
     assert row["n_edges"] == 3
     assert row["r"] == -1.0
+
+
+def test_kcore_triangle_with_tail(spark):
+    from cloud_crawler_spark.operators.graph import kcore
+
+    # triangle 0-1-2 with a 3-chain tail hanging off node 0
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 5)]
+    got = {r["id"]: r["deg"] for r in kcore(_edges_df(spark, edges), k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}  # tail peels over 3 rounds
+
+
+def test_kcore_raises_when_not_converged(spark):
+    import pytest as _pt
+    from cloud_crawler_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(6)]
+    with _pt.raises(RuntimeError, match="did not converge"):
+        kcore(_edges_df(spark, chain), k=2, max_rounds=2)
+
+
+def test_bowtie_classification(spark):
+    from cloud_crawler_spark.operators.graph import bowtie
+
+    # SCC {0,1}: 0<->1; IN: 2->0; OUT: 1->3; tendril off IN: 2->4;
+    # disconnected pair 5->6
+    edges = [(0, 1), (1, 0), (2, 0), (1, 3), (2, 4), (5, 6)]
+    got = {r["id"]: r["component"] for r in
+           bowtie(_edges_df(spark, edges), seed=0, radius=5).collect()}
+    assert got == {0: "CORE", 1: "CORE", 2: "IN", 3: "OUT",
+                   4: "OTHER", 5: "OTHER", 6: "OTHER"}  # 4 = tendril off IN
