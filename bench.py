@@ -95,6 +95,8 @@ HEADLINE = [
     "q_chunking",
     "q_aimd_rate",
     "q_budget_allocation",
+    "q_bitext_mine",
+    "q_unigram_vocab",
     "q_crawl_bfs",
 ]
 

@@ -166,3 +166,187 @@ def bpe_tokenize(
         )
         .withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
     )
+
+
+# ------------------------------------------------- unigram LM tokenizer
+
+
+def unigram_seed_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    vocab_size: int = 200,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Seed-vocabulary induction for a unigram-LM tokenizer (Kudo
+    2018, the SentencePiece `unigram` model): candidate pieces are all
+    substrings (length <= max_piece_len) of the corpus's words, scored
+    by frequency * length — the standard seed heuristic before EM
+    pruning (SentencePiece builds the same candidate set from a suffix
+    array; at Spark scale the explode+groupBy IS the suffix-array
+    substitute, and it is map-side combinable).
+
+    Like BPE training, this never iterates the corpus: the substring
+    fanout runs over the (word, count) table, which is vocabulary-
+    sized. Words are gated to ^[a-z]+$ and length <= max_word_len so
+    the per-row fanout is bounded (<= max_word_len * max_piece_len
+    pieces per word). Whole pipeline is codegen — no Python.
+
+    Returns (piece, cnt, score, vrank): the vocab_size best-scoring
+    pieces, ties broken lexicographically.
+    """
+    words = word_counts(df, text_col).where(
+        F.col("word").rlike("^[a-z]+$")
+        & (F.length("word") <= max_word_len)
+    )
+    pieces = (
+        words
+        .select(
+            "word", "n",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("start"),
+        )
+        .select(
+            "word", "n", "start",
+            F.explode(F.sequence(
+                F.lit(1),
+                F.least(F.lit(max_piece_len),
+                        F.length("word") - F.col("start") + 1),
+            )).alias("plen"),
+        )
+        .select(
+            F.col("word").substr(F.col("start"), F.col("plen")).alias("piece"),
+            "n",
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .withColumn("score", F.col("cnt") * F.length("piece"))
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("score").desc(), F.col("piece").asc())
+    return (
+        pieces.withColumn("vrank", F.row_number().over(w))
+        .where(F.col("vrank") <= vocab_size)
+    )
+
+
+def _viterbi_segment_udf(logp: dict, max_piece_len: int):
+    """Arrow-batched Viterbi segmentation under a broadcast unigram
+    vocab: per word, the max-log-prob split into known pieces (ties
+    prefer the shorter final piece — deterministic). Runs on the
+    vocabulary-sized word table, never the corpus."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    NEG = float("-inf")
+
+    # no type hints: `from __future__ import annotations` turns them
+    # into strings pyspark can't resolve against this module's globals
+    def seg(words):
+        def one(w):
+            n = len(w)
+            score = [NEG] * (n + 1)
+            back = [0] * (n + 1)
+            score[0] = 0.0
+            for i in range(1, n + 1):
+                for ln in range(1, min(max_piece_len, i) + 1):
+                    lp = logp.get(w[i - ln:i])
+                    if lp is None or score[i - ln] == NEG:
+                        continue
+                    cand = score[i - ln] + lp
+                    if cand > score[i]:
+                        score[i], back[i] = cand, ln
+            if score[n] == NEG:
+                return []
+            out, i = [], n
+            while i > 0:
+                out.append(w[i - back[i]:i])
+                i -= back[i]
+            return out[::-1]
+        return words.map(one)
+
+    return pandas_udf(seg, T.ArrayType(T.StringType()))
+
+
+def train_unigram(
+    df: DataFrame,
+    n_iters: int = 2,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    vocab_size: int = 200,
+    min_count: int = 2,
+) -> tuple[DataFrame, list]:
+    """Unigram-LM tokenizer training: seed vocab (unigram_seed_vocab)
+    refined by hard-EM (Viterbi) rounds. Each round:
+
+    * E-step: Viterbi-segment every distinct WORD (an Arrow-batched
+      UDF over the vocabulary-sized word table under the broadcast
+      piece table — the corpus is never re-read);
+    * M-step: explode the segmentations weighted by word frequency,
+      one map-side-combinable groupBy -> new piece probabilities.
+      Single-character pieces keep a floor count so coverage never
+      collapses (every word stays segmentable).
+
+    Hard-EM monotonicity: the Viterbi corpus log-likelihood is
+    non-decreasing per round (asserted in tests/test_unigram.py).
+    Returns ((piece, prob) DataFrame, [log-likelihood per round]).
+
+    Bounded driver state: the piece table (<= vocab_size + alphabet
+    rows) is collected/broadcast per round — the same bounded-scalar
+    class as BPE's per-round argmax, never scaling with the corpus.
+    """
+    spark = df.sparkSession
+    words = (
+        word_counts(df, text_col)
+        .where(F.col("word").rlike("^[a-z]+$") & (F.length("word") <= 16))
+        .localCheckpoint(eager=True)
+    )
+    seed = unigram_seed_vocab(
+        df, text_col=text_col, max_piece_len=max_piece_len,
+        min_count=min_count, vocab_size=vocab_size,
+    )
+    counts = {r["piece"]: float(r["cnt"]) for r in seed.collect()}
+    # coverage floor: every character present in the word table
+    chars = words.select(
+        F.explode(F.split("word", "")).alias("ch")
+    ).where(F.col("ch") != "").distinct().collect()
+    for r in chars:
+        counts.setdefault(r["ch"], 0.0)
+        counts[r["ch"]] = max(counts[r["ch"]], 0.5)
+
+    import math
+    lls = []
+    for _ in range(max(0, n_iters)):
+        total = sum(counts.values())
+        logp = {p: math.log(c / total) for p, c in counts.items()}
+        seg = _viterbi_segment_udf(logp, max_piece_len)
+        segmented = words.withColumn("pieces", seg(F.col("word")))
+        exploded = segmented.select(
+            "n", F.explode("pieces").alias("piece")
+        ).localCheckpoint(eager=True)
+        # corpus Viterbi log-likelihood under the CURRENT model (JVM
+        # join against the broadcast piece table, summed executor-side)
+        lp_df = spark.createDataFrame(
+            [(p, lp) for p, lp in sorted(logp.items())], "piece string, lp double"
+        )
+        ll = (
+            exploded.join(F.broadcast(lp_df), "piece")
+            .agg(F.sum(F.col("n") * F.col("lp")).alias("ll"))
+            .collect()[0]["ll"]
+        )
+        lls.append(float(ll) if ll is not None else float("-inf"))
+        new_counts = {
+            r["piece"]: float(r["c"])
+            for r in exploded.groupBy("piece").agg(F.sum("n").alias("c")).collect()
+        }
+        for r in chars:
+            new_counts.setdefault(r["ch"], 0.0)
+            new_counts[r["ch"]] = max(new_counts[r["ch"]], 0.5)
+        counts = new_counts
+    total = sum(counts.values())
+    vocab_df = spark.createDataFrame(
+        sorted((p, c / total) for p, c in counts.items()),
+        "piece string, prob double",
+    )
+    return vocab_df, lls

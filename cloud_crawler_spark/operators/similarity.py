@@ -743,3 +743,112 @@ def sparse_cosine_pairs(
         )
         .where(F.col("cos_sim") >= min_sim)
     )
+
+
+# ------------------------------------------------------- bitext mining
+
+
+def mine_bitext(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 0,
+    planes_per_table: int = 6,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    CCMatrix/CCAligned alignment step): for every source document,
+    elect the best target-language document by the ratio-margin score
+
+        margin(x, y) = cos(x, y) / (0.5 * (avgNN_k(x) + avgNN_k(y)))
+
+    where avgNN_k is the mean cosine of the k nearest candidates on
+    the OTHER side — the normalization that suppresses hub vectors
+    whose raw cosine is high against everything.
+
+    Candidate generation: with ``n_tables == 0`` the exact path — the
+    src side broadcasts against a streamed tgt scan (src is expected
+    the bounded side; no shuffle of the big side). With
+    ``n_tables > 0``, banded sign-LSH tables (deterministic
+    index-arithmetic hyperplanes, see _sign_lsh_bucket) make candidate
+    generation an equi-join on (table, bucket) — the 100 TB shape:
+    neither side ever pairwise-joins itself, and the k-NN margin
+    normalizers are computed over each side's candidate set, exactly
+    as production miners use the ANN index's neighbors. Both paths
+    finish with two map-side-combinable groupBys (the per-side top-k
+    averages) and one window election per src.
+
+    Returns (src_id, tgt_id, cos_sim, margin): the argmax-margin
+    target per source, filtered to margin >= margin_threshold.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("sv"),
+    )
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("tv"),
+    )
+    if n_tables > 0:
+        def banded(df, idc, vc):
+            tables = F.array(*[
+                F.struct(
+                    F.lit(i).alias("tbl"),
+                    _sign_lsh_bucket(
+                        F.col(vc), planes_per_table,
+                        plane_offset=i * planes_per_table,
+                    ).alias("bucket"),
+                )
+                for i in range(n_tables)
+            ])
+            return df.select(idc, vc, F.explode(tables).alias("b")).select(
+                idc, vc, F.col("b.tbl").alias("tbl"),
+                F.col("b.bucket").alias("bucket"),
+            )
+        sb = banded(s, "src_id", "sv")
+        tb = banded(t, "tgt_id", "tv")
+        # distinct on ids only (a pair can collide in several tables);
+        # vectors ride along via min(struct) so no second fetch join
+        cand = (
+            sb.join(tb, ["tbl", "bucket"])
+            .groupBy("src_id", "tgt_id")
+            .agg(F.min(F.struct("sv", "tv")).alias("_v"))
+            .select("src_id", "tgt_id", F.col("_v.sv").alias("sv"),
+                    F.col("_v.tv").alias("tv"))
+        )
+    else:
+        cand = t.join(F.broadcast(s))
+    scored = cand.select(
+        "src_id", "tgt_id",
+        F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos_sim"),
+    )
+    w_s = Window.partitionBy("src_id").orderBy(
+        F.col("cos_sim").desc(), F.col("tgt_id").asc())
+    w_t = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_sim").desc(), F.col("src_id").asc())
+    ranked = scored.withColumn("r_s", F.row_number().over(w_s)).withColumn(
+        "r_t", F.row_number().over(w_t))
+    s_avg = (ranked.where(F.col("r_s") <= k)
+             .groupBy("src_id").agg(F.avg("cos_sim").alias("_sa")))
+    t_avg = (ranked.where(F.col("r_t") <= k)
+             .groupBy("tgt_id").agg(F.avg("cos_sim").alias("_ta")))
+    margins = (
+        scored.join(s_avg, "src_id").join(t_avg, "tgt_id")
+        .select(
+            "src_id", "tgt_id", "cos_sim",
+            F.round(
+                F.col("cos_sim")
+                / (F.lit(0.5) * (F.col("_sa") + F.col("_ta"))), 6
+            ).alias("margin"),
+        )
+    )
+    w_best = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc())
+    return (
+        margins.withColumn("_rk", F.row_number().over(w_best))
+        .where((F.col("_rk") == 1)
+               & (F.col("margin") >= F.lit(float(margin_threshold))))
+        .drop("_rk")
+    )

@@ -5210,3 +5210,91 @@ def q_bowtie(spark, sf_dir):
         )
     )
     return bowtie(edges, seed=0, radius=16)
+
+
+@_register(
+    "q_bitext_mine",
+    """
+    WITH s AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 2 = 0),
+    t AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id % 2 = 1),
+    scored AS (
+      SELECT s.src_id, t.tgt_id,
+             round(list_cosine_similarity(s.v, t.v), 6) AS cos_sim
+      FROM s CROSS JOIN t),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cos_sim DESC, tgt_id) AS r_s,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY cos_sim DESC, src_id) AS r_t
+      FROM scored),
+    s_avg AS (SELECT src_id, avg(cos_sim) AS sa FROM ranked
+              WHERE r_s <= 4 GROUP BY src_id),
+    t_avg AS (SELECT tgt_id, avg(cos_sim) AS ta FROM ranked
+              WHERE r_t <= 4 GROUP BY tgt_id),
+    margins AS (
+      SELECT sc.src_id, sc.tgt_id, sc.cos_sim,
+             round(sc.cos_sim / (0.5 * (sa + ta)), 6) AS margin
+      FROM scored sc JOIN s_avg USING (src_id) JOIN t_avg USING (tgt_id)),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY margin DESC, tgt_id) AS rk
+      FROM margins)
+    SELECT src_id, tgt_id, cos_sim, margin
+    FROM best WHERE rk = 1 AND margin >= 1.0
+    """,
+)
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (CCMatrix-style): even vec_ids play
+    the source language, odd the target; per source the argmax-margin
+    target with k=4 neighbor normalization. Exact path (src side
+    broadcasts); the banded-LSH scale path is recall-pinned against
+    this in tests/test_unigram.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.mine_bitext(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        k=4, margin_threshold=1.0,
+    )
+    return out.select("src_id", "tgt_id", "cos_sim", "margin")
+
+
+@_register(
+    "q_unigram_vocab",
+    """
+    WITH words AS (
+      SELECT token AS word, count(*) AS n
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+            FROM documents)
+      WHERE regexp_full_match(token, '[a-z]+') AND length(token) <= 16
+      GROUP BY token),
+    pieces AS (
+      SELECT substr(word, start, plen) AS piece, n
+      FROM words,
+           unnest(range(1, length(word) + 1)) AS st(start),
+           unnest(range(1, least(4, length(word) - start + 1) + 1)) AS pl(plen)),
+    scored AS (
+      SELECT piece, sum(n) AS cnt, sum(n) * length(piece) AS score
+      FROM pieces GROUP BY piece HAVING sum(n) >= 2)
+    SELECT piece, cnt, score, vrank FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, piece) AS vrank
+      FROM scored)
+    WHERE vrank <= 200
+    """,
+)
+def q_unigram_vocab(spark, sf_dir):
+    """SentencePiece-style unigram seed vocabulary over documents:
+    all word substrings <= 4 chars scored by freq * len, top-200.
+    The EM refinement (train_unigram) is genuinely iterative ->
+    pytest-pinned (tests/test_unigram.py), this registers the
+    SQL-exact induction step."""
+    from cloud_crawler_spark.operators.bpe import unigram_seed_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_seed_vocab(
+        docs, max_piece_len=4, min_count=2, vocab_size=200)
+    return out.select(
+        "piece", "cnt", F.col("score").cast("long").alias("score"),
+        F.col("vrank").cast("long").alias("vrank"))
