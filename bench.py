@@ -52,6 +52,7 @@ HEADLINE = [
     "q_cocitation",
     "q_bibcoupling",
     "q_lm_perplexity",
+    "q_stupid_backoff",
     "q_vocab_coverage",
     "q_seq_pack",
     "q_latest_snapshot",

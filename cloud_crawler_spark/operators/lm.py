@@ -134,6 +134,129 @@ def bigram_lm_score(
     )
 
 
+def _trigrams(tok_arr):
+    """Array of (w1, w2, w3) structs over adjacent token triples;
+    empty below three tokens (same sequence() guard as _bigrams)."""
+    n = F.size(tok_arr)
+    tris = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.struct(
+            F.element_at(tok_arr, i).alias("w1"),
+            F.element_at(tok_arr, i + 1).alias("w2"),
+            F.element_at(tok_arr, i + 2).alias("w3"),
+        ),
+    )
+    return F.when(n >= 3, tris).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 5,
+    train_keep: int = 4,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff trigram LM (Brants et al. 2007 §4 — the
+    MapReduce web-scale LM: unnormalized relative frequencies with a
+    constant backoff factor, no discounting pass), trained on the
+    deterministic split ``id % train_mod < train_keep``:
+
+        S(w3 | w1 w2) = c(w1w2w3) / c(w1w2)        if c(w1w2w3) > 0
+                      = a * c(w2w3) / c(w2)        elif c(w2w3) > 0
+                      = a^2 * max(c(w3), 0.5) / N  otherwise
+
+    (the 0.5 floor keeps OOV words finite — the corpus-count score of
+    Brants' S(w) = c(w)/N with an epsilon count for unseen w).
+
+    Returns one row per input doc:
+        (id, n_trigrams, avg_logscore round 6)
+    Documents with fewer than three tokens keep a row with
+    n_trigrams = 0 and a NULL score.
+
+    Scale shape: the three count tables are map-side-combinable
+    groupBys keyed by the grams; scoring is four equi-joins of the
+    exploded corpus against them (partitioned by gram key — no
+    broadcast assumption, the trigram table at web scale is itself
+    huge) plus the 1-row token-total broadcast crossJoin. A hit in
+    the trigram table guarantees its (w1,w2) context and a hit in the
+    (w2,w3) table guarantees c(w2) > 0, so no division guards beyond
+    the OOV floor are needed.
+    """
+    a = float(alpha)
+    toks = df.select(F.col(id_col), _toks(F.col(text_col)).alias("_t"))
+    train = toks.where((F.col(id_col) % train_mod) < train_keep)
+
+    uni = (
+        train.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("_cu"))
+    )
+    big = (
+        train.select(F.explode(_bigrams(F.col("_t"))).alias("_b"))
+        .select("_b.w1", "_b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("_cb"))
+    )
+    tri = (
+        train.select(F.explode(_trigrams(F.col("_t"))).alias("_g"))
+        .select("_g.w1", "_g.w2", "_g.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("_ct"))
+    )
+    total = uni.agg(
+        F.greatest(F.sum("_cu"), F.lit(1)).cast("double").alias("_n")
+    )  # 1 row
+
+    pos = toks.select(
+        F.col(id_col), F.explode(_trigrams(F.col("_t"))).alias("_g")
+    ).select(F.col(id_col), "_g.w1", "_g.w2", "_g.w3")
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(big.withColumnRenamed("_cb", "_c12"), ["w1", "w2"], "left")
+        .join(
+            big.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("_cb").alias("_c23"),
+            ),
+            ["w2", "w3"], "left",
+        )
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("_cu").alias("_cu2")), ["w2"], "left")
+        .join(uni.select(F.col("w").alias("w3"),
+                         F.col("_cu").alias("_cu3")), ["w3"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.when(F.col("_ct").isNotNull(),
+                       F.col("_ct") / F.col("_c12"))
+                .when(F.col("_c23").isNotNull(),
+                      F.lit(a) * F.col("_c23") / F.col("_cu2"))
+                .otherwise(
+                    F.lit(a * a)
+                    * F.greatest(F.coalesce("_cu3", F.lit(0)).cast("double"),
+                                 F.lit(0.5))
+                    / F.col("_n"))
+            ).alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_trigrams"), F.avg("_lp").alias("_avg"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).cast("long")
+            .alias("n_trigrams"),
+            F.round("_avg", 6).alias("avg_logscore"),
+        )
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     text_col: str = "text",

@@ -5298,3 +5298,65 @@ def q_unigram_vocab(spark, sf_dir):
     return out.select(
         "piece", "cnt", F.col("score").cast("long").alias("score"),
         F.col("vrank").cast("long").alias("vrank"))
+
+
+@_register(
+    "q_stupid_backoff",
+    r"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\s+'),
+                                     t -> t <> '') AS t
+                  FROM documents),
+    tr AS (SELECT t FROM toks WHERE doc_id % 5 < 4),
+    uni AS (SELECT u AS w, count(*)::BIGINT AS cu
+            FROM (SELECT unnest(t) AS u FROM tr) GROUP BY 1),
+    big AS (SELECT b['w1'] AS w1, b['w2'] AS w2, count(*)::BIGINT AS cb
+            FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+                                 for i in range(1, len(t))]) AS b
+                  FROM tr)
+            GROUP BY 1, 2),
+    tri AS (SELECT g['w1'] AS w1, g['w2'] AS w2, g['w3'] AS w3,
+                   count(*)::BIGINT AS ct
+            FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}
+                                 for i in range(1, len(t) - 1)]) AS g
+                  FROM tr)
+            GROUP BY 1, 2, 3),
+    nn AS (SELECT greatest(sum(cu), 1)::DOUBLE AS n FROM uni),
+    pos AS (SELECT doc_id, g['w1'] AS w1, g['w2'] AS w2, g['w3'] AS w3
+            FROM (SELECT doc_id,
+                         unnest([{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}
+                                 for i in range(1, len(t) - 1)]) AS g
+                  FROM toks)),
+    j AS (SELECT pos.doc_id,
+                 ln(CASE
+                      WHEN tri.ct IS NOT NULL THEN tri.ct / b12.cb
+                      WHEN b23.cb IS NOT NULL
+                        THEN 0.4 * b23.cb / u2.cu
+                      ELSE 0.16 * greatest(coalesce(u3.cu, 0), 0.5)
+                           / nn.n
+                    END) AS lp
+          FROM pos
+          LEFT JOIN tri ON tri.w1 = pos.w1 AND tri.w2 = pos.w2
+                       AND tri.w3 = pos.w3
+          LEFT JOIN big b12 ON b12.w1 = pos.w1 AND b12.w2 = pos.w2
+          LEFT JOIN big b23 ON b23.w1 = pos.w2 AND b23.w2 = pos.w3
+          LEFT JOIN uni u2 ON u2.w = pos.w2
+          LEFT JOIN uni u3 ON u3.w = pos.w3
+          CROSS JOIN nn),
+    g AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams, avg(lp) AS a
+          FROM j GROUP BY 1)
+    SELECT d.doc_id, coalesce(g.n_trigrams, 0)::BIGINT AS n_trigrams,
+           round(g.a, 6) AS avg_logscore
+    FROM documents d LEFT JOIN g USING (doc_id)
+    """,
+)
+def q_stupid_backoff(spark, sf_dir):
+    """Stupid-backoff trigram LM score (Brants et al. 2007 — the
+    MapReduce web-scale LM) trained on the deterministic doc_id%5<4
+    split, scored over every document: relative-frequency trigram
+    probability backing off 0.4x to bigram then 0.16x to unigram/N
+    with a 0.5-count OOV floor. All count tables are map-side
+    groupBys; scoring is gram-keyed equi-joins (operators/lm.py)."""
+    from cloud_crawler_spark.operators.lm import stupid_backoff_score
+
+    return stupid_backoff_score(_t(spark, sf_dir, "documents"))
