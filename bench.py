@@ -61,6 +61,7 @@ HEADLINE = [
     "q_crossdoc_substr",
     "q_dsir_weights",
     "q_url_strip_tracking",
+    "q_registrable_domain",
     "q_line_filter",
     "q_strip_common",
     "q_host_chrome",

@@ -514,3 +514,91 @@ def dust_rules(
             F.countDistinct("_host").alias("n_hosts"),
         )
     )
+
+
+# ------------------------------------------- registrable domain (eTLD+1)
+
+# Snapshot SUBSET of the Mozilla Public Suffix List (publicsuffix.org)
+# covering the shapes the tests exercise: 1-label ccTLD/gTLDs, 2-label
+# registry suffixes, and multi-label PRIVATE-section suffixes
+# (github.io, s3.amazonaws.com). A production deployment swaps in the
+# full ~9k-rule list — the operator below is already the broadcast
+# dim-table join that the full list needs (same pattern as the robots
+# rules table, operators/robots.py); only this constant grows.
+PSL_SNAPSHOT = [
+    "com", "org", "net", "io", "edu", "gov", "info",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "jp", "ac.jp", "co.jp", "ne.jp",
+    "au", "com.au", "org.au", "net.au",
+    "br", "com.br", "de", "fr", "nl", "us",
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+]
+
+
+def psl_rules(spark, suffixes=None):
+    """(suffix, nlabels) rule table from a public-suffix snapshot —
+    the broadcast dimension side of registrable-domain extraction."""
+    sufs = sorted(set(suffixes if suffixes is not None else PSL_SNAPSHOT))
+    return spark.createDataFrame(
+        [(s, s.count(".") + 1) for s in sufs], "suffix string, nlabels int"
+    )
+
+
+def with_registrable_domain(df, host_col: str = "host", rules=None):
+    """Add (public_suffix, registrable_domain) columns via longest-
+    public-suffix match (the PSL algorithm, exact rules only — the
+    rare wildcard/exception rules of the full list are out of this
+    snapshot's scope; unknown TLDs take the PSL's implicit ``*`` rule,
+    i.e. the last label is the suffix). A host that IS a public suffix
+    gets NULL registrable_domain, per the PSL spec.
+
+    Scale shape: candidate suffixes (last 1..3 labels, JVM string
+    algebra) are resolved per DISTINCT host — the host->domain map is
+    corpus-cardinality-free — with the rule table broadcast, then
+    joined back on host. No Python runs anywhere.
+    """
+    spark = df.sparkSession
+    if rules is None:
+        rules = psl_rules(spark)
+
+    hosts = df.select(F.col(host_col).alias("_rd_host")).distinct()
+    labels = F.split(F.lower(F.col("_rd_host")), "\\.")
+    n = F.size(labels)
+    hl = hosts.select(
+        "_rd_host",
+        F.explode(
+            F.filter(
+                F.array(*[
+                    F.when(
+                        n >= k,
+                        F.concat_ws(".", F.slice(labels, n - k + 1, k)),
+                    )
+                    for k in (1, 2, 3)
+                ]),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("suffix"),
+    )
+    best = (
+        hl.join(F.broadcast(rules), "suffix")
+        .groupBy("_rd_host")
+        .agg(F.max("nlabels").alias("_k"))
+    )
+    labels2 = F.split(F.lower(F.col("_rd_host")), "\\.")
+    n2 = F.size(labels2)
+    k = F.coalesce(F.col("_k"), F.lit(1))
+    hostmap = (
+        hosts.join(best, "_rd_host", "left")
+        .select(
+            "_rd_host",
+            F.concat_ws(".", F.slice(labels2, n2 - k + 1, k))
+            .alias("public_suffix"),
+            F.when(
+                n2 > k,
+                F.concat_ws(".", F.slice(labels2, n2 - k, k + 1)),
+            ).alias("registrable_domain"),
+        )
+    )
+    return df.join(
+        hostmap.withColumnRenamed("_rd_host", host_col), host_col, "left"
+    )

@@ -5360,3 +5360,85 @@ def q_stupid_backoff(spark, sf_dir):
     from cloud_crawler_spark.operators.lm import stupid_backoff_score
 
     return stupid_backoff_score(_t(spark, sf_dir, "documents"))
+
+
+def _psl_rules_sql() -> str:
+    from cloud_crawler_spark.functions.canon import PSL_SNAPSHOT
+
+    return ", ".join(
+        f"('{s}', {s.count('.') + 1})" for s in sorted(set(PSL_SNAPSHOT))
+    )
+
+
+@_register(
+    "q_registrable_domain",
+    f"""
+    WITH d AS (SELECT doc_id,
+      CASE doc_id % 6
+        WHEN 0 THEN 'example.com'
+        WHEN 1 THEN CASE WHEN doc_id % 12 = 1 THEN 'co.uk'
+                         ELSE 'www.example' || (doc_id % 7)::VARCHAR
+                              || '.co.uk' END
+        WHEN 2 THEN 'a' || (doc_id % 3)::VARCHAR || '.b.site'
+                    || (doc_id % 4)::VARCHAR || '.github.io'
+        WHEN 3 THEN 'deep.sub.h' || (doc_id % 5)::VARCHAR
+                    || '.example.org'
+        WHEN 4 THEN 'h' || (doc_id % 3)::VARCHAR || '.ac.jp'
+        ELSE 'host' || (doc_id % 4)::VARCHAR || '.unknowntld'
+      END AS host
+      FROM documents),
+    rules(suffix, nlabels) AS (VALUES {{rules}}),
+    hs AS (SELECT DISTINCT host FROM d),
+    hls AS (SELECT host, string_split(lower(host), '.') AS ls FROM hs),
+    cand AS (
+      SELECT host,
+             array_to_string(ls[len(ls) - k + 1 : len(ls)], '.') AS suffix
+      FROM hls, unnest([1, 2, 3]) AS u(k)
+      WHERE len(ls) >= k),
+    best AS (SELECT host, max(nlabels) AS k
+             FROM cand JOIN rules USING (suffix) GROUP BY host),
+    hm AS (
+      SELECT host,
+             array_to_string(ls[len(ls) - k + 1 : len(ls)], '.')
+               AS public_suffix,
+             CASE WHEN len(ls) > k
+                  THEN array_to_string(ls[len(ls) - k : len(ls)], '.')
+             END AS registrable_domain
+      FROM (SELECT hls.host, hls.ls, coalesce(best.k, 1) AS k
+            FROM hls LEFT JOIN best USING (host)))
+    SELECT d.doc_id, d.host, hm.public_suffix, hm.registrable_domain
+    FROM d JOIN hm USING (host)
+    """.replace("{rules}", _psl_rules_sql()),
+)
+def q_registrable_domain(spark, sf_dir):
+    """eTLD+1 extraction under a public-suffix-list snapshot
+    (publicsuffix.org algorithm: longest matching rule, implicit *
+    for unknown TLDs, NULL when the host IS a suffix) over a host
+    family covering 1/2-label registry suffixes, private-section
+    multi-label suffixes (github.io, s3.amazonaws.com) and unknown
+    TLDs. The registrable domain — not the raw host — is the unit
+    crawl politeness and per-site dedup should group by; resolution
+    runs per DISTINCT host against the broadcast rule table
+    (functions/canon.py with_registrable_domain)."""
+    from cloud_crawler_spark.functions.canon import with_registrable_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m6 = d % 6
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = (
+        F.when(m6 == 0, F.lit("example.com"))
+        .when(m6 == 1,
+              F.when(d % 12 == 1, F.lit("co.uk")).otherwise(
+                  F.concat(F.lit("www.example"), s(d % 7), F.lit(".co.uk"))))
+        .when(m6 == 2,
+              F.concat(F.lit("a"), s(d % 3), F.lit(".b.site"), s(d % 4),
+                       F.lit(".github.io")))
+        .when(m6 == 3,
+              F.concat(F.lit("deep.sub.h"), s(d % 5), F.lit(".example.org")))
+        .when(m6 == 4, F.concat(F.lit("h"), s(d % 3), F.lit(".ac.jp")))
+        .otherwise(F.concat(F.lit("host"), s(d % 4), F.lit(".unknowntld")))
+    )
+    out = with_registrable_domain(docs.select("doc_id", host.alias("host")))
+    return out.select("doc_id", "host", "public_suffix",
+                      "registrable_domain")

@@ -360,3 +360,50 @@ class TestDustRules:
             self._aliases(spark, [("http://a.com/only", "h1")])
         ).collect()
         assert out == []
+
+
+# --------------------------------------------- registrable domain (PSL)
+
+
+def test_registrable_domain_psl_cases(spark):
+    """publicsuffix.org algorithm over the snapshot rules: longest
+    match, private-section multi-label suffixes, implicit * for
+    unknown TLDs, NULL when the host IS a public suffix, and
+    case-insensitive matching."""
+    from cloud_crawler_spark.functions.canon import with_registrable_domain
+
+    cases = {
+        "example.com": ("com", "example.com"),
+        "www.example.co.uk": ("co.uk", "example.co.uk"),
+        "a.b.site1.github.io": ("github.io", "site1.github.io"),
+        "deep.sub.h2.example.org": ("org", "example.org"),
+        "h1.ac.jp": ("ac.jp", "h1.ac.jp"),
+        "host.unknowntld": ("unknowntld", "host.unknowntld"),
+        "co.uk": ("co.uk", None),
+        "bucket.s3.amazonaws.com": ("s3.amazonaws.com",
+                                    "bucket.s3.amazonaws.com"),
+        "UNKNOWNTLD": ("unknowntld", None),
+        "WWW.Example.COM": ("com", "example.com"),
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: (r["public_suffix"], r["registrable_domain"])
+        for r in with_registrable_domain(df).collect()
+    }
+    assert got == cases
+
+
+def test_registrable_domain_custom_rules(spark):
+    from cloud_crawler_spark.functions.canon import (
+        psl_rules,
+        with_registrable_domain,
+    )
+
+    rules = psl_rules(spark, ["test", "x.test"])
+    df = spark.createDataFrame(
+        [("a.x.test",), ("b.test",)], "host string")
+    got = {
+        r["host"]: r["registrable_domain"]
+        for r in with_registrable_domain(df, rules=rules).collect()
+    }
+    assert got == {"a.x.test": "a.x.test", "b.test": "b.test"}
