@@ -256,6 +256,85 @@ def hits(crawled: DataFrame, iterations: int = 2) -> DataFrame:
     )
 
 
+def salsa(crawled: DataFrame, iterations: int = 2) -> DataFrame:
+    """Fixed-iteration SALSA (Lempel & Moran 2000) over a stored
+    crawl's link graph — the degree-normalized sibling of hits():
+    instead of summing raw neighbor scores, each half-step is a random
+    walk step, so one high-out-degree hub cannot dominate the way the
+    tightly-knit-community (TKC) effect lets it in HITS. The authority
+    chain alternates back along a uniform in-link then forward along a
+    uniform out-link:
+
+        h(u) = Σ_{(u,v)∈E} a(v) / indeg(v)
+        a(w) = Σ_{(u,w)∈E} h(u) / outdeg(u)
+
+    a₀ is uniform over authorities (nodes with indeg ≥ 1). Both score
+    vectors stay L1-normalized by construction (each half-step is a
+    stochastic-matrix multiply), so unlike hits() there is no
+    normalization scalar at all — no crossJoin, no driver agg.
+
+    Returns (canon_url, authority double, hub double) for every stored
+    page, 0.0 outside the edge set.
+
+    Scale shape: degrees are joined onto the edge table ONCE and the
+    widened edge set checkpointed; each half-step is then ONE equi-join
+    + ONE map-side-combinable groupBy, same as pagerank/hits. The only
+    driver scalar is the authority count (one long).
+    """
+    nodes = crawled.select(F.col("canon_url").alias("id")).distinct()
+    if nodes.isEmpty():
+        return crawled.sparkSession.createDataFrame(
+            [], "canon_url string, authority double, hub double"
+        )
+    edges = link_edges_of(crawled).join(
+        nodes.withColumnRenamed("id", "dst"), "dst", "left_semi"
+    )
+    indeg = edges.groupBy("dst").agg(F.count("*").cast("double").alias("din"))
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("dout"))
+    e = (
+        edges.join(indeg, "dst")
+        .join(outdeg, "src")
+        .select("src", "dst", "din", "dout")
+        .localCheckpoint(eager=True)
+    )
+    n_auth = e.select("dst").distinct().count()
+    if n_auth == 0:
+        return nodes.select(
+            F.col("id").alias("canon_url"),
+            F.lit(0.0).alias("authority"),
+            F.lit(0.0).alias("hub"),
+        )
+    auth = (
+        e.select("dst").distinct()
+        .select(F.col("dst").alias("id"), F.lit(1.0 / n_auth).alias("v"))
+    )
+    hubs = None
+    for _ in range(max(1, iterations)):
+        hubs = (
+            e.join(auth, e.dst == auth.id)
+            .select(e.src.alias("hid"), (auth.v / e.din).alias("c"))
+            .groupBy(F.col("hid").alias("id"))
+            .agg(F.sum("c").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        auth = (
+            e.join(hubs, e.src == hubs.id)
+            .select(e.dst.alias("aid"), (hubs.v / e.dout).alias("c"))
+            .groupBy(F.col("aid").alias("id"))
+            .agg(F.sum("c").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(auth.withColumnRenamed("v", "authority"), "id", "left")
+        .join(hubs.withColumnRenamed("v", "hub"), "id", "left")
+        .select(
+            F.col("id").alias("canon_url"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        )
+    )
+
+
 def shortest_paths(
     crawled: DataFrame,
     root_url: str,

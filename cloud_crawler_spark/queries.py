@@ -1745,6 +1745,19 @@ _HITS_ITER_SQL = """
     h{t} AS (SELECT id, v / (SELECT sum(v) FROM h{t}r) AS v FROM h{t}r)"""
 
 
+_SALSA_ITER_SQL = """
+    h{t} AS (
+      SELECT l.src AS id, sum(a{p}.v / indeg.d) AS v
+      FROM a{p} JOIN links l ON l.dst = a{p}.id
+      JOIN indeg ON indeg.dst = l.dst
+      GROUP BY l.src),
+    a{t} AS (
+      SELECT l.dst AS id, sum(h{t}.v / outdeg.d) AS v
+      FROM h{t} JOIN links l ON l.src = h{t}.id
+      JOIN outdeg ON outdeg.src = l.src
+      GROUP BY l.dst)"""
+
+
 @_register(
     "q_hits",
     """
@@ -1781,6 +1794,51 @@ def q_hits(spark, sf_dir):
     res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
     h = hits(res.crawled, iterations=2)
     return h.select(
+        "canon_url",
+        F.round(F.col("authority") * 1e6).cast("long").alias("authority_ppm"),
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_ppm"),
+    )
+
+
+@_register(
+    "q_salsa",
+    """
+    WITH mod_n AS (SELECT count(*) AS m FROM documents),
+    links AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT m FROM mod_n) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT m FROM mod_n) FROM documents)),
+    indeg AS (SELECT dst, count(*)::DOUBLE AS d FROM links GROUP BY dst),
+    outdeg AS (SELECT src, count(*)::DOUBLE AS d FROM links GROUP BY src),
+    a0 AS (SELECT dst AS id, 1.0 / (SELECT count(*) FROM indeg) AS v
+           FROM indeg),"""
+    + ",".join(_SALSA_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2))
+    + """
+    SELECT 'http://ex.com/p' || d.doc_id AS canon_url,
+           round(coalesce(a2.v, 0.0) * 1e6)::BIGINT AS authority_ppm,
+           round(coalesce(h2.v, 0.0) * 1e6)::BIGINT AS hub_ppm
+    FROM documents d
+    LEFT JOIN a2 ON a2.id = d.doc_id
+    LEFT JOIN h2 ON h2.id = d.doc_id
+    """,
+)
+def q_salsa(spark, sf_dir):
+    """SALSA stochastic hubs & authorities (operators/graph.salsa):
+    curl-store the arithmetic web, 2 degree-normalized random-walk
+    iterations — the TKC-resistant sibling of q_hits; same integer-ppm
+    output discipline. The oracle unrolls the same walk with explicit
+    indeg/outdeg tables in DuckDB."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.operators.graph import salsa
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    s = salsa(res.crawled, iterations=2)
+    return s.select(
         "canon_url",
         F.round(F.col("authority") * 1e6).cast("long").alias("authority_ppm"),
         F.round(F.col("hub") * 1e6).cast("long").alias("hub_ppm"),
