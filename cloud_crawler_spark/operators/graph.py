@@ -256,6 +256,68 @@ def hits(crawled: DataFrame, iterations: int = 2) -> DataFrame:
     )
 
 
+def spam_mass(
+    crawled: DataFrame,
+    trusted: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Spam-mass estimation (Gyongyi, Berkhin, Garcia-Molina,
+    Pedersen: *Link spam detection based on mass estimation*, VLDB
+    2006): how much of a page's PageRank is NOT explainable by the
+    trusted good core. The good-core contribution is estimated as the
+    trust-biased PageRank rescaled to vanilla reset mass —
+    ``core = trustrank * n_trusted / n`` — so
+
+        spam_mass      = rank - core
+        rel_spam_mass  = (rank - core) / rank
+
+    Pages whose rank is mostly self-referential link mass (farms) get
+    rel_spam_mass → 1; pages fed by the trusted core get → 0 (negative
+    values mean MORE trust-reachable than rank — the paper keeps them,
+    so do we). The crawl-side use is the demotion twin of trustrank's
+    promotion: recrawl budget and index admission gate on rel mass.
+
+    Returns (canon_url, rank double, core double, spam_mass double,
+    rel_spam_mass double). rank carries PageRank's (1-d)/n floor, so
+    the ratio never divides by zero.
+
+    Scale shape: pure composition — two BSP rank computations (each
+    ONE join + ONE groupBy per iteration, see pagerank/trustrank) and
+    a final 1:1 equi-join on canon_url. Driver scalars: the two node
+    counts only.
+    """
+    nodes = crawled.select(F.col("canon_url").alias("id")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return crawled.sparkSession.createDataFrame(
+            [], "canon_url string, rank double, core double, "
+                "spam_mass double, rel_spam_mass double"
+        )
+    n_t = (
+        trusted.select(F.col(trusted.columns[0]).alias("id"))
+        .distinct()
+        .join(nodes, "id", "left_semi")
+        .count()
+    )
+    pr = pagerank(crawled, iterations=iterations, damping=damping)
+    tr = trustrank(crawled, trusted, iterations=iterations, damping=damping)
+    scale = float(n_t) / float(n)
+    core = F.coalesce(F.col("trust"), F.lit(0.0)) * F.lit(scale)
+    return (
+        pr.join(
+            tr.withColumnRenamed("rank", "trust"), "canon_url", "left"
+        )
+        .select(
+            "canon_url",
+            "rank",
+            core.alias("core"),
+            (F.col("rank") - core).alias("spam_mass"),
+            ((F.col("rank") - core) / F.col("rank")).alias("rel_spam_mass"),
+        )
+    )
+
+
 def salsa(crawled: DataFrame, iterations: int = 2) -> DataFrame:
     """Fixed-iteration SALSA (Lempel & Moran 2000) over a stored
     crawl's link graph — the degree-normalized sibling of hits():

@@ -3075,6 +3075,92 @@ def q_trustrank(spark, sf_dir):
     )
 
 
+_MASS_PR_ITER_SQL = """
+    pc{t} AS (
+      SELECT l.dst AS id, sum(pr{p}.r / deg.d) AS c
+      FROM pr{p} JOIN links l ON l.src = pr{p}.id
+      JOIN deg ON deg.src = l.src
+      GROUP BY l.dst),
+    pr{t} AS (
+      SELECT pr{p}.id,
+             0.15 / (SELECT m FROM mod_n) + 0.85 * coalesce(pc{t}.c, 0.0) AS r
+      FROM pr{p} LEFT JOIN pc{t} ON pc{t}.id = pr{p}.id)"""
+
+
+_MASS_TR_ITER_SQL = """
+    tc{t} AS (
+      SELECT l.dst AS id, sum(tr{p}.r / deg.d) AS c
+      FROM tr{p} JOIN links l ON l.src = tr{p}.id
+      JOIN deg ON deg.src = l.src
+      GROUP BY l.dst),
+    tr{t} AS (
+      SELECT d.id, 0.15 * d.dv + 0.85 * coalesce(tc{t}.c, 0.0) AS r
+      FROM d LEFT JOIN tc{t} ON tc{t}.id = d.id)"""
+
+
+@_register(
+    "q_spam_mass",
+    """
+    WITH mod_n AS (SELECT count(*)::DOUBLE AS m FROM documents),
+    links AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src,
+               (doc_id * 3 + 1) % (SELECT m::BIGINT FROM mod_n) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT m::BIGINT FROM mod_n)
+        FROM documents)),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM links GROUP BY src),
+    tn AS (SELECT count(*)::DOUBLE AS t FROM documents WHERE doc_id % 10 = 0),
+    d AS (SELECT doc_id AS id,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN 1.0 / (SELECT t FROM tn) ELSE 0.0 END AS dv
+          FROM documents),
+    pr0 AS (SELECT doc_id AS id, 1.0 / (SELECT m FROM mod_n) AS r
+            FROM documents),
+    tr0 AS (SELECT id, dv AS r FROM d),"""
+    + ",".join(_MASS_PR_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2, 3))
+    + ","
+    + ",".join(_MASS_TR_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2, 3))
+    + """
+    SELECT 'http://ex.com/p' || p.id AS canon_url,
+           round(p.r * 1e6)::BIGINT AS rank_ppm,
+           round(t.r * (SELECT t FROM tn) / (SELECT m FROM mod_n)
+                 * 1e6)::BIGINT AS core_ppm,
+           round((p.r - t.r * (SELECT t FROM tn) / (SELECT m FROM mod_n))
+                 / p.r * 1000)::BIGINT AS rel_mass_pm
+    FROM pr3 p JOIN tr3 t ON t.id = p.id
+    """,
+)
+def q_spam_mass(spark, sf_dir):
+    """operators/graph.spam_mass — Gyongyi et al. (VLDB 2006) spam
+    mass over the stored arithmetic web: vanilla PageRank minus the
+    trusted-core contribution (trustrank rescaled by n_trusted/n),
+    trusted = every 10th page, 3 iterations each. Output: ppm ranks
+    plus relative spam mass in permille. The oracle unrolls BOTH power
+    iterations side by side in one WITH chain."""
+    from cloud_crawler_spark import CrawlConfig, curl
+    from cloud_crawler_spark.operators.graph import spam_mass
+    from cloud_crawler_spark.sources.corpus import prepare_corpus
+
+    pages = _synthetic_web_from_documents(spark, sf_dir)
+    corpus = prepare_corpus(pages)
+    res = curl(spark, corpus, pages.select("url"), CrawlConfig(batch_size=None))
+    docs = _t(spark, sf_dir, "documents")
+    trusted = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.concat(
+            F.lit("http://ex.com/p"), F.col("doc_id").cast("string")
+        ).alias("canon_url")
+    )
+    m = spam_mass(res.crawled, trusted, iterations=3, damping=0.85)
+    return m.select(
+        "canon_url",
+        F.round(F.col("rank") * 1e6).cast("long").alias("rank_ppm"),
+        F.round(F.col("core") * 1e6).cast("long").alias("core_ppm"),
+        F.round(F.col("rel_spam_mass") * 1000).cast("long").alias("rel_mass_pm"),
+    )
+
+
 _CHROME_SQL = (
     "'Subscribe to our newsletter today.' || chr(10)"
     " || 'Copyright ' || lang || ' footer.' || chr(10)"
