@@ -1058,6 +1058,67 @@ def q_anchor_text(spark, sf_dir):
     )
 
 
+_SHARK_TOPIC_SQL = "['spark','join','window','hash']"
+
+
+@_register(
+    "q_shark_priority",
+    f"""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    rel AS (
+      SELECT doc_id AS src,
+             len(list_intersect(list_distinct(list_filter(
+                 string_split_regex(lower(text), '\\s+'), x -> x <> '')),
+                 {_SHARK_TOPIC_SQL})) / 4.0 AS rel,
+             array_to_string(list_filter(string_split_regex(lower(text),
+                 '\\s+'), x -> x <> '')[1:2], ' ') AS anchor
+      FROM documents),
+    e AS (
+      SELECT src, (src * 3 + 1) % (SELECT n FROM nn) AS dst, anchor, rel
+      FROM rel
+      UNION ALL
+      SELECT src, (src * 7 + 3) % (SELECT n FROM nn), anchor, rel FROM rel),
+    sc AS (
+      SELECT dst,
+             0.5 * rel + 0.5 * (len(list_intersect(list_distinct(
+                 list_filter(string_split_regex(lower(anchor), '\\s+'),
+                             x -> x <> '')),
+                 {_SHARK_TOPIC_SQL})) / 4.0) AS p
+      FROM e)
+    SELECT dst, max(p) AS priority, count(*)::BIGINT AS n_inlinks
+    FROM sc GROUP BY dst
+    """,
+)
+def q_shark_priority(spark, sf_dir):
+    """operators/focus.shark_priorities — shark-search (WWW7 1998)
+    focused-crawl frontier scoring over the arithmetic link graph:
+    child priority = max over parents of 0.5*parent-text topical
+    relevance + 0.5*anchor relevance, topic = 4 corpus terms (power of
+    two, so the ratios are exact dyadic doubles — hash-safe with no
+    ppm rounding). Anchors = source doc's first two tokens, matching
+    q_anchor_text's synthesis."""
+    from cloud_crawler_spark.operators.focus import shark_priorities
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()  # bounded scalar (table size), not data-shaped
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    a = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("anchor"),
+    )
+    e = a.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 1) % n).alias("dst"), "anchor",
+    ).unionAll(a.select(
+        F.col("doc_id"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"), "anchor",
+    ))
+    pages = docs.select(F.col("doc_id").alias("id"), "text")
+    return shark_priorities(
+        pages, e, ["spark", "join", "window", "hash"], decay=0.5
+    )
+
+
 # ======================================================================
 # 4. Classic relational coverage (agg/join/sort pipelines)
 # ======================================================================
