@@ -1058,6 +1058,65 @@ def q_anchor_text(spark, sf_dir):
     )
 
 
+@_register(
+    "q_page_metadata",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents)
+    SELECT d.doc_id,
+           'Doc & ' || d.doc_id || ' ' || t.toks[1] AS title,
+           array_to_string(t.toks[1:6], ' ') AS description,
+           'OG ' || d.doc_id AS og_title,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'article'
+                ELSE 'website' END AS og_type,
+           'http://ex.com/c' || (d.doc_id % 50) AS canonical,
+           2::BIGINT AS n_og
+    FROM documents d JOIN t ON t.doc_id = d.doc_id
+    """,
+)
+def q_page_metadata(spark, sf_dir):
+    """functions/metadata.with_metadata — head-metadata extraction
+    (title with an entity to prove real unescaping, meta description,
+    og:title/og:type, rel=canonical) from synthesized HTML; the oracle
+    regenerates the planted fields directly from `documents`, so the
+    hash match proves the Arrow-batched parser round-trips every field
+    byte-exactly. The og map stays a typed MapType; the projection to
+    columns is codegen element_at."""
+    from cloud_crawler_spark.functions.metadata import with_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc &amp; "), i.cast("string"),
+        F.lit(" "), F.element_at(toks, 1),
+        F.lit('</title>\n<meta name="description" content="'),
+        F.concat_ws(" ", F.slice(toks, 1, 6)),
+        F.lit('">\n<meta property="og:title" content="OG '),
+        i.cast("string"),
+        F.lit('">\n<meta property="og:type" content="'),
+        F.when(i % 2 == 0, F.lit("article")).otherwise(F.lit("website")),
+        F.lit('">\n<link rel="canonical" href="http://ex.com/c'),
+        (i % 50).cast("string"),
+        F.lit('">\n</head><body><p>body</p></body></html>'),
+    )
+    pages = docs.select("doc_id", F.encode(html, "utf-8").alias("html"))
+    m = with_metadata(pages)
+    md = F.col("metadata")
+    return m.select(
+        "doc_id",
+        md["title"].alias("title"),
+        md["description"].alias("description"),
+        F.element_at(md["og"], "title").alias("og_title"),
+        F.element_at(md["og"], "type").alias("og_type"),
+        md["canonical"].alias("canonical"),
+        F.size(F.map_keys(md["og"])).cast("long").alias("n_og"),
+    )
+
+
 _SHARK_TOPIC_SQL = "['spark','join','window','hash']"
 
 
