@@ -195,6 +195,57 @@ def allocate_budget(
     return alloc.unionByName(zero)
 
 
+def fetch_schedule(
+    batch: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay: float = 1.0,
+    host_col: str = "host",
+    url_col: str = "canon_url",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Politeness timeline for a budget-clamped batch: WHEN each queued
+    URL will be fetched, given per-host crawl delays.
+
+    Within a host, fetches are sequential (one connection, Crawl-delay
+    between requests — the reference's per-job ``sleep(delay)``,
+    batch_job.rb:181); across hosts they are parallel. So each URL's
+    projected start is ``slot * delay`` where slot is its 0-based
+    position in the host's queue ordered by (priority DESC, url) —
+    the capacity-planning view ("can this batch finish inside the
+    round?") that sizes batch_size against the slowest host.
+
+    batch: (host, canon_url, priority, ...). delays: optional
+    (host, delay_s double) — robots Crawl-delay values (see
+    robots.crawl_delays); hosts absent fall back to default_delay.
+
+    Returns batch columns + (slot bigint, eta_s double). The per-host
+    makespan is then ONE groupBy(max(eta_s)) away.
+
+    Scale shape: the per-host window is inherently host-sequential
+    (that IS the semantics), so this runs AFTER select_budget — the
+    window input is budget-clamped (≤ budget rows per host), never the
+    raw frontier; the delays side is a broadcast-sized dimension.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    out = batch.withColumn(
+        "slot", (F.row_number().over(w) - 1).cast("long")
+    )
+    if delays is not None:
+        d = delays.select(
+            F.col(delays.columns[0]).alias(host_col),
+            F.col(delays.columns[1]).cast("double").alias("_delay"),
+        )
+        out = out.join(F.broadcast(d), host_col, "left")
+    else:
+        out = out.withColumn("_delay", F.lit(None).cast("double"))
+    return out.withColumn(
+        "eta_s",
+        F.col("slot") * F.coalesce(F.col("_delay"), F.lit(float(default_delay))),
+    ).drop("_delay")
+
+
 def aimd_rates(
     fetch_log: DataFrame,
     n_rounds: int,

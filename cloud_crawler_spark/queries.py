@@ -1117,6 +1117,55 @@ def q_page_metadata(spark, sf_dir):
     )
 
 
+@_register(
+    "q_fetch_schedule",
+    """
+    WITH u AS (
+      SELECT 'h' || (doc_id % 7) || '.ex.com' AS host,
+             'http://h' || (doc_id % 7) || '.ex.com/p' || doc_id AS canon_url,
+             (doc_id % 13)::DOUBLE AS priority
+      FROM documents),
+    r AS (
+      SELECT host, canon_url, priority,
+             (row_number() OVER (PARTITION BY host
+                                 ORDER BY priority DESC, canon_url)
+              - 1)::BIGINT AS slot
+      FROM u)
+    SELECT host, canon_url, priority, slot,
+           slot * (CASE host WHEN 'h0.ex.com' THEN 0.5
+                             WHEN 'h1.ex.com' THEN 1.5
+                             WHEN 'h2.ex.com' THEN 2.0
+                             WHEN 'h3.ex.com' THEN 0.25
+                             ELSE 1.0 END)::DOUBLE AS eta_s
+    FROM r
+    """,
+)
+def q_fetch_schedule(spark, sf_dir):
+    """operators/politeness.fetch_schedule — politeness timeline over
+    a 7-host batch: per-host queue position by (priority DESC, url),
+    eta = slot × Crawl-delay (four hosts carry explicit dyadic delays,
+    the rest fall back to the 1.0 default — both branches exercised).
+    Window input is batch-shaped by construction (this runs after
+    select_budget in the engine), so the per-host sort is bounded."""
+    from cloud_crawler_spark.operators.politeness import fetch_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 7).cast("string"), F.lit(".ex.com"))
+    batch = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, F.lit("/p"),
+                 i.cast("string")).alias("canon_url"),
+        (i % 13).cast("double").alias("priority"),
+    )
+    delays = spark.createDataFrame(
+        [("h0.ex.com", 0.5), ("h1.ex.com", 1.5),
+         ("h2.ex.com", 2.0), ("h3.ex.com", 0.25)],
+        "host string, delay_s double",
+    )
+    return fetch_schedule(batch, delays)
+
+
 _SHARK_TOPIC_SQL = "['spark','join','window','hash']"
 
 
