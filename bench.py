@@ -99,6 +99,9 @@ HEADLINE = [
     "q_budget_allocation",
     "q_bitext_mine",
     "q_unigram_vocab",
+    "q_cms_heavy_hitters",
+    "q_kmv_distinct",
+    "q_hll_distinct",
     "q_crawl_bfs",
 ]
 

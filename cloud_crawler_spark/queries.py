@@ -5755,3 +5755,158 @@ def q_registrable_domain(spark, sf_dir):
     out = with_registrable_domain(docs.select("doc_id", host.alias("host")))
     return out.select("doc_id", "host", "public_suffix",
                       "registrable_domain")
+
+
+@_register(
+    "q_cms_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT t AS tok
+      FROM documents,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS un(t)),
+    tot AS (SELECT count(*)::BIGINT AS n FROM toks),
+    keyed AS (
+      SELECT r.i,
+             ('0x' || substr(md5(r.i::VARCHAR || ':' || tok), 1, 8))::BIGINT
+               % 2048 AS bucket
+      FROM toks, range(4) r(i)),
+    cms AS (SELECT i, bucket, count(*)::BIGINT AS cnt
+            FROM keyed GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT tok FROM toks),
+    est AS (
+      SELECT tok, min(cnt) AS est
+      FROM (SELECT c.tok, r.i,
+                   ('0x' || substr(md5(r.i::VARCHAR || ':' || c.tok), 1, 8))
+                     ::BIGINT % 2048 AS bucket
+            FROM cand c, range(4) r(i)) x
+      JOIN cms USING (i, bucket)
+      GROUP BY tok)
+    SELECT tok, est
+    FROM est, tot
+    WHERE est >= greatest(1, n // 500)
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """operators/sketches.cms_build/cms_estimate — count-min heavy
+    hitters over whitespace tokens: tokens whose d=4 x w=2048 sketch
+    estimate is >= 0.2% of the corpus token count. The oracle computes
+    the SAME sketch (md5 bucket hashing is engine-portable), so the
+    comparison pins the sketch math, not just the output rows. Scale
+    shape: sketch is 8192 rows regardless of corpus size (broadcast
+    side of the estimate join); both groupBys are map-side combinable."""
+    from cloud_crawler_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    cms = cms_build(toks, "tok", d=4, w=2048)
+    cand = toks.select("tok").distinct()
+    est = cms_estimate(cms, cand, "tok", d=4, w=2048)
+    tot = toks.agg(F.count("*").alias("n"))
+    thr = F.greatest(F.lit(1).cast("long"), F.floor(F.col("n") / 500))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .where(F.col("est") >= thr)
+        .select("tok", "est")
+    )
+
+
+@_register(
+    "q_kmv_distinct",
+    """
+    WITH u AS (
+      SELECT 'g' || (doc_id % 7) AS grp,
+             CASE WHEN doc_id % 7 < 3 THEN 'k' || (doc_id % 15)
+                  ELSE 'k' || doc_id END AS key
+      FROM documents),
+    h AS (
+      SELECT grp,
+             (('0x' || substr(md5(key), 1, 12))::BIGINT::DOUBLE + 1.0)
+               / 281474976710656.0 AS hu
+      FROM u GROUP BY 1, 2),
+    r AS (
+      SELECT grp, hu,
+             row_number() OVER (PARTITION BY grp ORDER BY hu) AS rn
+      FROM h)
+    SELECT grp, count(*)::BIGINT AS n_kept,
+           CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                ELSE 63.0 / max(hu) END AS est
+    FROM r WHERE rn <= 64
+    GROUP BY grp
+    """,
+)
+def q_kmv_distinct(spark, sf_dir):
+    """operators/sketches.kmv_distinct — bottom-k (KMV) distinct-count
+    per group, k=64: three groups keyed mod 15 exercise the exact
+    branch (< k distinct), four keyed by doc_id the (k-1)/u_k
+    estimator. u is built from 48 md5 bits so every float op is exact
+    binary arithmetic — the oracle reproduces the estimate
+    bit-for-bit, not approximately."""
+    from cloud_crawler_spark.operators.sketches import kmv_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.select(
+        F.concat(F.lit("g"), (d % 7).cast("string")).alias("grp"),
+        F.when(d % 7 < 3,
+               F.concat(F.lit("k"), (d % 15).cast("string")))
+        .otherwise(F.concat(F.lit("k"), d.cast("string"))).alias("key"),
+    )
+    return kmv_distinct(base, "key", "grp", k=64)
+
+
+@_register(
+    "q_hll_distinct",
+    """
+    WITH u AS (
+      SELECT 'g' || (doc_id % 3) AS grp,
+             CASE WHEN doc_id % 3 = 0 THEN 'k' || (doc_id % 25)
+                  ELSE 'k' || doc_id END AS key
+      FROM documents),
+    h AS (
+      SELECT grp,
+             ('0x' || substr(md5(key), 1, 2))::INT AS reg,
+             ('0x' || substr(md5(key), 3, 13))::BIGINT AS v
+      FROM u),
+    r AS (
+      SELECT grp, reg,
+             max(CASE WHEN v = 0 THEN 53
+                      ELSE 53 - length(bin(v)) END) AS mj
+      FROM h GROUP BY 1, 2),
+    a AS (
+      SELECT grp, count(*)::BIGINT AS registers_hit,
+             sum(power(2.0, -mj)) AS s
+      FROM r GROUP BY 1),
+    e AS (
+      SELECT grp, registers_hit,
+             (256 - registers_hit)::DOUBLE AS zeros,
+             0.7213 / (1.0 + 1.079 / 256) * 65536.0
+               / ((256 - registers_hit)::DOUBLE + s) AS raw
+      FROM a)
+    SELECT grp, registers_hit,
+           CASE WHEN raw <= 640.0 AND zeros > 0
+                THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS est
+    FROM e
+    """,
+)
+def q_hll_distinct(spark, sf_dir):
+    """operators/sketches.hll_distinct — deterministic HyperLogLog
+    (p=8, m=256) distinct-count per group; one group keyed mod 25
+    lands deep in the linear-counting branch. Ranks are computed
+    integer-exactly (bit length via base-2 conv, no float log), so the
+    registers agree across engines and the only float divergence is
+    last-ulp summation order — far inside the oracle's 12-significant
+    -digit comparison."""
+    from cloud_crawler_spark.operators.sketches import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.select(
+        F.concat(F.lit("g"), (d % 3).cast("string")).alias("grp"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit("k"), (d % 25).cast("string")))
+        .otherwise(F.concat(F.lit("k"), d.cast("string"))).alias("key"),
+    )
+    return hll_distinct(base, "key", "grp", p=8)
