@@ -102,6 +102,7 @@ HEADLINE = [
     "q_cms_heavy_hitters",
     "q_kmv_distinct",
     "q_hll_distinct",
+    "q_diverse_sample",
     "q_crawl_bfs",
 ]
 

@@ -438,3 +438,79 @@ def hash_split(
         F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    total_target: int,
+    n_lists: int = 16,
+    n_iters: int = 0,
+    sample_mod: int = 1,
+    weight: str = "sqrt",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced diversity sample over an embedding column:
+    assign every vector to its nearest IVF centroid, apportion
+    ``total_target`` across clusters by integer Hamilton quota
+    (weight = isqrt(cluster size), the sqrt-proportional rule that
+    over-samples small clusters relative to proportional), then keep
+    each cluster's deterministically-ordered head. The
+    cluster-then-cap shape of DataComp/SemDeDup-style curation: a
+    proportional sample of a web corpus is dominated by its few
+    mega-clusters (boilerplate shapes, templates); sqrt apportionment
+    keeps the tail's semantic variety in the training mix.
+
+    Returns (id_col, list_id int, keep_rank int) — kept rows only.
+    A cluster smaller than its quota keeps all its rows (the sample
+    may then be < total_target; quotas are NOT redistributed, so the
+    output is a pure per-cluster function — stable when clusters are
+    processed independently).
+
+    Determinism/parity: centroids are the deterministic IVF init
+    (n_iters=0 => first n_lists sampled vectors, normalized);
+    within-cluster order is (md5(id), id) — engine-portable; quotas
+    are exact BIGINT Hamilton (allocate_budget). The DuckDB oracle
+    reproduces the whole pipeline bit-for-bit.
+
+    Scale shape: assignment is one Arrow-batched matmul per batch
+    against broadcast centroids; sizes/quotas are <= n_lists rows
+    (broadcast back); the per-cluster window sorts only within a
+    cluster — for mega-clusters swap in the salted two-stage top-k
+    (operators/politeness.select_budget) since only the quota-sized
+    head survives.
+    """
+    from cloud_crawler_spark.operators.politeness import allocate_budget
+    from cloud_crawler_spark.operators.similarity import (
+        _assign_list_udf, train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(
+        emb, n_lists=n_lists, n_iters=n_iters, sample_mod=sample_mod,
+        vec_col=vec_col, id_col=id_col,
+    )
+    assign = _assign_list_udf(cents)
+    assigned = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("list_id", assign(F.col("_v"))).drop("_v")
+
+    sizes = assigned.groupBy("list_id").agg(F.count("*").alias("_n"))
+    wcol = (
+        F.floor(F.sqrt(F.col("_n"))) if weight == "sqrt" else F.col("_n")
+    ).cast("long").alias("weight")
+    quota = allocate_budget(
+        sizes.select("list_id", wcol), total_target,
+        host_col="list_id", weight_col="weight",
+    )
+
+    win = Window.partitionBy("list_id").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    ranked = assigned.withColumn("keep_rank", F.row_number().over(win))
+    return (
+        ranked.join(F.broadcast(quota), "list_id")
+        .where(F.col("keep_rank") <= F.col("budget"))
+        .select(id_col, F.col("list_id").cast("int").alias("list_id"),
+                F.col("keep_rank").cast("int").alias("keep_rank"))
+    )

@@ -5910,3 +5910,56 @@ def q_hll_distinct(spark, sf_dir):
         .otherwise(F.concat(F.lit("k"), d.cast("string"))).alias("key"),
     )
     return hll_distinct(base, "key", "grp", p=8)
+
+
+@_register(
+    "q_diverse_sample",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v
+      FROM e WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 16),
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.v)
+                                           DESC, c.list_id) AS rn
+        FROM e CROSS JOIN cent c)
+      WHERE rn = 1),
+    sizes AS (SELECT list_id, count(*)::BIGINT AS n FROM assign GROUP BY 1),
+    wts AS (SELECT list_id, floor(sqrt(n))::BIGINT AS w FROM sizes),
+    tot AS (SELECT sum(w)::BIGINT AS tw FROM wts),
+    quotas AS (
+      SELECT list_id, (200 * w) // tw AS fl, (200 * w) % tw AS rem
+      FROM wts, tot),
+    kk AS (SELECT 200 - sum(fl) AS k FROM quotas),
+    alloc AS (
+      SELECT list_id,
+             fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, list_id)
+                            <= k THEN 1 ELSE 0 END AS budget
+      FROM quotas, kk),
+    ranked AS (
+      SELECT a.vec_id, a.list_id,
+             row_number() OVER (PARTITION BY a.list_id
+                                ORDER BY md5(a.vec_id::VARCHAR), a.vec_id)
+               AS keep_rank
+      FROM assign a)
+    SELECT r.vec_id, r.list_id::INT AS list_id, r.keep_rank::INT AS keep_rank
+    FROM ranked r JOIN alloc q USING (list_id)
+    WHERE r.keep_rank <= q.budget
+    """,
+)
+def q_diverse_sample(spark, sf_dir):
+    """operators/sampling.cluster_balanced_sample — cluster-then-cap
+    diversity sampling: deterministic IVF assignment (16 lists,
+    n_iters=0), Hamilton apportionment of a 200-row target by
+    isqrt(cluster size), per-cluster md5-ordered head. The oracle
+    replays assignment, exact-integer quota AND the kept head — so
+    the comparison pins the whole sampling pipeline, not just counts."""
+    from cloud_crawler_spark.operators.sampling import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, total_target=200, n_lists=16, n_iters=0, sample_mod=4,
+    )

@@ -107,3 +107,59 @@ def test_hll_rejects_non_nibble_p(spark):
     df = spark.createDataFrame([("g", "x")], "g string, item string")
     with pytest.raises(ValueError):
         hll_distinct(df, "item", "g", p=10)
+
+
+# ---------------------------------------------------- diversity sample
+
+
+def test_cluster_balanced_sample_properties(spark):
+    from cloud_crawler_spark.operators.sampling import cluster_balanced_sample
+
+    # 3 well-separated clusters of very different sizes; ids are
+    # interleaved (3j + c) so the deterministic init (first n_lists
+    # ids) lands one centroid in each true cluster
+    rows = []
+    centers = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    sizes = {0: 200, 1: 40, 2: 8}
+    for c, n in sizes.items():
+        for j in range(n):
+            v = centers[c][:]
+            v[(c + 1) % 3] += 0.01 * (j % 5)  # jitter, stays nearest c
+            rows.append((3 * j + c, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_balanced_sample(
+        emb, total_target=60, n_lists=3, n_iters=0, sample_mod=1)
+    got = out.collect()
+    assert len(got) <= 60
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.list_id, []).append(r.keep_rank)
+    # keep_rank is a contiguous 1..q head per cluster
+    for ranks in by_cluster.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # sqrt apportionment (weights isqrt: 14/6/2, tot 22): the
+    # mega-cluster is capped well below its proportional share
+    # (200/248 * 60 = 48) and the tail cluster is over-sampled
+    lens = sorted((len(v) for v in by_cluster.values()), reverse=True)
+    assert len(lens) == 3 and sum(lens) == 60
+    assert lens[0] in (38, 39)   # 60*14//22 = 38 (+remainder)
+    assert lens[2] in (5, 6)     # 60*2//22 = 5 (+remainder)
+
+    # deterministic under different partitioning
+    again = cluster_balanced_sample(
+        emb.repartition(13), total_target=60, n_lists=3, n_iters=0,
+        sample_mod=1)
+    assert sorted((r.vec_id, r.list_id, r.keep_rank) for r in got) == \
+        sorted((r.vec_id, r.list_id, r.keep_rank) for r in again.collect())
+
+
+def test_cluster_balanced_small_cluster_keeps_all(spark):
+    from cloud_crawler_spark.operators.sampling import cluster_balanced_sample
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.9])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(emb, total_target=100, n_lists=2,
+                                  n_iters=0).collect()
+    # target exceeds corpus: everything kept, nothing duplicated
+    assert sorted(r.vec_id for r in out) == [0, 1, 2]
