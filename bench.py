@@ -103,6 +103,7 @@ HEADLINE = [
     "q_kmv_distinct",
     "q_hll_distinct",
     "q_diverse_sample",
+    "q_weighted_sample",
     "q_crawl_bfs",
 ]
 

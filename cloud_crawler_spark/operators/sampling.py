@@ -514,3 +514,48 @@ def cluster_balanced_sample(
         .select(id_col, F.col("list_id").cast("int").alias("list_id"),
                 F.col("keep_rank").cast("int").alias("keep_rank"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006): each row draws u = md5-uniform(id) in (0, 1] and
+    the k largest keys u^(1/w) win — inclusion probability
+    proportional to weight, one pass, no rejection loop. The curation
+    use: quality-weighted corpus subsets (weight = quality score or
+    token count) that are reproducible across runs, partitionings and
+    engines, unlike rand()-based sampling.
+
+    Keys are compared in the log domain — ln(u)/w is a monotone twin
+    of u^(1/w) (ln(u) < 0, divide by w > 0), avoiding pow's
+    cross-engine rounding. Rows with weight <= 0 or NULL never win.
+
+    Returns (id_col, weight_col, sample_rank long 1..k), best first.
+
+    Scale shape: the key is a narrow projection (one md5 per row); the
+    global top-k rides with_global_rank's range-partition prefix-sum
+    (no single-partition window). At 10^10 rows, pre-filter with a
+    per-partition top-k (each partition keeps k) before the global
+    rank — mergeable exactly like any bottom-k sketch.
+    """
+    from cloud_crawler_spark.operators.rank import with_global_rank
+
+    v = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
+               16, 10).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(float(16 ** 12))
+    w = F.col(weight_col).cast("double")
+    keyed = df.select(
+        F.col(id_col), F.col(weight_col),
+        (F.log(u) / w).alias("_key"),
+    ).where(w > 0)
+    ranked = with_global_rank(
+        keyed, [F.col("_key").desc(), F.col(id_col).asc()],
+        rank_col="sample_rank",
+    )
+    return ranked.where(F.col("sample_rank") <= k).select(
+        id_col, weight_col, "sample_rank"
+    )

@@ -5963,3 +5963,30 @@ def q_diverse_sample(spark, sf_dir):
     return cluster_balanced_sample(
         emb, total_target=200, n_lists=16, n_iters=0, sample_mod=4,
     )
+
+
+@_register(
+    "q_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT::DOUBLE
+                 + 1.0) / 281474976710656.0) / n_chars::DOUBLE AS key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars, sample_rank
+    FROM (SELECT doc_id, n_chars,
+                 row_number() OVER (ORDER BY key DESC, doc_id) AS sample_rank
+          FROM keyed)
+    WHERE sample_rank <= 100
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """operators/sampling.weighted_sample — Efraimidis-Spirakis
+    weighted sampling without replacement, weight = n_chars, k=100:
+    log-domain keys ln(u)/w from 48 exact md5 bits, global top-k via
+    the range-partition prefix-sum rank. Output carries ids and ranks
+    only — selection is pinned, no float column to compare."""
+    from cloud_crawler_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", k=100, id_col="doc_id")

@@ -163,3 +163,37 @@ def test_cluster_balanced_small_cluster_keeps_all(spark):
                                   n_iters=0).collect()
     # target exceeds corpus: everything kept, nothing duplicated
     assert sorted(r.vec_id for r in out) == [0, 1, 2]
+
+
+# ---------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from cloud_crawler_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit(10)).otherwise(F.lit(1))
+        .alias("w"),
+    )
+    got = weighted_sample(df, "w", k=200, id_col="doc_id").collect()
+    assert len(got) == 200
+    assert sorted(r.sample_rank for r in got) == list(range(1, 201))
+    heavy = sum(1 for r in got if r.w == 10)
+    # E[heavy] ~ 183 of 200 (10:1 odds, without replacement); the
+    # draw is deterministic — this pins it stays weight-dominated
+    assert heavy > 150
+    again = weighted_sample(df.repartition(17), "w", k=200,
+                            id_col="doc_id").collect()
+    assert sorted((r.doc_id, r.sample_rank) for r in got) == \
+        sorted((r.doc_id, r.sample_rank) for r in again)
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from cloud_crawler_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double")
+    got = weighted_sample(df, "w", k=10, id_col="doc_id").collect()
+    assert sorted(r.doc_id for r in got) == [1, 5]
