@@ -104,6 +104,7 @@ HEADLINE = [
     "q_hll_distinct",
     "q_diverse_sample",
     "q_weighted_sample",
+    "q_phrase_match",
     "q_crawl_bfs",
 ]
 

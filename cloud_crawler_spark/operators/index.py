@@ -149,3 +149,54 @@ def bm25(docs: DataFrame, query: str, k1: float = 1.2, b: float = 0.75,
         )
     )
     return scored.groupBy(id_col).agg(F.sum("_s").alias("score"))
+
+
+def positional_postings(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Positional postings: one row per token occurrence —
+    (term, doc_id, pos) with pos the 0-based position in the
+    empty-filtered token sequence (same tokenizer as postings()).
+    The index shape phrase and proximity queries need; tf is
+    ``count(*)`` away, so this strictly generalizes postings().
+
+    Scale shape: posexplode is a narrow per-doc expansion; the table
+    partitions/buckets by term exactly like the flat postings — no
+    per-term array is ever materialized."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    ).select("term", id_col, F.col("pos").cast("int").alias("pos"))
+
+
+def phrase_match(pos_post: DataFrame, phrase: str,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Exact-phrase search by positional intersection: documents
+    containing the token sequence ``phrase``, with occurrence counts —
+    (doc_id, n_matches). The classic m-way self-join: occurrence i of
+    the phrase's term t_i at position p_i joins on (doc, p_i - i), so
+    a full chain shares one start position.
+
+    Scale shape: each join leg is pre-filtered to ONE term (postings
+    are term-partitioned, so each leg is a selective scan); join keys
+    are (doc, start). A stopword leg is the skew risk — order legs
+    rarest-first upstream (df-ordered) or salt the hot term; the join
+    tree here is left-deep in phrase order for determinism."""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    legs = []
+    for i, t in enumerate(terms):
+        legs.append(
+            pos_post.where(F.col("term") == t).select(
+                F.col(id_col),
+                (F.col("pos") - i).cast("int").alias("_start"),
+            )
+        )
+    joined = legs[0]
+    for leg in legs[1:]:
+        joined = joined.join(leg, [id_col, "_start"])
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_matches")
+    )

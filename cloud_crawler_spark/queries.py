@@ -5990,3 +5990,39 @@ def q_weighted_sample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return weighted_sample(docs, "n_chars", k=100, id_col="doc_id")
+
+
+@_register(
+    "q_phrase_match",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS tl
+      FROM documents),
+    flat AS (
+      SELECT doc_id, tp.term AS term, tp.pos AS pos
+      FROM (SELECT doc_id,
+                   unnest(list_transform(tl, (x, i) -> {term: x, pos: i - 1}))
+                     AS tp
+            FROM toks)),
+    a AS (SELECT doc_id, pos AS start FROM flat WHERE term = 'group'),
+    b AS (SELECT doc_id, pos - 1 AS start FROM flat WHERE term = 'query')
+    SELECT a.doc_id, count(*)::BIGINT AS n_matches
+    FROM a JOIN b ON a.doc_id = b.doc_id AND a.start = b.start
+    GROUP BY a.doc_id
+    """,
+)
+def q_phrase_match(spark, sf_dir):
+    """operators/index.positional_postings + phrase_match — exact
+    phrase 'group query' by positional intersection over the
+    positional index: each phrase leg filters to one term and joins on
+    (doc, start = pos - leg_offset). Oracle replays the same
+    intersection over a struct-unnested positional list."""
+    from cloud_crawler_spark.operators.index import (
+        phrase_match, positional_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = positional_postings(docs)
+    return phrase_match(pos, "group query")

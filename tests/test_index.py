@@ -4,6 +4,7 @@ pinned by the q_inverted_index / q_tfidf / q_bm25 oracles."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cloud_crawler_spark.operators.index import (
@@ -81,3 +82,37 @@ class TestPlanShape:
         assert "CartesianProduct" not in plan
         # query-term semi side is broadcast (tiny)
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_positional_postings_positions(spark):
+    from cloud_crawler_spark.operators.index import positional_postings
+
+    docs = spark.createDataFrame(
+        [(1, "A  b a\nb a"), (2, "")], "doc_id long, text string")
+    got = sorted((r.term, r.doc_id, r.pos)
+                 for r in positional_postings(docs).collect())
+    # positions index the empty-filtered lowercase sequence
+    assert got == [("a", 1, 0), ("a", 1, 2), ("a", 1, 4),
+                   ("b", 1, 1), ("b", 1, 3)]
+
+
+def test_phrase_match_counts_and_overlap(spark):
+    from cloud_crawler_spark.operators.index import (
+        phrase_match, positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x a b a b a y"),   # "a b a" overlaps: starts 1 and 3
+         (2, "a b"),             # no "a b a"
+         (3, "a  b a")],         # whitespace-insensitive: one match
+        "doc_id long, text string")
+    pos = positional_postings(docs)
+    got = {r.doc_id: r.n_matches
+           for r in phrase_match(pos, "a b a").collect()}
+    assert got == {1: 2, 3: 1}
+    # single-term phrase degenerates to tf
+    single = {r.doc_id: r.n_matches
+              for r in phrase_match(pos, "a").collect()}
+    assert single == {1: 3, 2: 1, 3: 2}
+    with pytest.raises(ValueError):
+        phrase_match(pos, "   ")
