@@ -116,39 +116,186 @@ class FrontierStore:
         rnd = self.committed_round() if rnd is None else rnd
         return self.spark.read.schema(FRONTIER_SCHEMA).parquet(self._p("frontier", rnd))
 
+    def _compaction(self) -> dict | None:
+        return self.manifest().get("compaction")
+
+    def _compact_path(self, table: str, gen: int) -> str:
+        return os.path.join(self.base, f"{table}_compact", f"gen={gen}")
+
+    def _delta_start(self, comp: dict | None) -> int:
+        """First round NOT covered by the compacted snapshot. Rounds at
+        or below comp['upto'] are read from the compacted table ONLY —
+        leftover per-round dirs (a crash between manifest flip and
+        cleanup) are ignored, never double-counted."""
+        return (comp["upto"] + 1) if comp else None  # type: ignore[return-value]
+
     def seen(self, upto: int | None = None) -> DataFrame:
         """Union of seen deltas for all committed rounds <= upto."""
         upto = self.committed_round() if upto is None else upto
+        comp = self._compaction()
+        frames = []
+        start = -1
+        if comp is not None:
+            cpath = self._compact_path("seen", comp["gen"])
+            if os.path.exists(cpath):
+                cdf = self.spark.read.parquet(cpath)
+                frames.append(
+                    cdf.where(F.col("round") <= upto).select("canon_url")
+                )
+            start = comp["upto"] + 1
         paths = [
             self._p("seen", r)
-            for r in range(-1, upto + 1)
+            for r in range(start, upto + 1)
             if os.path.exists(self._p("seen", r))
         ]
-        if not paths:
+        if paths:
+            frames.append(self.spark.read.parquet(*paths).select("canon_url"))
+        if not frames:
             return self.spark.createDataFrame([], SEEN_SCHEMA)
-        return self.spark.read.parquet(*paths).select("canon_url")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def crawled(self, upto: int | None = None) -> DataFrame:
         upto = self.committed_round() if upto is None else upto
+        comp = self._compaction()
+        frames = []
+        start = 0
+        if comp is not None:
+            cpath = self._compact_path("crawled", comp["gen"])
+            if os.path.exists(cpath):
+                cdf = self.spark.read.parquet(cpath)
+                frames.append(cdf.where(F.col("round") <= upto))
+            start = max(0, comp["upto"] + 1)
         paths = [
             self._p("crawled", r)
-            for r in range(0, upto + 1)
+            for r in range(start, upto + 1)
             if os.path.exists(self._p("crawled", r))
         ]
-        if not paths:
+        if paths:
+            frames.append(self.spark.read.parquet(*paths))
+        if not frames:
             raise FileNotFoundError("no crawled rounds committed")
-        return self.spark.read.parquet(*paths)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def lineage(self) -> DataFrame:
         upto = self.committed_round()
+        comp = self._compaction()
+        frames = []
+        start = 0
+        if comp is not None:
+            cpath = self._compact_path("lineage", comp["gen"])
+            if os.path.exists(cpath):
+                cdf = self.spark.read.parquet(cpath)
+                frames.append(cdf.where(F.col("round") <= upto))
+            start = max(0, comp["upto"] + 1)
         paths = [
             self._p("lineage", r)
-            for r in range(0, upto + 1)
+            for r in range(start, upto + 1)
             if os.path.exists(self._p("lineage", r))
         ]
-        if not paths:
+        if paths:
+            frames.append(self.spark.read.parquet(*paths))
+        if not frames:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        return self.spark.read.parquet(*paths)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    # ------------------------------------------------------------ compaction
+    def compact(self, coalesce_to: int = 4) -> dict:
+        """Small-file compaction (Iceberg rewrite_data_files analogue):
+        merge the per-round seen/crawled/lineage delta directories —
+        one per committed round, each with its own task-count of part
+        files — into ONE compacted snapshot per table, atomically via
+        the manifest, then delete the merged inputs.
+
+        Every row keeps its `round` (seen deltas get it tagged from
+        their directory), so time travel — `seen(upto=k)`,
+        `crawled(upto=k)`, and therefore `CrawlDriver.resume()` at any
+        snapshot — is unchanged: readers filter the compacted table on
+        round and union only the deltas newer than the compaction.
+
+        Why it matters at scale: a 10^4-round crawl leaves 3x10^4
+        directories whose open/list cost dominates every resume and
+        every seen() union; compaction bounds the file count without
+        a write amplification spiral (each compact rewrites the
+        already-compacted generation once, plus the new deltas).
+
+        Crash safety mirrors commit_round: write the new generation,
+        flip the manifest (os.replace), THEN clean up. A crash before
+        the flip leaves a stale gen directory that the next attempt
+        overwrites; a crash after it leaves stale delta dirs that
+        readers already ignore (see _delta_start) and the next
+        compact() removes.
+
+        Returns {"gen", "upto", "removed_dirs"}.
+        """
+        upto = self.committed_round()
+        m = self.manifest()
+        prev = m.get("compaction")
+        gen = (prev["gen"] + 1) if prev else 0
+        start = (prev["upto"] + 1) if prev else -1
+
+        def delta_dirs(table: str, lo: int):
+            return [
+                (r, self._p(table, r))
+                for r in range(lo, upto + 1)
+                if os.path.exists(self._p(table, r))
+            ]
+
+        plans = {
+            "seen": [
+                self.spark.read.parquet(p).select("canon_url")
+                .withColumn("round", F.lit(r).cast("int"))
+                for r, p in delta_dirs("seen", max(start, -1))
+            ],
+            "crawled": [
+                self.spark.read.parquet(p)
+                for _, p in delta_dirs("crawled", max(start, 0))
+            ],
+            "lineage": [
+                self.spark.read.parquet(p)
+                for _, p in delta_dirs("lineage", max(start, 0))
+            ],
+        }
+        for table, parts in plans.items():
+            if prev is not None:
+                old = self.spark.read.parquet(
+                    self._compact_path(table, prev["gen"]))
+                parts = [old] + parts
+            path = self._compact_path(table, gen)
+            if os.path.exists(path):  # stale uncommitted attempt
+                shutil.rmtree(path)
+            if parts:
+                out = parts[0]
+                for f in parts[1:]:
+                    out = out.unionByName(f)
+                out.coalesce(coalesce_to).write.mode("overwrite").parquet(path)
+            # no parts at all (e.g. compact before any round): write no
+            # dir — readers treat a missing compact dir as empty
+
+        m["compaction"] = {"gen": gen, "upto": upto}
+        self._commit_manifest(m)
+
+        removed = 0
+        for table in ("seen", "crawled", "lineage"):
+            for r in range(-1, upto + 1):
+                p = self._p(table, r)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                    removed += 1
+            if prev is not None:
+                oldp = self._compact_path(table, prev["gen"])
+                if os.path.exists(oldp):
+                    shutil.rmtree(oldp)
+                    removed += 1
+        return {"gen": gen, "upto": upto, "removed_dirs": removed}
 
     # ------------------------------------------------------------ doc store
     # S8 (redis_doc_store.rb:35-139 via batch_api_job.rb:35-40): JSON

@@ -90,3 +90,96 @@ def test_uncommitted_round_is_ignored_on_resume(spark, tmp_path):
     assert store2.committed_round() == committed
     # crawled() only reads committed rounds
     assert store2.crawled().select("round").distinct().count() == committed + 1
+
+
+# ------------------------------------------------------------ compaction
+
+
+def _seen_set(df):
+    return sorted(r.canon_url for r in df.collect())
+
+
+def test_compact_preserves_state_and_reduces_dirs(spark, tmp_path):
+    corpus = make_corpus(spark, GRAPH)
+    store_dir = str(tmp_path / "c1")
+    store = FrontierStore(spark, store_dir)
+    Crawler(spark, corpus, CrawlConfig(), store).run(make_seeds(spark, SEEDS))
+
+    import os
+    before = {
+        "seen": _seen_set(store.seen()),
+        "seen_r0": _seen_set(store.seen(upto=0)),
+        "crawled": sorted((r.canon_url, r.round)
+                          for r in store.crawled().collect()),
+        "crawled_r1": sorted((r.canon_url, r.round)
+                             for r in store.crawled(upto=1).collect()),
+        "lineage": sorted((r.round, r.host_bucket, r.fetched)
+                          for r in store.lineage().collect()),
+    }
+    n_dirs_before = sum(
+        len(os.listdir(os.path.join(store_dir, t)))
+        for t in ("seen", "crawled", "lineage"))
+    info = store.compact()
+    assert info["upto"] == store.committed_round()
+    # merged per-round dirs are gone
+    for t in ("seen", "crawled", "lineage"):
+        left = os.listdir(os.path.join(store_dir, t)) \
+            if os.path.exists(os.path.join(store_dir, t)) else []
+        assert left == [], (t, left)
+    assert info["removed_dirs"] == n_dirs_before
+
+    # every reader, incl. time travel, is byte-identical
+    assert _seen_set(store.seen()) == before["seen"]
+    assert _seen_set(store.seen(upto=0)) == before["seen_r0"]
+    assert sorted((r.canon_url, r.round)
+                  for r in store.crawled().collect()) == before["crawled"]
+    assert sorted((r.canon_url, r.round)
+                  for r in store.crawled(upto=1).collect()) \
+        == before["crawled_r1"]
+    assert sorted((r.round, r.host_bucket, r.fetched)
+                  for r in store.lineage().collect()) == before["lineage"]
+
+
+def test_resume_after_compact_matches_uninterrupted(spark, tmp_path):
+    corpus = make_corpus(spark, GRAPH)
+    ref = Crawler(spark, corpus, CrawlConfig()).run(make_seeds(spark, SEEDS))
+    want = _final_state(ref.crawled)
+
+    store_dir = str(tmp_path / "c2")
+    store = FrontierStore(spark, store_dir)
+    Crawler(spark, corpus, CrawlConfig(max_rounds=2), store).run(
+        make_seeds(spark, SEEDS))
+    assert store.committed_round() == 1
+    store.compact()
+
+    store2 = FrontierStore(spark, store_dir)
+    Crawler(spark, corpus, CrawlConfig(), store2).resume()
+    assert _final_state(store2.crawled()) == want
+
+
+def test_compact_incremental_generations(spark, tmp_path):
+    corpus = make_corpus(spark, GRAPH)
+    store_dir = str(tmp_path / "c3")
+    store = FrontierStore(spark, store_dir)
+    Crawler(spark, corpus, CrawlConfig(max_rounds=2), store).run(
+        make_seeds(spark, SEEDS))
+    store.compact()
+    g0 = store.manifest()["compaction"]
+    assert g0["gen"] == 0 and g0["upto"] == 1
+
+    # more rounds on top of the compacted snapshot
+    store2 = FrontierStore(spark, store_dir)
+    Crawler(spark, corpus, CrawlConfig(), store2).resume()
+    seen_full = _seen_set(store2.seen())
+    crawled_full = sorted((r.canon_url, r.round)
+                          for r in store2.crawled().collect())
+
+    info = store2.compact()
+    assert info["gen"] == 1
+    assert _seen_set(store2.seen()) == seen_full
+    assert sorted((r.canon_url, r.round)
+                  for r in store2.crawled().collect()) == crawled_full
+    # old generation cleaned up
+    import os
+    assert not os.path.exists(
+        os.path.join(store_dir, "seen_compact", "gen=0"))
