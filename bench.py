@@ -105,6 +105,7 @@ HEADLINE = [
     "q_diverse_sample",
     "q_weighted_sample",
     "q_phrase_match",
+    "q_feed_extract",
     "q_crawl_bfs",
 ]
 

@@ -6026,3 +6026,92 @@ def q_phrase_match(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pos = positional_postings(docs)
     return phrase_match(pos, "group query")
+
+
+@_register(
+    "q_feed_extract",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'http://f' || (doc_id % 5) || '.ex.com' AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind
+      FROM documents),
+    items AS (
+      SELECT doc_id, h, kind, r.j
+      FROM base, range(3) r(j))
+    SELECT h || '/feed' || doc_id || '.xml' AS feed_url,
+           kind,
+           h || '/p' || (3 * doc_id + j)
+             || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS link,
+           'T' || (3 * doc_id + j) AS title,
+           CASE WHEN kind = 'rss' THEN 'D' || j ELSE 'U' || j END
+             AS published,
+           CASE WHEN doc_id % 4 < 2
+                THEN h || '/feed' || doc_id || '.xml?page=2'
+                ELSE NULL END AS next_url
+    FROM items
+    """,
+)
+def q_feed_extract(spark, sf_dir):
+    """sources/feeds.extract_feed_entries — RSS 2.0 and Atom entry
+    extraction over synthesized feeds: per-doc feeds carry 3 planted
+    entries (link/title/pubDate|updated), an entity-escaped query
+    string every third feed, a channel-level <link> negative control
+    (RSS), and RFC 5005 rel="next" on half the feeds (the namespaced
+    <atom:link> form on RSS, plain <link> on Atom). The oracle
+    regenerates every planted field by arithmetic — the regex
+    extractor must recover them exactly, unescaping included."""
+    from cloud_crawler_spark.sources.feeds import extract_feed_entries
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    h = F.concat(F.lit("http://f"), s(d % 5), F.lit(".ex.com"))
+    feed_url = F.concat(h, F.lit("/feed"), s(d), F.lit(".xml"))
+    is_rss = (d % 2) == 0
+    has_next = (d % 4) < 2
+    next_href = F.concat(feed_url, F.lit("?page=2"))
+
+    def link(j):
+        return F.concat(
+            h, F.lit("/p"), s(d * 3 + j),
+            F.when(d % 3 == 0, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+        )
+
+    def rss_item(j):
+        return F.concat(
+            F.lit("<item><title>T"), s(d * 3 + j), F.lit("</title><link>"),
+            link(j), F.lit(f"</link><pubDate>D{j}</pubDate></item>"),
+        )
+
+    def atom_entry(j):
+        return F.concat(
+            F.lit("<entry><title>T"), s(d * 3 + j),
+            F.lit('</title><link href="'), link(j),
+            F.lit(f'"/><updated>U{j}</updated></entry>'),
+        )
+
+    rss_next = F.when(
+        has_next,
+        F.concat(F.lit('<atom:link rel="next" href="'), next_href,
+                 F.lit('"/>')),
+    ).otherwise(F.lit(""))
+    atom_next = F.when(
+        has_next,
+        F.concat(F.lit('<link rel="next" href="'), next_href, F.lit('"/>')),
+    ).otherwise(F.lit(""))
+    rss_body = F.concat(
+        F.lit("<rss><channel><title>C</title><link>"), h,
+        F.lit("</link>"), rss_next,
+        rss_item(0), rss_item(1), rss_item(2), F.lit("</channel></rss>"),
+    )
+    atom_body = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>C</title>'),
+        atom_next, atom_entry(0), atom_entry(1), atom_entry(2),
+        F.lit("</feed>"),
+    )
+    pages = docs.select(
+        feed_url.alias("url"),
+        F.when(is_rss, rss_body).otherwise(atom_body).alias("html"),
+    )
+    return extract_feed_entries(pages)
