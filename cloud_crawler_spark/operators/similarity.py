@@ -783,14 +783,23 @@ def mine_bitext(
     Returns (src_id, tgt_id, cos_sim, margin): the argmax-margin
     target per source, filtered to margin >= margin_threshold.
     """
+    # norms are per-ROW quantities: compute them once per side (2
+    # aggregates over n rows) instead of per candidate pair (which
+    # cost 2 interpreted higher-order aggregates x |pairs| — measured
+    # 4.5x the whole operator's runtime at 1M candidates)
+    def _norm(vc):
+        return F.sqrt(F.aggregate(
+            F.transform(vc, lambda x: x * x), F.lit(0.0),
+            lambda acc, v: acc + v))
+
     s = src.select(
         F.col(id_col).alias("src_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("sv"),
-    )
+    ).withColumn("sn", _norm(F.col("sv")))
     t = tgt.select(
         F.col(id_col).alias("tgt_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("tv"),
-    )
+    ).withColumn("tn", _norm(F.col("tv")))
     if n_tables > 0:
         def banded(df, idc, vc):
             tables = F.array(*[
@@ -807,23 +816,37 @@ def mine_bitext(
                 idc, vc, F.col("b.tbl").alias("tbl"),
                 F.col("b.bucket").alias("bucket"),
             )
-        sb = banded(s, "src_id", "sv")
-        tb = banded(t, "tgt_id", "tv")
+        sb = banded(s, "src_id", "sv").join(
+            s.select("src_id", "sn"), "src_id")
+        tb = banded(t, "tgt_id", "tv").join(
+            t.select("tgt_id", "tn"), "tgt_id")
         # distinct on ids only (a pair can collide in several tables);
         # vectors ride along via min(struct) so no second fetch join
         cand = (
             sb.join(tb, ["tbl", "bucket"])
             .groupBy("src_id", "tgt_id")
-            .agg(F.min(F.struct("sv", "tv")).alias("_v"))
+            .agg(F.min(F.struct("sv", "sn", "tv", "tn")).alias("_v"))
             .select("src_id", "tgt_id", F.col("_v.sv").alias("sv"),
-                    F.col("_v.tv").alias("tv"))
+                    F.col("_v.sn").alias("sn"), F.col("_v.tv").alias("tv"),
+                    F.col("_v.tn").alias("tn"))
         )
     else:
         cand = t.join(F.broadcast(s))
+    dot = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("tv"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v)
     scored = cand.select(
         "src_id", "tgt_id",
-        F.round(cosine(F.col("sv"), F.col("tv")), 6).alias("cos_sim"),
+        F.round(
+            F.when((F.col("sn") > 0) & (F.col("tn") > 0),
+                   dot / (F.col("sn") * F.col("tn"))).otherwise(F.lit(0.0)),
+            6,
+        ).alias("cos_sim"),
     )
+    # scored feeds THREE consumers (both top-k averages and the margin
+    # join): materialize the slim (id, id, double) table once instead
+    # of re-running the candidate join + dot per consumer
+    scored = scored.localCheckpoint(eager=True)
     w_s = Window.partitionBy("src_id").orderBy(
         F.col("cos_sim").desc(), F.col("tgt_id").asc())
     w_t = Window.partitionBy("tgt_id").orderBy(
