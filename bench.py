@@ -106,6 +106,7 @@ HEADLINE = [
     "q_weighted_sample",
     "q_phrase_match",
     "q_feed_extract",
+    "q_url_equivalence",
     "q_crawl_bfs",
 ]
 

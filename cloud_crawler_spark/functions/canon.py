@@ -602,3 +602,52 @@ def with_registrable_domain(df, host_col: str = "host", rules=None):
     return df.join(
         hostmap.withColumnRenamed("_rd_host", host_col), host_col, "left"
     )
+
+
+def url_equivalence(
+    edges: "DataFrame",
+    urls: "DataFrame | None" = None,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    max_iter: int = 20,
+) -> "DataFrame":
+    """URL equivalence classes over the union of duplicate-URL
+    signals — redirect hops, rel=canonical declarations
+    (canonical_aliases), DUST rule aliases — treated as one undirected
+    alias graph and collapsed by connected components. The collapse
+    step every signal above feeds: canonical_aliases is single-hop and
+    redirects are per-chain, but real duplicate families MIX signals
+    (m-dot page -> canonical -> redirect), and only the transitive
+    closure collapses the whole family to one frontier entry.
+
+    edges: (src_col, dst_col) alias pairs from any mix of signals.
+    urls: optional universe; URLs absent from every edge come back as
+    their own representative, making the output a total function.
+
+    Returns (url, rep_url, is_rep int) — rep_url is the
+    lexicographically smallest member (deterministic and
+    engine-portable; plug a different election by re-labelling
+    rep_url downstream, the classes themselves don't change).
+
+    Scale shape: inherits connected_components — O(diameter)
+    min-label rounds, one equi-join + one groupBy each, per-round
+    localCheckpoint; alias families are shallow (diameter 2-4). The
+    isolated-URL fold-in is one LEFT ANTI join."""
+    from cloud_crawler_spark.operators.dedup import connected_components
+
+    comp = connected_components(edges, src_col, dst_col, max_iter=max_iter)
+    out = comp.select(
+        F.col("id").alias("url"), F.col("label").alias("rep_url")
+    )
+    if urls is not None:
+        ucol = urls.columns[0]
+        iso = (
+            urls.select(F.col(ucol).alias("url")).distinct()
+            .join(out, "url", "left_anti")
+            .select("url", F.col("url").alias("rep_url"))
+        )
+        out = out.unionByName(iso)
+    return out.select(
+        "url", "rep_url",
+        (F.col("url") == F.col("rep_url")).cast("long").alias("is_rep"),
+    )

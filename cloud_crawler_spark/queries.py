@@ -6115,3 +6115,66 @@ def q_feed_extract(spark, sf_dir):
         F.when(is_rss, rss_body).otherwise(atom_body).alias("html"),
     )
     return extract_feed_entries(pages)
+
+
+@_register(
+    "q_url_equivalence",
+    """
+    WITH RECURSIVE u AS (
+      SELECT doc_id,
+             'http://h' || (doc_id % 9) || '.ex.com/p' || doc_id AS url
+      FROM documents),
+    e1 AS (  -- rel=canonical triple collapse
+      SELECT a.url AS src, b.url AS dst
+      FROM u a JOIN u b ON b.doc_id = 3 * (a.doc_id // 3)
+      WHERE a.doc_id % 3 <> 0),
+    e2 AS (  -- redirect hop
+      SELECT a.url AS src, b.url AS dst
+      FROM u a JOIN u b ON b.doc_id = a.doc_id - 1
+      WHERE a.doc_id % 7 = 1),
+    edges AS (
+      SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1
+      UNION SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+    SELECT u.url,
+           coalesce(c.rep, u.url) AS rep_url,
+           (coalesce(c.rep, u.url) = u.url)::BIGINT AS is_rep
+    FROM u LEFT JOIN comp c ON c.id = u.url
+    """,
+)
+def q_url_equivalence(spark, sf_dir):
+    """functions/canon.url_equivalence — duplicate-URL collapse over a
+    MIXED alias graph: rel=canonical edges merge id-triples, redirect
+    edges bridge across triples (doc_id % 7 == 1), so classes span
+    both signals and transitivity is load-bearing. Representative =
+    lexmin URL; isolated URLs fold in as their own rep. Oracle:
+    recursive min-reachable-label CTE over the same edges."""
+    from cloud_crawler_spark.functions.canon import url_equivalence
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    u = F.concat(F.lit("http://h"), (d % 9).cast("string"),
+                 F.lit(".ex.com/p"), d.cast("string"))
+    urls = docs.select(u.alias("url"), d.alias("_d"))
+    tri = (
+        urls.alias("a")
+        .join(urls.alias("b"),
+              F.col("b._d") == 3 * F.floor(F.col("a._d") / 3))
+        .where(F.col("a._d") % 3 != 0)
+        .select(F.col("a.url").alias("src_url"),
+                F.col("b.url").alias("dst_url"))
+    )
+    redir = (
+        urls.alias("a")
+        .join(urls.alias("b"), F.col("b._d") == F.col("a._d") - 1)
+        .where(F.col("a._d") % 7 == 1)
+        .select(F.col("a.url").alias("src_url"),
+                F.col("b.url").alias("dst_url"))
+    )
+    return url_equivalence(
+        tri.unionByName(redir), urls=urls.select("url")
+    )

@@ -407,3 +407,52 @@ def test_registrable_domain_custom_rules(spark):
         for r in with_registrable_domain(df, rules=rules).collect()
     }
     assert got == {"a.x.test": "a.x.test", "b.test": "b.test"}
+
+
+class TestUrlEquivalence:
+    def test_mixed_signals_transitive_collapse(self, spark):
+        from cloud_crawler_spark.functions.canon import url_equivalence
+
+        # m-dot page --canonical--> www page --redirect--> final page;
+        # an unrelated pair; and one isolated url from the universe
+        edges = spark.createDataFrame(
+            [("http://m.ex.com/a", "http://www.ex.com/a"),
+             ("http://www.ex.com/a", "http://ex.com/a"),
+             ("http://ex.com/x", "http://ex.com/y")],
+            "src_url string, dst_url string")
+        urls = spark.createDataFrame(
+            [("http://m.ex.com/a",), ("http://www.ex.com/a",),
+             ("http://ex.com/a",), ("http://ex.com/x",),
+             ("http://ex.com/y",), ("http://ex.com/island",)],
+            "url string")
+        got = {r.url: (r.rep_url, r.is_rep)
+               for r in url_equivalence(edges, urls=urls).collect()}
+        assert got["http://m.ex.com/a"] == ("http://ex.com/a", 0)
+        assert got["http://www.ex.com/a"] == ("http://ex.com/a", 0)
+        assert got["http://ex.com/a"] == ("http://ex.com/a", 1)
+        assert got["http://ex.com/x"] == ("http://ex.com/x", 1)
+        assert got["http://ex.com/y"] == ("http://ex.com/x", 0)
+        assert got["http://ex.com/island"] == ("http://ex.com/island", 1)
+        # exactly one representative per class
+        reps = [v for v, is_rep in got.values() if is_rep]
+        assert sorted(set(v for v, _ in got.values())) == sorted(reps)
+
+    def test_composes_with_canonical_aliases(self, spark):
+        from cloud_crawler_spark.functions.canon import (
+            canonical_aliases, url_equivalence,
+        )
+
+        pages = spark.createDataFrame(
+            [("http://www.ex.com/print/1",
+              '<html><head><link rel="canonical" '
+              'href="http://www.ex.com/1"/></head></html>'),
+             ("http://www.ex.com/1", "<html>real</html>")],
+            "url string, html string")
+        from pyspark.sql import functions as F
+
+        al = canonical_aliases(pages).where(F.col("is_alias") == 1).select(
+            F.col("canon_url").alias("src_url"),
+            F.col("canonical_target").alias("dst_url"))
+        got = {r.url: r.rep_url for r in url_equivalence(al).collect()}
+        assert len(got) == 2
+        assert len(set(got.values())) == 1  # one class
