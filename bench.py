@@ -107,6 +107,7 @@ HEADLINE = [
     "q_phrase_match",
     "q_feed_extract",
     "q_url_equivalence",
+    "q_compliance_audit",
     "q_crawl_bfs",
 ]
 

@@ -308,3 +308,56 @@ def aimd_rates(
         .cast("long")
         .alias("n_active_rounds"),
     )
+
+
+def compliance_audit(
+    fetch_log: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay: float = 1.0,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+) -> DataFrame:
+    """Politeness compliance audit over a fetch log: did the crawler
+    actually honor each host's Crawl-delay? The evidence table an
+    operator reads after a run (and the one to show a webmaster):
+    per host, the observed inter-fetch gaps vs the declared delay.
+
+    fetch_log: (host, fetch_ts double epoch-seconds, ...). delays:
+    optional (host, delay_s) — robots Crawl-delay; absent hosts use
+    default_delay.
+
+    Returns per host: (host, n_fetches, min_gap_s, avg_gap_s,
+    violations, delay_s) where violations counts gaps strictly under
+    the host's delay. Single-fetch hosts report NULL gaps and 0
+    violations.
+
+    Scale shape: ONE lag window per host (partition key = host, the
+    same bounded-skew shape as every politeness window — audit logs
+    are per-round, so the window input is budget-clamped) + ONE
+    map-side-combinable groupBy; the delay table is a broadcast
+    dimension. All arithmetic on doubles with exact comparisons, so
+    the SQL oracle matches bit-for-bit.
+    """
+    gapped = fetch_log.select(
+        F.col(host_col), F.col(ts_col).cast("double").alias("_ts")
+    ).withColumn("_gap", F.col("_ts") - F.lag("_ts").over(
+        Window.partitionBy(host_col).orderBy(F.col("_ts").asc())
+    ))
+    if delays is not None:
+        d = delays.select(
+            F.col(delays.columns[0]).alias(host_col),
+            F.col(delays.columns[1]).cast("double").alias("_delay"),
+        )
+        gapped = gapped.join(F.broadcast(d), host_col, "left")
+    else:
+        gapped = gapped.withColumn("_delay", F.lit(None).cast("double"))
+    eff = F.coalesce(F.col("_delay"), F.lit(float(default_delay)))
+    return gapped.groupBy(host_col).agg(
+        F.count("*").alias("n_fetches"),
+        F.min("_gap").alias("min_gap_s"),
+        F.avg("_gap").alias("avg_gap_s"),
+        F.sum(
+            F.when(F.col("_gap") < eff, 1).otherwise(0)
+        ).cast("long").alias("violations"),
+        F.first(eff).alias("delay_s"),
+    )

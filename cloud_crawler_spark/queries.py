@@ -6178,3 +6178,54 @@ def q_url_equivalence(spark, sf_dir):
     return url_equivalence(
         tri.unionByName(redir), urls=urls.select("url")
     )
+
+
+@_register(
+    "q_compliance_audit",
+    """
+    WITH log AS (
+      SELECT 'h' || (event_id % 5) || '.ex.com' AS host,
+             (event_id // 5)::DOUBLE
+               * (0.4 + 0.3 * (event_id % 5)) AS fetch_ts
+      FROM events),
+    gapped AS (
+      SELECT host, fetch_ts,
+             fetch_ts - lag(fetch_ts) OVER (PARTITION BY host
+                                            ORDER BY fetch_ts) AS gap
+      FROM log),
+    d AS (SELECT host, gap,
+                 CASE host WHEN 'h0.ex.com' THEN 0.5
+                           WHEN 'h1.ex.com' THEN 0.75
+                           ELSE 1.0 END::DOUBLE AS delay_s
+          FROM gapped)
+    SELECT host, count(*)::BIGINT AS n_fetches,
+           min(gap) AS min_gap_s, avg(gap) AS avg_gap_s,
+           sum(CASE WHEN gap < delay_s THEN 1 ELSE 0 END)::BIGINT
+             AS violations,
+           min(delay_s) AS delay_s
+    FROM d GROUP BY host
+    """,
+)
+def q_compliance_audit(spark, sf_dir):
+    """operators/politeness.compliance_audit — per-host inter-fetch
+    gaps vs declared Crawl-delay over a synthetic fetch log: five
+    hosts with dyadic-rational gap cadences (0.4 + 0.3*h per slot), two
+    carrying explicit delays, the rest on the 1.0 default — hosts h0/h1
+    comply, slower-delay hosts accumulate violations. Lag-window gaps
+    + one groupBy; all arithmetic exact dyadic doubles."""
+    from cloud_crawler_spark.operators.politeness import compliance_audit
+
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    log = ev.select(
+        F.concat(F.lit("h"), (e % 5).cast("string"),
+                 F.lit(".ex.com")).alias("host"),
+        (F.floor(e / 5).cast("double")
+         * (F.lit(0.4) + F.lit(0.3) * (e % 5).cast("double")))
+        .alias("fetch_ts"),
+    )
+    delays = spark.createDataFrame(
+        [("h0.ex.com", 0.5), ("h1.ex.com", 0.75)],
+        "host string, delay_s double",
+    )
+    return compliance_audit(log, delays)

@@ -186,3 +186,22 @@ class TestAimdRates:
                                    init_rate=15, max_rate=16).collect()}
         assert got["slow"] == 1    # halving floors at 1
         assert got["fast"] == 16   # additive increase caps
+
+
+def test_compliance_audit_gaps_and_violations(spark):
+    from cloud_crawler_spark.operators.politeness import compliance_audit
+
+    log = spark.createDataFrame(
+        [("a", 0.0), ("a", 1.0), ("a", 1.25), ("a", 3.0),   # gaps 1, .25, 1.75
+         ("b", 10.0),                                        # single fetch
+         ("c", 0.0), ("c", 0.5)],                            # gap .5
+        "host string, fetch_ts double")
+    delays = spark.createDataFrame([("a", 0.5)], "host string, delay_s double")
+    got = {r.host: r for r in compliance_audit(log, delays).collect()}
+    a = got["a"]
+    assert (a.n_fetches, a.min_gap_s, a.violations, a.delay_s) == (4, 0.25, 1, 0.5)
+    assert a.avg_gap_s == (1.0 + 0.25 + 1.75) / 3
+    b = got["b"]
+    assert (b.n_fetches, b.min_gap_s, b.avg_gap_s, b.violations) == (1, None, None, 0)
+    c = got["c"]  # default delay 1.0 -> the 0.5 gap violates
+    assert (c.violations, c.delay_s) == (1, 1.0)
