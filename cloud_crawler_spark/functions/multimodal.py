@@ -190,3 +190,111 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------- content-defined chunking
+
+CHUNK_SCHEMA = (
+    "media_id long, chunk_idx int, offset int, length int, chunk_hash string"
+)
+
+
+def _gear_table() -> list[int]:
+    """256 deterministic 64-bit gear constants: md5 of the byte index —
+    no RNG, reproducible on any machine."""
+    return [
+        int(hashlib.md5(bytes([i])).hexdigest()[:16], 16) for i in range(256)
+    ]
+
+
+def _gear_boundaries(data: bytes, gear: list[int], min_size: int,
+                     mask: int, max_size: int) -> list[int]:
+    """Chunk end offsets by Gear rolling hash (FastCDC family,
+    Xia et al. 2016): h = (h << 1 + gear[byte]) mod 2^64, cut where
+    (h & mask) == 0, subject to min/max chunk bounds. Pure-python
+    byte loop — the accelerated plug-in point on a real cluster is a
+    C/numba kernel with identical constants (same boundaries), exactly
+    like the decode plug-in above."""
+    n = len(data)
+    cuts = []
+    i = 0
+    while i < n:
+        end = min(i + max_size, n)
+        h = 0
+        j = i
+        boundary = end
+        while j < end:
+            h = ((h << 1) + gear[data[j]]) & 0xFFFFFFFFFFFFFFFF
+            if j - i + 1 >= min_size and (h & mask) == 0:
+                boundary = j + 1
+                break
+            j += 1
+        cuts.append(boundary)
+        i = boundary
+    return cuts
+
+
+def cdc_chunks(media: DataFrame, bytes_col: str = "bytes",
+               id_col: str = "media_id", min_size: int = 64,
+               avg_size: int = 256, max_size: int = 1024) -> DataFrame:
+    """Content-defined chunking of a BINARY column (Gear hash /
+    FastCDC-lite): every blob splits at content-derived boundaries, so
+    a byte insertion near the front re-chunks only its neighborhood —
+    downstream chunk-hash dedup still shares every chunk after the
+    edit. Fixed-size chunking loses ALL alignment after one insert;
+    this is the property that makes cross-version media/file dedup
+    work (the binary twin of ExactSubstr for text).
+
+    Returns (media_id, chunk_idx, offset, length, chunk_hash md5),
+    chunks partition each blob exactly: offsets are contiguous from 0
+    and lengths sum to the blob size. avg_size must be a power of two
+    (the boundary test is a mask).
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle — the
+    chunk table then dedups with ONE groupBy(chunk_hash)
+    (chunk_dedup). State per row is O(1); output rows ~ blob/avg_size.
+    """
+    if avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two")
+    mask = avg_size - 1
+    gear = _gear_table()
+
+    def chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "chunk_idx": [], "offset": [],
+                "length": [], "chunk_hash": [],
+            }
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data or b"")
+                prev = 0
+                for idx, cut in enumerate(_gear_boundaries(
+                        data, gear, min_size, mask, max_size)):
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(idx)
+                    out["offset"].append(prev)
+                    out["length"].append(cut - prev)
+                    out["chunk_hash"].append(
+                        hashlib.md5(data[prev:cut]).hexdigest())
+                    prev = cut
+            yield pd.DataFrame(out)
+
+    return media.select(F.col(id_col).alias("media_id"),
+                        F.col(bytes_col)).mapInPandas(chunker, CHUNK_SCHEMA)
+
+
+def chunk_dedup(chunks: DataFrame) -> DataFrame:
+    """Cross-blob chunk dedup summary over a cdc_chunks table:
+    (chunk_hash, length, n_copies, bytes_saved) for chunks appearing
+    more than once — ONE map-side-combinable groupBy; bytes_saved =
+    (n_copies - 1) * length, the storage the chunk store reclaims."""
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count("*").cast("long").alias("n_copies"),
+             F.min("length").cast("long").alias("length"))
+        .where(F.col("n_copies") > 1)
+        .select(
+            "chunk_hash", "length", "n_copies",
+            ((F.col("n_copies") - 1) * F.col("length")).alias("bytes_saved"),
+        )
+    )

@@ -437,3 +437,82 @@ class TestScriptProfileEntropy:
         plan = script_profile(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# ------------------------------------------------- content-defined chunking
+
+
+class TestCDC:
+    def _blob(self, seed: bytes, n: int) -> bytes:
+        import hashlib as H
+        out = b""
+        cur = seed
+        while len(out) < n:
+            cur = H.md5(cur).digest()
+            out += cur
+        return out[:n]
+
+    def test_chunks_partition_blob_exactly(self, spark):
+        from cloud_crawler_spark.functions.multimodal import cdc_chunks
+
+        data = self._blob(b"a", 5000)
+        df = spark.createDataFrame([(1, data), (2, b""), (3, b"xy")],
+                                   "media_id long, bytes binary")
+        rows = sorted(cdc_chunks(df).collect(),
+                      key=lambda r: (r.media_id, r.chunk_idx))
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.media_id, []).append(r)
+        c1 = by_id[1]
+        assert c1[0].offset == 0
+        for a, b in zip(c1, c1[1:]):
+            assert b.offset == a.offset + a.length
+        assert sum(r.length for r in c1) == 5000
+        assert all(64 <= r.length <= 1024 for r in c1[:-1])
+        assert len(c1) > 1
+        # empty blob -> no chunks; tiny blob -> one chunk
+        assert 2 not in by_id
+        assert [ (r.offset, r.length) for r in by_id[3] ] == [(0, 2)]
+
+    def test_shift_resistance_shares_tail_chunks(self, spark):
+        from cloud_crawler_spark.functions.multimodal import cdc_chunks
+
+        tail = self._blob(b"t", 6000)
+        a = self._blob(b"head-a", 300) + tail
+        b = self._blob(b"head-bb", 451) + tail  # different length prefix
+        df = spark.createDataFrame([(1, a), (2, b)],
+                                   "media_id long, bytes binary")
+        rows = cdc_chunks(df).collect()
+        h1 = {r.chunk_hash for r in rows if r.media_id == 1}
+        h2 = {r.chunk_hash for r in rows if r.media_id == 2}
+        shared = h1 & h2
+        # the unequal-offset heads force fixed-size chunking to share
+        # NOTHING; CDC re-synchronizes and shares most of the tail
+        assert len(shared) >= max(len(h1), len(h2)) // 2
+
+    def test_chunk_dedup_reports_savings(self, spark):
+        from cloud_crawler_spark.functions.multimodal import (
+            cdc_chunks, chunk_dedup,
+        )
+
+        blob = self._blob(b"dup", 4000)
+        df = spark.createDataFrame(
+            [(1, blob), (2, blob), (3, self._blob(b"uniq", 4000))],
+            "media_id long, bytes binary")
+        chunks = cdc_chunks(df)
+        dd = chunk_dedup(chunks).collect()
+        assert dd, "identical blobs must share chunks"
+        for r in dd:
+            assert r.n_copies == 2 and r.bytes_saved == r.length
+        # dedup determinism across partitioning
+        again = chunk_dedup(cdc_chunks(df.repartition(5))).collect()
+        assert sorted((r.chunk_hash, r.n_copies) for r in dd) == \
+            sorted((r.chunk_hash, r.n_copies) for r in again)
+
+    def test_avg_size_must_be_pow2(self, spark):
+        from cloud_crawler_spark.functions.multimodal import cdc_chunks
+
+        df = spark.createDataFrame([(1, b"x")], "media_id long, bytes binary")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            cdc_chunks(df, avg_size=300)
