@@ -108,6 +108,7 @@ HEADLINE = [
     "q_feed_extract",
     "q_url_equivalence",
     "q_compliance_audit",
+    "q_lsh_incremental",
     "q_crawl_bfs",
 ]
 

@@ -70,15 +70,17 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return df.select(F.col(id_col), *sigs)
 
 
-def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
-                 k: int, bands: int) -> DataFrame:
-    """(band_id, band_key) -> sorted id array. ONE shuffle on a 2-col
-    key and one computation of the signatures, where a self equi-join
-    would execute the whole MinHash pipeline twice (once per join side)
-    and shuffle it both times."""
+def lsh_banded(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 8,
+               bands: int = 4) -> DataFrame:
+    """(id, band_id, band_key): the flat LSH index rows — `bands` rows
+    per document, band_key = its band's signature slice. This is the
+    PERSISTABLE form (write it partitioned/bucketed by (band_id,
+    band_key)): tomorrow's delta crawl probes it with an equi-join
+    instead of re-signing the whole corpus (lsh_incremental_pairs)."""
     rows_per_band = k // bands
     sig = minhash_signature(df, text_col, id_col, k)
-    banded = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -92,8 +94,69 @@ def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
             ])
         ).alias("bk"),
     ).select(id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+
+
+def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
+                 k: int, bands: int) -> DataFrame:
+    """(band_id, band_key) -> sorted id array. ONE shuffle on a 2-col
+    key and one computation of the signatures, where a self equi-join
+    would execute the whole MinHash pipeline twice (once per join side)
+    and shuffle it both times."""
+    banded = lsh_banded(df, text_col, id_col, k, bands)
     return banded.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+
+
+def lsh_incremental_pairs(
+    base: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates BETWEEN a stored base corpus and a delta
+    crawl — the daily-ingest shape: history is NEVER re-paired against
+    itself (that work happened when history was the delta), only the
+    new documents probe the index.
+
+    `base` is either a corpus (text column -> banded here) or an
+    ALREADY-PERSISTED lsh_banded index (detected by its band_id/
+    band_key columns) — the 100 TB path, where the index is written
+    once, partitioned by (band_id, band_key), and each day's probe
+    join prunes to the delta's buckets.
+
+    Returns (base_id, delta_id, band_id) — band_id = the lowest band
+    where the pair collided. A document present on both sides (a
+    recrawl) never pairs with itself.
+
+    max_bucket: skip probes into base buckets larger than this —
+    mega-buckets are exact-dup families that exact dedup collapses
+    cheaper (same audit reasoning as lsh_candidate_pairs; count the
+    skips via the returned plan's complement if needed).
+    """
+    if {"band_id", "band_key"}.issubset(set(base.columns)):
+        base_b = base.select(
+            F.col(id_col).alias("base_id"), "band_id", "band_key")
+    else:
+        base_b = lsh_banded(base, text_col, id_col, k, bands).select(
+            F.col(id_col).alias("base_id"), "band_id", "band_key")
+    delta_b = lsh_banded(delta, text_col, id_col, k, bands).select(
+        F.col(id_col).alias("delta_id"), "band_id", "band_key")
+    if max_bucket is not None:
+        sizes = base_b.groupBy("band_id", "band_key").agg(
+            F.count("*").alias("_bn"))
+        base_b = base_b.join(
+            sizes.where(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["band_id", "band_key"],
+        )
+    joined = base_b.join(delta_b, ["band_id", "band_key"]).where(
+        F.col("base_id") != F.col("delta_id")
+    )
+    return joined.groupBy("base_id", "delta_id").agg(
+        F.min("band_id").cast("long").alias("band_id")
     )
 
 

@@ -6229,3 +6229,37 @@ def q_compliance_audit(spark, sf_dir):
         "host string, delay_s double",
     )
     return compliance_audit(log, delays)
+
+
+@_register(
+    "q_lsh_incremental",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, {_MH_SQL_COLS}
+      FROM (SELECT doc_id,
+                   list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             t -> t <> '')) AS toks
+            FROM documents)),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig)
+    SELECT a.doc_id AS base_id, b.doc_id AS delta_id,
+           min(a.band_id)::BIGINT AS band_id
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+    WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+    GROUP BY 1, 2
+    """,
+)
+def q_lsh_incremental(spark, sf_dir):
+    """operators/dedup.lsh_banded + lsh_incremental_pairs — delta-vs-
+    base near-dup probing: docs with id % 4 == 0 play the daily delta,
+    the rest the stored index (fed here in its persisted banded form,
+    exercising the index-probe path). History never re-pairs against
+    itself; pairs dedupe to their lowest colliding band."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+    index = DD.lsh_banded(base, k=_MINHASH_K, bands=2)
+    return DD.lsh_incremental_pairs(index, delta, k=_MINHASH_K, bands=2)

@@ -443,3 +443,63 @@ class TestCollocations:
                  collocations(d, min_count=2, k=10).collect()}
         assert "rare pair" not in grams
         assert "common common" in grams
+
+
+class TestIncrementalLSH:
+    DOCS = [
+        (1, "spark joins shuffle data across the cluster nodes"),
+        (2, "spark joins shuffle data across the cluster nodes"),  # dup of 1
+        (3, "an entirely different document about web crawling"),
+        (4, "spark joins shuffle data across the cluster nodes"),  # delta dup
+        (8, "an entirely different document about web crawling"),  # delta dup of 3
+        (12, "fresh unique delta content with no historical twin"),
+    ]
+
+    def _split(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return (df.where(F.col("doc_id") % 4 != 0),
+                df.where(F.col("doc_id") % 4 == 0))
+
+    def test_probe_matches_and_base_never_self_pairs(self, spark):
+        from cloud_crawler_spark.operators.dedup import lsh_incremental_pairs
+
+        base, delta = self._split(spark)
+        got = {(r.base_id, r.delta_id)
+               for r in lsh_incremental_pairs(base, delta, k=8,
+                                              bands=2).collect()}
+        # each delta dup finds its base twins; base pair (1,2) absent
+        assert (1, 4) in got and (2, 4) in got and (3, 8) in got
+        assert all(b % 4 != 0 and d % 4 == 0 for b, d in got)
+        assert not any(d == 12 for _, d in got)  # unique delta: no match
+
+    def test_prebuilt_index_equals_corpus_base(self, spark):
+        from cloud_crawler_spark.operators.dedup import (
+            lsh_banded, lsh_incremental_pairs,
+        )
+
+        base, delta = self._split(spark)
+        via_corpus = sorted(
+            (r.base_id, r.delta_id, r.band_id)
+            for r in lsh_incremental_pairs(base, delta, k=8,
+                                           bands=2).collect())
+        idx = lsh_banded(base, k=8, bands=2)
+        via_index = sorted(
+            (r.base_id, r.delta_id, r.band_id)
+            for r in lsh_incremental_pairs(idx, delta, k=8,
+                                           bands=2).collect())
+        assert via_corpus == via_index
+
+    def test_max_bucket_skips_mega_buckets(self, spark):
+        from cloud_crawler_spark.operators.dedup import lsh_incremental_pairs
+
+        # base: 5 identical docs (one mega bucket); delta: one more copy
+        base = spark.createDataFrame(
+            [(i, "same exact text every time") for i in (1, 2, 3, 5, 6)],
+            "doc_id long, text string")
+        delta = spark.createDataFrame(
+            [(100, "same exact text every time")], "doc_id long, text string")
+        full = lsh_incremental_pairs(base, delta, k=8, bands=2).collect()
+        assert len(full) == 5
+        capped = lsh_incremental_pairs(base, delta, k=8, bands=2,
+                                       max_bucket=3).collect()
+        assert capped == []
