@@ -147,6 +147,41 @@ hosted = out.withColumn(
     "host", F.concat(F.lit("h"), F.col("doc_id") % 7))
 div = host_concentration(hosted, weight_col="n_chars").collect()[0]
 
+# 12. sketch audits (bounded-state, mergeable — the per-dump numbers
+#     a 100 TB pipeline logs without a distinct shuffle): heavy-hitter
+#     boilerplate phrases via count-min, distinct-URL-per-host via HLL
+from cloud_crawler_spark.operators.sketches import cms_heavy_hitters, hll_distinct
+
+toks = out.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")) \
+          .where(F.col("tok") != "")
+hh = cms_heavy_hitters(toks, "tok", threshold=max(out.count(), 10), w=2048)
+print("heavy-hitter tokens (cms est >= n_docs):", hh.count())
+urls = hosted.select("host",
+                     F.concat(F.lit("https://"), F.col("host"),
+                              F.lit("/"), F.col("doc_id")).alias("url"))
+hll = hll_distinct(urls, "url", "host")
+print("per-host distinct-URL estimates:",
+      sorted((r.host, round(r.est)) for r in hll.collect())[:3], "...")
+
+# 13. final subset election, two deterministic samplers:
+#     quality-weighted (Efraimidis-Spirakis, weight = n_chars) and
+#     embedding-diversity (cluster-then-cap with sqrt quotas)
+from cloud_crawler_spark.operators.sampling import (
+    cluster_balanced_sample, weighted_sample,
+)
+
+wsub = weighted_sample(out.select("doc_id", "n_chars"), "n_chars",
+                       k=min(100, out.count()))
+print("weighted subset:", wsub.count(), "docs")
+dsub = cluster_balanced_sample(
+    emb.withColumn("embedding",
+                   F.transform("embedding", lambda x: x.cast("double"))),
+    total_target=100, n_lists=8, n_iters=0,
+    vec_col="embedding", id_col="vec_id")
+print("diversity subset per cluster:",
+      sorted(r["cnt"] for r in dsub.groupBy("list_id").agg(
+          F.count("*").alias("cnt")).collect()))
+
 print("surviving docs:", out.count())
 print("vectorized:", vecs.where(F.col("n_tokens") > 0).count())
 print("pq codes:", codes.count(), "(4 per vector)")
