@@ -93,7 +93,14 @@ def lsh_banded(df: DataFrame, text_col: str = "text",
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select(id_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    ).select(
+        id_col, F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key")
+    ).where(F.col("band_key") != "")
+    # ^ empty-token documents have NULL minhashes and concat_ws would
+    # fold them all into band_key "" — a spurious mega-bucket the SQL
+    # oracle's NULL-propagating || never builds. No tokens => no
+    # signature => no bands; exact dedup collapses empty docs anyway.
 
 
 def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,

@@ -801,7 +801,10 @@ def mine_bitext(
         F.transform(vec_col, lambda x: x.cast("double")).alias("tv"),
     ).withColumn("tn", _norm(F.col("tv")))
     if n_tables > 0:
-        def banded(df, idc, vc):
+        def banded(df, idc, vc, nc):
+            # the norm column rides along through the explode — one
+            # projection, no re-derivation of the side and no extra
+            # id equi-join per side
             tables = F.array(*[
                 F.struct(
                     F.lit(i).alias("tbl"),
@@ -812,14 +815,12 @@ def mine_bitext(
                 )
                 for i in range(n_tables)
             ])
-            return df.select(idc, vc, F.explode(tables).alias("b")).select(
-                idc, vc, F.col("b.tbl").alias("tbl"),
+            return df.select(idc, vc, nc, F.explode(tables).alias("b")).select(
+                idc, vc, nc, F.col("b.tbl").alias("tbl"),
                 F.col("b.bucket").alias("bucket"),
             )
-        sb = banded(s, "src_id", "sv").join(
-            s.select("src_id", "sn"), "src_id")
-        tb = banded(t, "tgt_id", "tv").join(
-            t.select("tgt_id", "tn"), "tgt_id")
+        sb = banded(s, "src_id", "sv", "sn")
+        tb = banded(t, "tgt_id", "tv", "tn")
         # distinct on ids only (a pair can collide in several tables);
         # vectors ride along via min(struct) so no second fetch join
         cand = (

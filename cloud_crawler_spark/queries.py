@@ -6209,10 +6209,12 @@ def q_url_equivalence(spark, sf_dir):
 def q_compliance_audit(spark, sf_dir):
     """operators/politeness.compliance_audit — per-host inter-fetch
     gaps vs declared Crawl-delay over a synthetic fetch log: five
-    hosts with dyadic-rational gap cadences (0.4 + 0.3*h per slot), two
-    carrying explicit delays, the rest on the 1.0 default — hosts h0/h1
-    comply, slower-delay hosts accumulate violations. Lag-window gaps
-    + one groupBy; all arithmetic exact dyadic doubles."""
+    hosts with fixed gap cadences (0.4 + 0.3*h per slot), two carrying
+    explicit delays, the rest on the 1.0 default. h0 (gap 0.4 < delay
+    0.5) and h1 (0.7 < 0.75) violate on every gap; the default-delay
+    hosts (gaps 1.0/1.3/1.6 vs 1.0) comply — both estimator branches
+    and both verdicts exercised. Lag-window gaps + one groupBy; exact
+    binary-fraction arithmetic on the comparisons that matter."""
     from cloud_crawler_spark.operators.politeness import compliance_audit
 
     ev = _t(spark, sf_dir, "events")

@@ -31,6 +31,14 @@ from cloud_crawler_spark.sources.corpus import Corpus
 _ITEM_RE = r"(?s)<item[\s>].*?</item>"
 _ENTRY_RE = r"(?s)<entry[\s>].*?</entry>"
 _RSS_LINK_RE = r"(?s)<link>\s*(.*?)\s*</link>"
+# Atom entry links in preference order (RFC 4287: no rel implies
+# alternate): explicit rel="alternate" (either attribute order), a
+# rel-less link, then any link as a last resort (an entry carrying
+# only rel="self" still yields its one URL). Java-regex lookahead is
+# fine here — only Spark runs these; the oracle plants its fields.
+_ATOM_ALT_A = r'(?s)<link[^>]*rel="alternate"[^>]*href="([^"]*)"'
+_ATOM_ALT_B = r'(?s)<link[^>]*href="([^"]*)"[^>]*rel="alternate"'
+_ATOM_NOREL = r'(?s)<link(?![^>]*rel=")[^>]*href="([^"]*)"'
 _ATOM_LINK_RE = r'(?s)<link[^>]*href="([^"]*)"'
 _TITLE_RE = r"(?s)<title[^>]*>\s*(.*?)\s*</title>"
 _RSS_DATE_RE = r"(?s)<pubDate>\s*(.*?)\s*</pubDate>"
@@ -63,12 +71,14 @@ def extract_feed_entries(pages: DataFrame, url_col: str = "url",
     block_re = F.when(is_atom, F.lit(_ENTRY_RE)).otherwise(F.lit(_ITEM_RE))
     link_re = F.when(is_atom, F.lit(_ATOM_LINK_RE)).otherwise(
         F.lit(_RSS_LINK_RE))
+    alt_a = F.when(is_atom, F.lit(_ATOM_ALT_A)).otherwise(F.lit(_RSS_LINK_RE))
+    alt_b = F.when(is_atom, F.lit(_ATOM_ALT_B)).otherwise(F.lit(_RSS_LINK_RE))
+    norel = F.when(is_atom, F.lit(_ATOM_NOREL)).otherwise(F.lit(_RSS_LINK_RE))
     date_re = F.when(is_atom, F.lit(_ATOM_DATE_RE)).otherwise(
         F.lit(_RSS_DATE_RE))
-    nxt = F.nullif(
-        F.coalesce(F.regexp_extract(body, _NEXT_A, 1),
-                   F.regexp_extract(body, _NEXT_B, 1)),
-        F.lit(""),
+    nxt = F.coalesce(
+        F.nullif(F.regexp_extract(body, _NEXT_A, 1), F.lit("")),
+        F.nullif(F.regexp_extract(body, _NEXT_B, 1), F.lit("")),
     )
     blocks = pages.select(
         F.col(url_col).alias("feed_url"),
@@ -76,13 +86,21 @@ def extract_feed_entries(pages: DataFrame, url_col: str = "url",
         nxt.alias("_next"),
         F.explode(F.regexp_extract_all(body, block_re, 0)).alias("_block"),
         link_re.alias("_link_re"),
+        alt_a.alias("_alt_a"),
+        alt_b.alias("_alt_b"),
+        norel.alias("_norel"),
         date_re.alias("_date_re"),
     )
     b = F.col("_block")
     # the pattern operand is a per-row column (rss vs atom): the
     # python wrapper of regexp_extract insists on a str pattern, so
     # go through expr() — the SQL function accepts column patterns
-    link = F.expr("regexp_extract(_block, _link_re, 1)")
+    link = F.coalesce(
+        F.nullif(F.expr("regexp_extract(_block, _alt_a, 1)"), F.lit("")),
+        F.nullif(F.expr("regexp_extract(_block, _alt_b, 1)"), F.lit("")),
+        F.nullif(F.expr("regexp_extract(_block, _norel, 1)"), F.lit("")),
+        F.expr("regexp_extract(_block, _link_re, 1)"),
+    )
     published = F.expr("regexp_extract(_block, _date_re, 1)")
     return (
         blocks.select(

@@ -103,13 +103,21 @@ class FrontierStore:
         self._commit_manifest(m)
 
     def commit_seed(self, frontier: DataFrame, seen: DataFrame) -> None:
-        """Round -1: the seeded frontier (before any fetch)."""
+        """Round -1: the seeded frontier (before any fetch). Re-seeding
+        an existing store starts a FRESH crawl: the manifest drops any
+        compaction entry (else readers would serve the previous
+        crawl's compacted rounds) and stale compacted dirs go away."""
         self._write(frontier, "frontier", -1)
         self._write(seen, "seen", -1)
         m = self.manifest()
         m["rounds"] = [{"round": -1}]
         m["committed_round"] = -1
+        m.pop("compaction", None)
         self._commit_manifest(m)
+        for table in ("seen", "crawled", "lineage"):
+            croot = os.path.join(self.base, f"{table}_compact")
+            if os.path.exists(croot):
+                shutil.rmtree(croot)
 
     # ------------------------------------------------------------ readers
     def frontier(self, rnd: int | None = None) -> DataFrame:
@@ -129,82 +137,61 @@ class FrontierStore:
         cleanup) are ignored, never double-counted."""
         return (comp["upto"] + 1) if comp else None  # type: ignore[return-value]
 
+    def _read_with_compaction(self, table: str, upto: int,
+                              floor: int) -> DataFrame | None:
+        """Union of `table`'s compacted snapshot (rows filtered to
+        round <= upto) and the per-round delta dirs newer than the
+        compaction. Rounds covered by the compaction are read from it
+        ONLY — leftover delta dirs (a crash between manifest flip and
+        cleanup) are ignored, never double-counted. Returns None when
+        the table has no data at all."""
+        comp = self._compaction()
+        frames = []
+        start = floor
+        if comp is not None:
+            cpath = self._compact_path(table, comp["gen"])
+            if os.path.exists(cpath):
+                cdf = self.spark.read.parquet(cpath)
+                frames.append(cdf.where(F.col("round") <= upto))
+            start = max(floor, comp["upto"] + 1)
+        paths = [
+            self._p(table, r)
+            for r in range(start, upto + 1)
+            if os.path.exists(self._p(table, r))
+        ]
+        if paths:
+            raw = self.spark.read.parquet(*paths)
+            if frames:  # align schemas: deltas lack the round column
+                raw = raw.select(*[c for c in frames[0].columns
+                                   if c in raw.columns])
+                frames = [f.select(raw.columns) for f in frames]
+            frames.append(raw)
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def seen(self, upto: int | None = None) -> DataFrame:
         """Union of seen deltas for all committed rounds <= upto."""
         upto = self.committed_round() if upto is None else upto
-        comp = self._compaction()
-        frames = []
-        start = -1
-        if comp is not None:
-            cpath = self._compact_path("seen", comp["gen"])
-            if os.path.exists(cpath):
-                cdf = self.spark.read.parquet(cpath)
-                frames.append(
-                    cdf.where(F.col("round") <= upto).select("canon_url")
-                )
-            start = comp["upto"] + 1
-        paths = [
-            self._p("seen", r)
-            for r in range(start, upto + 1)
-            if os.path.exists(self._p("seen", r))
-        ]
-        if paths:
-            frames.append(self.spark.read.parquet(*paths).select("canon_url"))
-        if not frames:
+        out = self._read_with_compaction("seen", upto, -1)
+        if out is None:
             return self.spark.createDataFrame([], SEEN_SCHEMA)
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
+        return out.select("canon_url")
 
     def crawled(self, upto: int | None = None) -> DataFrame:
         upto = self.committed_round() if upto is None else upto
-        comp = self._compaction()
-        frames = []
-        start = 0
-        if comp is not None:
-            cpath = self._compact_path("crawled", comp["gen"])
-            if os.path.exists(cpath):
-                cdf = self.spark.read.parquet(cpath)
-                frames.append(cdf.where(F.col("round") <= upto))
-            start = max(0, comp["upto"] + 1)
-        paths = [
-            self._p("crawled", r)
-            for r in range(start, upto + 1)
-            if os.path.exists(self._p("crawled", r))
-        ]
-        if paths:
-            frames.append(self.spark.read.parquet(*paths))
-        if not frames:
+        out = self._read_with_compaction("crawled", upto, 0)
+        if out is None:
             raise FileNotFoundError("no crawled rounds committed")
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
         return out
 
     def lineage(self) -> DataFrame:
-        upto = self.committed_round()
-        comp = self._compaction()
-        frames = []
-        start = 0
-        if comp is not None:
-            cpath = self._compact_path("lineage", comp["gen"])
-            if os.path.exists(cpath):
-                cdf = self.spark.read.parquet(cpath)
-                frames.append(cdf.where(F.col("round") <= upto))
-            start = max(0, comp["upto"] + 1)
-        paths = [
-            self._p("lineage", r)
-            for r in range(start, upto + 1)
-            if os.path.exists(self._p("lineage", r))
-        ]
-        if paths:
-            frames.append(self.spark.read.parquet(*paths))
-        if not frames:
+        out = self._read_with_compaction("lineage", self.committed_round(), 0)
+        if out is None:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
         return out
 
     # ------------------------------------------------------------ compaction
@@ -290,11 +277,15 @@ class FrontierStore:
                 if os.path.exists(p):
                     shutil.rmtree(p)
                     removed += 1
-            if prev is not None:
-                oldp = self._compact_path(table, prev["gen"])
-                if os.path.exists(oldp):
-                    shutil.rmtree(oldp)
-                    removed += 1
+            # every generation below the committed one goes — incl.
+            # pre-previous gens a crash between a past manifest flip
+            # and its cleanup left behind
+            croot = os.path.join(self.base, f"{table}_compact")
+            if os.path.isdir(croot):
+                for d in os.listdir(croot):
+                    if d.startswith("gen=") and int(d[4:]) < gen:
+                        shutil.rmtree(os.path.join(croot, d))
+                        removed += 1
         return {"gen": gen, "upto": upto, "removed_dirs": removed}
 
     # ------------------------------------------------------------ doc store

@@ -113,3 +113,54 @@ class TestFeeds:
         corpus = _feed_corpus(spark)
         seeds = feed_seeds(spark, corpus, ["http://nowhere.example/feed"])
         assert seeds.count() == 0
+
+
+class TestFeedEdgeCases:
+    def test_next_href_before_rel(self, spark):
+        from cloud_crawler_spark.sources.feeds import extract_feed_entries
+
+        body = (
+            "<rss><channel>"
+            f'<atom:link href="{_U}/feed.xml?page=2" rel="next"/>'
+            f"<item><link>{_U}/0</link></item>"
+            "</channel></rss>"
+        )
+        pages = spark.createDataFrame([(f"{_U}/feed.xml", body)],
+                                      "url string, html string")
+        [row] = extract_feed_entries(pages).collect()
+        assert row.next_url == f"{_U}/feed.xml?page=2"
+
+    def test_atom_prefers_alternate_over_self(self, spark):
+        from cloud_crawler_spark.sources.feeds import extract_feed_entries
+
+        body = (
+            "<feed>"
+            f'<entry><link rel="self" href="{_U}/api/1.atom"/>'
+            f'<link rel="alternate" href="{_U}/post/1"/></entry>'
+            f'<entry><link rel="self" href="{_U}/api/2.atom"/>'
+            f'<link href="{_U}/post/2"/></entry>'     # rel-less = alternate
+            f'<entry><link rel="self" href="{_U}/api/3.atom"/></entry>'
+            "</feed>"
+        )
+        pages = spark.createDataFrame([(f"{_U}/atom.xml", body)],
+                                      "url string, html string")
+        links = sorted(r.link for r in extract_feed_entries(pages).collect())
+        # alternate beats self; rel-less beats self; self-only kept
+        assert links == [f"{_U}/api/3.atom", f"{_U}/post/1", f"{_U}/post/2"]
+
+
+def test_lsh_banded_drops_empty_docs(spark):
+    from cloud_crawler_spark.operators.dedup import (
+        lsh_banded, lsh_candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real tokens here"),
+         (4, "real tokens here")],
+        "doc_id long, text string")
+    banded = lsh_banded(df, k=8, bands=2)
+    # empty/whitespace docs have no signature -> no band rows
+    assert {r.doc_id for r in banded.collect()} == {3, 4}
+    pairs = {(r.doc_a, r.doc_b)
+             for r in lsh_candidate_pairs(df, k=8, bands=2).collect()}
+    assert pairs == {(3, 4)}  # no spurious empty-bucket pair (1,2)

@@ -183,3 +183,29 @@ def test_compact_incremental_generations(spark, tmp_path):
     import os
     assert not os.path.exists(
         os.path.join(store_dir, "seen_compact", "gen=0"))
+
+
+def test_reseed_after_compact_starts_fresh(spark, tmp_path):
+    """Re-seeding a compacted store must NOT serve the previous
+    crawl's compacted state (review finding: the stale manifest
+    compaction entry made seen() return the old crawl's URLs)."""
+    corpus = make_corpus(spark, GRAPH)
+    store_dir = str(tmp_path / "c4")
+    store = FrontierStore(spark, store_dir)
+    Crawler(spark, corpus, CrawlConfig(), store).run(make_seeds(spark, SEEDS))
+    store.compact()
+    old_seen = set(_seen_set(store.seen()))
+    assert len(old_seen) == 6  # full crawl of the 6-page graph
+
+    # fresh crawl in the same directory, seeded at the 2-subtree only
+    store2 = FrontierStore(spark, store_dir)
+    res = Crawler(spark, corpus, CrawlConfig(), store2).run(
+        make_seeds(spark, ["http://www.example.com/2"]))
+    from tests.helpers import crawled_names
+    assert crawled_names(res) == {"2", "5"}
+
+    got = set(_seen_set(store2.seen()))
+    # exactly the new crawl's seen set — nothing from the old crawl
+    assert got == {u for u in got if u.rstrip("/").endswith(("/2", "/5"))}
+    assert len(got) == 2
+    assert "compaction" not in store2.manifest()
