@@ -109,6 +109,7 @@ HEADLINE = [
     "q_url_equivalence",
     "q_compliance_audit",
     "q_lsh_incremental",
+    "q_key_skew",
     "q_crawl_bfs",
 ]
 

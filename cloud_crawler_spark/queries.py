@@ -6265,3 +6265,42 @@ def q_lsh_incremental(spark, sf_dir):
     delta = docs.where(F.col("doc_id") % 4 == 0)
     index = DD.lsh_banded(base, k=_MINHASH_K, bands=2)
     return DD.lsh_incremental_pairs(index, delta, k=_MINHASH_K, bands=2)
+
+
+@_register(
+    "q_key_skew",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot.example'
+                  ELSE 'h' || (doc_id % 31) || '.example' END AS key
+      FROM documents),
+    freq AS (SELECT key, count(*)::BIGINT AS cnt FROM keyed GROUP BY key),
+    tot AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS d FROM freq),
+    ranked AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key) AS rk
+      FROM freq)
+    SELECT key, cnt,
+           (1000000 * cnt) // n AS share_ppm,
+           (cnt * d) // n AS skew_x,
+           ceil(cnt / 200.0)::BIGINT AS salt_buckets,
+           n AS n_total, d AS n_distinct
+    FROM ranked, tot WHERE rk <= 8
+    """,
+)
+def q_key_skew(spark, sf_dir):
+    """operators/skew.key_skew — hot-key audit over a half-hot host
+    distribution (one host holds 50% of rows, 31 cold hosts split the
+    rest): top-8 keys with exact-BIGINT ppm shares, skew multiples and
+    the ceil-division salt factor against a 200-row target bucket.
+    The numbers politeness salting and LSH max_bucket are tuned by."""
+    from cloud_crawler_spark.operators.skew import key_skew
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    keyed = docs.select(
+        F.when(d % 2 == 0, F.lit("hot.example"))
+        .otherwise(F.concat(F.lit("h"), (d % 31).cast("string"),
+                            F.lit(".example"))).alias("host")
+    )
+    return key_skew(keyed, "host", k=8, target_per_bucket=200)
