@@ -94,6 +94,20 @@ def _headers_to_hash(msg) -> dict:
     return out
 
 
+def _maybe_gunzip(body: Optional[bytes], encoding: Optional[str]) -> Optional[bytes]:
+    """Transparently decompress a gzip response body. The stored page
+    bytes are ALWAYS the decoded document (the byte-identical
+    extracted-text contract applies to content, not transfer coding);
+    the headers hash keeps Content-Encoding as received. A corrupt
+    gzip stream raises — surfaced as a fetch error into the retry
+    loop, like any truncated read."""
+    if body and encoding and encoding.strip().lower() == "gzip":
+        import gzip
+
+        return gzip.decompress(body)
+    return body
+
+
 class UrllibTransport:
     """Default real-network transport: one urllib opener per instance
     (instantiated once per partition => keep-alive/session reuse along
@@ -106,7 +120,8 @@ class UrllibTransport:
     default env-based proxy resolution applies."""
 
     def __init__(self, timeout: float = 30.0, user_agent: str = "cloud-crawler-spark",
-                 proxy_host: Optional[str] = None, proxy_port: Optional[int] = None):
+                 proxy_host: Optional[str] = None, proxy_port: Optional[int] = None,
+                 accept_gzip: bool = True):
         import urllib.request
 
         class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -115,6 +130,7 @@ class UrllibTransport:
 
         self.timeout = timeout
         self.user_agent = user_agent
+        self.accept_gzip = accept_gzip
         handlers: list = [_NoRedirect()]
         if proxy_host:
             proxy = f"http://{proxy_host}:{proxy_port or 8080}"
@@ -129,6 +145,10 @@ class UrllibTransport:
         import urllib.request
 
         hdrs = {"User-Agent": self.user_agent}
+        if self.accept_gzip:
+            # html compresses ~5x; urllib sends no Accept-Encoding by
+            # default, so every transfer would be identity-encoded
+            hdrs["Accept-Encoding"] = "gzip"
         if referer:
             hdrs["Referer"] = referer
         if headers:
@@ -137,7 +157,8 @@ class UrllibTransport:
         t0 = time.monotonic()
         try:
             resp = self.opener.open(req, timeout=self.timeout)
-            body = resp.read()
+            body = _maybe_gunzip(resp.read(),
+                                 resp.headers.get("Content-Encoding"))
             ms = int((time.monotonic() - t0) * 1000)
             return FetchResponse(
                 code=resp.getcode(),
@@ -151,7 +172,8 @@ class UrllibTransport:
             ms = int((time.monotonic() - t0) * 1000)
             return FetchResponse(
                 code=e.code,
-                body=e.read() if e.code not in range(300, 400) else None,
+                body=_maybe_gunzip(e.read(), e.headers.get("Content-Encoding"))
+                if e.code not in range(300, 400) else None,
                 content_type=(e.headers.get("Content-Type") or "").split(";")[0] or None,
                 redirect_to=e.headers.get("Location"),
                 response_time=ms,

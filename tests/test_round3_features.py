@@ -700,3 +700,62 @@ class TestChunkDocuments:
         with _pt.raises(ValueError):
             chunk_documents(self._docs(spark, [(0, "x")]),
                             chunk_tokens=4, overlap=4)
+
+
+# ------------------------------------------------------------ gzip
+
+
+class TestGzipTransfer:
+    def test_maybe_gunzip(self):
+        import gzip
+
+        from cloud_crawler_spark.sources.http_fetch import _maybe_gunzip
+
+        raw = b"<html>hello compressed world</html>"
+        gz = gzip.compress(raw)
+        assert _maybe_gunzip(gz, "gzip") == raw
+        assert _maybe_gunzip(gz, " GZIP ") == raw   # header case/space
+        assert _maybe_gunzip(raw, None) == raw      # identity untouched
+        assert _maybe_gunzip(raw, "identity") == raw
+        assert _maybe_gunzip(None, "gzip") is None
+        import pytest as _pt
+        with _pt.raises(Exception):
+            _maybe_gunzip(b"not gzip at all", "gzip")
+
+    def test_live_roundtrip_via_local_server(self):
+        """A localhost server negotiating gzip: the transport must
+        advertise Accept-Encoding: gzip and store DECODED bytes."""
+        import gzip
+        import http.server
+        import threading
+
+        raw = b"<html><body>" + b"spark " * 200 + b"</body></html>"
+        seen_headers = {}
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                seen_headers.update(self.headers.items())
+                body = gzip.compress(raw)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            tr = UrllibTransport(timeout=10)
+            resp = tr(f"http://127.0.0.1:{srv.server_port}/x", None)
+            assert resp.code == 200
+            assert resp.body == raw  # decoded, not the gzip bytes
+            assert seen_headers.get("Accept-Encoding") == "gzip"
+            # headers hash keeps the transfer coding as received
+            assert resp.headers.get("content-encoding") == ["gzip"]
+        finally:
+            srv.shutdown()
