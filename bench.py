@@ -110,6 +110,7 @@ HEADLINE = [
     "q_compliance_audit",
     "q_lsh_incremental",
     "q_key_skew",
+    "q_feed_discovery",
     "q_crawl_bfs",
 ]
 

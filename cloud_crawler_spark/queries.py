@@ -6304,3 +6304,57 @@ def q_key_skew(spark, sf_dir):
                             F.lit(".example"))).alias("host")
     )
     return key_skew(keyed, "host", k=8, target_per_bucket=200)
+
+
+@_register(
+    "q_feed_discovery",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             'http://h' || (doc_id % 6) || '.ex.com' AS h,
+             'http://h' || (doc_id % 6) || '.ex.com/page' || doc_id AS page_url
+      FROM documents),
+    rss AS (
+      SELECT page_url, h || '/feed' || doc_id || '.xml' AS feed_url,
+             'rss' AS feed_type
+      FROM base WHERE doc_id % 3 <> 2),
+    atom AS (
+      SELECT page_url, h || '/atom' || doc_id || '.xml' AS feed_url,
+             'atom' AS feed_type
+      FROM base WHERE doc_id % 2 = 1)
+    SELECT * FROM rss UNION ALL SELECT * FROM atom
+    """,
+)
+def q_feed_discovery(spark, sf_dir):
+    """sources/feeds.discover_feeds — feed auto-discovery over
+    synthesized page heads: most pages advertise an RSS feed with a
+    RELATIVE href (type-before-href), odd pages also an absolute Atom
+    feed with href-before-type (both attribute orders exercised), a
+    stylesheet <link> as negative control. The oracle regenerates
+    every planted (page, feed, type) row; absolutization must resolve
+    the relative href against the page's host."""
+    from cloud_crawler_spark.sources.feeds import discover_feeds
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    h = F.concat(F.lit("http://h"), s(d % 6), F.lit(".ex.com"))
+    page_url = F.concat(h, F.lit("/page"), s(d))
+    rss_link = F.when(
+        d % 3 != 2,
+        F.concat(F.lit('<link rel="alternate" type="application/rss+xml" '
+                       'href="/feed'), s(d), F.lit('.xml"/>')),
+    ).otherwise(F.lit(""))
+    atom_link = F.when(
+        d % 2 == 1,
+        F.concat(F.lit('<link rel="alternate" href="'), h,
+                 F.lit("/atom"), s(d),
+                 F.lit('.xml" type="application/atom+xml"/>')),
+    ).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/style.css"/>'),
+        rss_link, atom_link,
+        F.lit("</head><body>content</body></html>"),
+    )
+    pages = docs.select(page_url.alias("url"), body.alias("html"))
+    return discover_feeds(pages)

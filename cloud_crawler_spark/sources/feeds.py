@@ -170,3 +170,56 @@ def feed_seeds(
     return seeds.distinct().select(
         F.col("link").alias("url"), F.lit(priority).alias("priority")
     )
+
+
+# ------------------------------------------------------ auto-discovery
+
+# <link rel="alternate" type="application/rss+xml" href=...> in page
+# heads — the standard discovery channel; attributes appear in any
+# order, so probe type-then-href and href-then-type
+_DISC_A = (r'(?s)<link[^>]*type="application/(rss|atom)\+xml"'
+           r'[^>]*href="([^"]*)"')
+_DISC_B = (r'(?s)<link[^>]*href="([^"]*)"[^>]*'
+           r'type="application/(rss|atom)\+xml"')
+
+
+def discover_feeds(pages: DataFrame, url_col: str = "url",
+                   body_col: str = "html") -> DataFrame:
+    """Feed auto-discovery over ordinary crawled pages: one row per
+    advertised feed — (page_url, feed_url, feed_type rss|atom), the
+    feed_url absolutized against the page (relative hrefs are the
+    common case: ``href="/feed.xml"``).
+
+    The crawl-composition: run this over each round's crawled pages,
+    anti-join against feeds already known, and hand the fresh ones to
+    feed_seeds — the crawler then tracks sites' syndication channels
+    without any out-of-band feed list.
+
+    Scale shape: two codegen regexp_extract_all passes + explode (no
+    XML lib, no Python in the match); absolutization is the same
+    Arrow-batched canon UDF every link in the engine goes through."""
+    from cloud_crawler_spark.functions.canon import absolutize_udf
+
+    body = F.col(body_col).cast("string")
+    hits_a = F.arrays_zip(
+        F.regexp_extract_all(body, F.lit(_DISC_A), 1).alias("kind"),
+        F.regexp_extract_all(body, F.lit(_DISC_A), 2).alias("href"),
+    )
+    hits_b = F.arrays_zip(
+        F.regexp_extract_all(body, F.lit(_DISC_B), 2).alias("kind"),
+        F.regexp_extract_all(body, F.lit(_DISC_B), 1).alias("href"),
+    )
+    exploded = pages.select(
+        F.col(url_col).alias("page_url"),
+        F.explode(F.concat(hits_a, hits_b)).alias("h"),
+    ).select(
+        "page_url",
+        F.col("h.kind").alias("feed_type"),
+        _unescape_xml(F.col("h.href")).alias("_href"),
+    ).where(F.col("_href") != "")
+    return exploded.select(
+        "page_url",
+        absolutize_udf(F.col("_href"), F.col("page_url"),
+                       F.lit(None).cast("string")).alias("feed_url"),
+        "feed_type",
+    ).distinct()

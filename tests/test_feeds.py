@@ -164,3 +164,43 @@ def test_lsh_banded_drops_empty_docs(spark):
     pairs = {(r.doc_a, r.doc_b)
              for r in lsh_candidate_pairs(df, k=8, bands=2).collect()}
     assert pairs == {(3, 4)}  # no spurious empty-bucket pair (1,2)
+
+
+class TestFeedDiscovery:
+    def test_discovers_and_absolutizes(self, spark):
+        from cloud_crawler_spark.sources.feeds import discover_feeds
+
+        body = (
+            '<html><head>'
+            '<link rel="stylesheet" href="/style.css"/>'
+            f'<link rel="alternate" type="application/rss+xml" '
+            f'href="/feed.xml" title="RSS"/>'
+            f'<link rel="alternate" href="{_U}/atom.xml" '
+            f'type="application/atom+xml"/>'
+            '</head><body/></html>'
+        )
+        pages = spark.createDataFrame([(f"{_U}/blog/post", body)],
+                                      "url string, html string")
+        got = {(r.feed_url, r.feed_type)
+               for r in discover_feeds(pages).collect()}
+        assert got == {(f"{_U}/feed.xml", "rss"),
+                       (f"{_U}/atom.xml", "atom")}
+
+    def test_composes_with_feed_seeds(self, spark):
+        """The crawl composition: discover feeds on crawled pages,
+        then seed from them."""
+        from cloud_crawler_spark.sources.feeds import (
+            discover_feeds, feed_seeds,
+        )
+
+        corpus = _feed_corpus(spark)
+        landing = spark.createDataFrame(
+            [(f"{_U}/home",
+              '<html><head><link rel="alternate" '
+              'type="application/rss+xml" href="/feed.xml"/></head></html>')],
+            "url string, html string")
+        found = discover_feeds(landing)
+        seeds = feed_seeds(spark, corpus,
+                           found.select(F.col("feed_url").alias("url")))
+        got = sorted(r.url for r in seeds.collect())
+        assert got == [f"{_U}/0", f"{_U}/1?x=1&y=2", f"{_U}/2"]
