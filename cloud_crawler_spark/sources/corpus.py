@@ -136,3 +136,74 @@ def load_corpus(spark: SparkSession, directory: str) -> Corpus:
         else None
     )
     return prepare_corpus(pages, redirects, robots)
+
+
+def transcode_pages(pages: "DataFrame", body_col: str = "html",
+                    content_type_col: str | None = None) -> "DataFrame":
+    """Charset-aware transcode of legacy-encoded pages to UTF-8 —
+    the opt-in step BEFORE the byte-pinned parse path (whose
+    UTF-8//IGNORE contract, page.rb:58,109-113, is reference parity
+    and must not see charset logic). Real-web corpora are ~5-10%
+    non-UTF-8 (GBK, Shift_JIS, windows-1251/2, latin-1); without this
+    their text survives only as mojibake-stripped fragments.
+
+    Detection order (WHATWG-encoding, simplified): BOM (UTF-8/16LE/
+    16BE) -> charset= in the Content-Type column (when given) ->
+    <meta charset> / http-equiv content-type in the first 1024 bytes
+    (ASCII-compatible scan) -> UTF-8 fallback. Unknown/broken codecs
+    fall back to UTF-8//IGNORE, so the pass never fails a page.
+
+    Adds/overwrites ``body_col`` with UTF-8 bytes and adds a
+    ``charset`` column with the decision. One Arrow-batched
+    mapInPandas pass, no shuffle.
+    """
+    import re as _re
+
+    import pandas as _pd
+
+    other = [c for c in pages.columns if c != body_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pages.schema.fields if f.name != body_col
+    )
+    schema = f"{schema}, {body_col} binary, charset string"
+    meta_re = _re.compile(
+        rb'<meta[^>]+charset\s*=\s*["\']?\s*([A-Za-z0-9_\-]+)', _re.I)
+
+    def detect(raw: bytes, ct: str | None) -> str:
+        if raw[:3] == b"\xef\xbb\xbf":
+            return "utf-8-sig"
+        if raw[:2] == b"\xff\xfe":
+            return "utf-16-le"
+        if raw[:2] == b"\xfe\xff":
+            return "utf-16-be"
+        if ct and "charset=" in ct.lower():
+            return ct.lower().split("charset=")[-1].split(";")[0].strip()
+        m = meta_re.search(raw[:1024])
+        if m:
+            return m.group(1).decode("ascii", "ignore").lower()
+        return "utf-8"
+
+    def work(batches):
+        for pdf in batches:
+            charsets, bodies = [], []
+            cts = pdf[content_type_col] if content_type_col else [None] * len(pdf)
+            for raw, ct in zip(pdf[body_col], cts):
+                if isinstance(raw, str):  # already-decoded corpus page
+                    raw = raw.encode("utf-8")
+                raw = bytes(raw or b"")
+                cs = detect(raw, ct)
+                try:
+                    text = raw.decode(cs, errors="ignore")
+                    used = cs
+                except (LookupError, ValueError):
+                    text = raw.decode("utf-8", errors="ignore")
+                    used = "utf-8"
+                charsets.append(used)
+                bodies.append(text.encode("utf-8"))
+            out = pdf[other].copy()
+            out[body_col] = bodies
+            out["charset"] = charsets
+            yield _pd.DataFrame(out)
+
+    return pages.mapInPandas(work, schema)

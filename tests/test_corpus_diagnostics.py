@@ -218,3 +218,52 @@ class TestWinnowing:
         # every selected fp recurs at stride 6 (the content period)
         for fp, poss in by_fp.items():
             assert all((b - a) % 6 == 0 for a, b in zip(poss, poss[1:]))
+
+
+class TestTranscode:
+    def test_charset_detection_matrix(self, spark):
+        from cloud_crawler_spark.sources.corpus import transcode_pages
+
+        latin = "café résumé".encode("latin-1")
+        gbk = "中文网页".encode("gbk")
+        rows = [
+            ("u", "http://x/utf", "<html>plain utf-8 ü</html>".encode()),
+            ("m", "http://x/meta",
+             b'<html><head><meta charset="latin-1"></head>' + latin + b"</html>"),
+            ("g", "http://x/gbk",
+             b'<html><meta http-equiv="Content-Type" '
+             b'content="text/html; charset=GBK">' + gbk + b"</html>"),
+            ("b", "http://x/bom", "bom page".encode("utf-8-sig")),
+            ("x", "http://x/bad",
+             b'<html><meta charset="no-such-codec">abc</html>'),
+        ]
+        pages = spark.createDataFrame(
+            [(k, u, bytearray(b)) for k, u, b in rows],
+            "k string, url string, html binary")
+        got = {r.k: r for r in transcode_pages(pages).collect()}
+        assert got["m"].charset == "latin-1"
+        assert "café résumé" in bytes(got["m"].html).decode("utf-8")
+        assert got["g"].charset == "gbk"
+        assert "中文网页" in bytes(got["g"].html).decode("utf-8")
+        assert got["b"].charset == "utf-8-sig"
+        assert bytes(got["b"].html).decode("utf-8") == "bom page"
+        assert got["x"].charset == "utf-8"  # unknown codec falls back
+        assert got["u"].charset == "utf-8"
+
+    def test_header_overrides_meta_and_string_passthrough(self, spark):
+        from cloud_crawler_spark.sources.corpus import transcode_pages
+
+        body = "naïve".encode("latin-1")
+        pages = spark.createDataFrame(
+            [("http://x/1", bytearray(
+                b'<meta charset="utf-8">' + body), "text/html; charset=latin-1"),
+             ],
+            "url string, html binary, content_type string")
+        [r] = transcode_pages(pages, content_type_col="content_type").collect()
+        assert r.charset == "latin-1"  # header beats meta
+        assert "naïve" in bytes(r.html).decode("utf-8")
+
+        spages = spark.createDataFrame([("http://x/2", "already a str ü")],
+                                       "url string, html string")
+        [r2] = transcode_pages(spages).collect()
+        assert bytes(r2.html).decode("utf-8") == "already a str ü"
