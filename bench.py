@@ -111,6 +111,7 @@ HEADLINE = [
     "q_lsh_incremental",
     "q_key_skew",
     "q_feed_discovery",
+    "q_sitemap_coverage",
     "q_crawl_bfs",
 ]
 

@@ -6358,3 +6358,51 @@ def q_feed_discovery(spark, sf_dir):
     )
     pages = docs.select(page_url.alias("url"), body.alias("html"))
     return discover_feeds(pages)
+
+
+@_register(
+    "q_sitemap_coverage",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'http://h' || (doc_id % 5) || '.ex.com' AS host_url,
+             'h' || (doc_id % 5) || '.ex.com' AS host
+      FROM documents),
+    d AS (SELECT DISTINCT host, host_url || '/p' || doc_id AS cu
+          FROM u WHERE doc_id % 3 <> 0),
+    c AS (SELECT DISTINCT host, host_url || '/p' || doc_id AS cu
+          FROM u WHERE doc_id % 2 = 0),
+    j AS (
+      SELECT coalesce(d.host, c.host) AS host,
+             CASE WHEN d.cu IS NOT NULL THEN 1 ELSE 0 END AS dd,
+             CASE WHEN c.cu IS NOT NULL THEN 1 ELSE 0 END AS cc
+      FROM d FULL OUTER JOIN c ON d.cu = c.cu),
+    a AS (
+      SELECT host, sum(dd)::BIGINT AS n_declared, sum(cc)::BIGINT AS n_crawled,
+             sum(dd * cc)::BIGINT AS n_both
+      FROM j GROUP BY host)
+    SELECT host, n_declared, n_crawled, n_both,
+           n_declared - n_both AS n_missing,
+           n_crawled - n_both AS n_extra,
+           CASE WHEN n_declared > 0
+                THEN (1000000 * n_both) // n_declared
+                ELSE 0 END::BIGINT AS coverage_ppm
+    FROM a
+    """,
+)
+def q_sitemap_coverage(spark, sf_dir):
+    """sources/sitemap.sitemap_coverage — per-host declared-vs-crawled
+    audit over synthesized sets: sitemaps declare ids not divisible by
+    3, the crawl fetched the even ids — every host shows all four
+    populations (both / declared-only / crawled-only) and an exact
+    BIGINT coverage_ppm. URLs are constructed canonical, so the
+    engine's canon pass is the identity the oracle assumes."""
+    from cloud_crawler_spark.sources.sitemap import sitemap_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("http://h"), (d % 5).cast("string"),
+                   F.lit(".ex.com/p"), d.cast("string"))
+    declared = docs.where(d % 3 != 0).select(url.alias("url"))
+    crawled = docs.where(d % 2 == 0).select(url.alias("url"))
+    return sitemap_coverage(declared, crawled)

@@ -119,3 +119,57 @@ def sitemap_seeds(
     return seeds.distinct().select(
         F.col("loc").alias("url"), F.lit(priority).alias("priority")
     )
+
+
+def sitemap_coverage(
+    declared: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host coverage audit of a crawl against the site's own
+    sitemap: how much of what the site DECLARED did we fetch, and how
+    much of what we fetched was undeclared? The two gap lists drive
+    opposite actions — declared-but-missing URLs are seed candidates
+    for the next round (the site says they exist); crawled-but-
+    undeclared ones are discovery surplus (or trap suspects when the
+    ratio explodes).
+
+    Inputs: two one-column (or wider) frames of URLs; both sides are
+    canonicalized here so raw sitemap <loc>s and crawled urls compare
+    on the engine's key. Returns per host:
+    (host, n_declared, n_crawled, n_both, n_missing, n_extra,
+    coverage_ppm) with coverage_ppm = 1e6 * n_both / n_declared
+    (BIGINT-exact; 0-declared hosts report 0).
+
+    Scale shape: one full outer join on canon_url (both sides
+    pre-deduped by a map-side-combinable distinct) + ONE groupBy
+    (host); no window, no driver state. Host skew is the usual salted
+    story — but the join key is the URL, already maximally fine."""
+    from cloud_crawler_spark.functions.canon import with_canon
+
+    d = (
+        with_canon(declared.select(F.col(url_col).alias("url")), "url")
+        .select("canon_url").where(F.col("canon_url").isNotNull())
+        .distinct().withColumn("_d", F.lit(1))
+    )
+    c = (
+        with_canon(crawled.select(F.col(url_col).alias("url")), "url")
+        .select("canon_url").where(F.col("canon_url").isNotNull())
+        .distinct().withColumn("_c", F.lit(1))
+    )
+    joined = d.join(c, "canon_url", "full_outer")
+    host = F.regexp_extract("canon_url", r"^[a-z]+://([^/]+)", 1)
+    agg = joined.groupBy(host.alias("host")).agg(
+        F.sum(F.coalesce("_d", F.lit(0))).cast("long").alias("n_declared"),
+        F.sum(F.coalesce("_c", F.lit(0))).cast("long").alias("n_crawled"),
+        F.sum(F.when(F.col("_d").isNotNull() & F.col("_c").isNotNull(), 1)
+              .otherwise(0)).cast("long").alias("n_both"),
+    )
+    return agg.select(
+        "host", "n_declared", "n_crawled", "n_both",
+        (F.col("n_declared") - F.col("n_both")).alias("n_missing"),
+        (F.col("n_crawled") - F.col("n_both")).alias("n_extra"),
+        F.when(F.col("n_declared") > 0,
+               F.expr("1000000 * n_both div n_declared"))
+        .otherwise(F.lit(0)).cast("long").alias("coverage_ppm"),
+    )

@@ -129,3 +129,33 @@ class TestRobotsSitemapDiscovery:
         seeds = sitemap_seeds(spark, corpus, [f"{_U}/sitemap.xml"], max_depth=0)
         assert seeds.count() == 0
         assert seeds.columns == ["url", "priority"]
+
+
+class TestSitemapCoverage:
+    def test_coverage_composes_with_extract_locs(self, spark):
+        from cloud_crawler_spark.sources.sitemap import (
+            extract_locs, sitemap_coverage,
+        )
+
+        corpus = _sitemap_corpus(spark)
+        declared = extract_locs(
+            corpus.pages.where(F.col("url").contains("maps/"))
+        ).where(~F.col("is_index")).select(F.col("loc").alias("url"))
+        # pretend the crawl fetched 0 and 3 (3 is undeclared)
+        crawled = spark.createDataFrame(
+            [(f"{_U}/0",), (f"{_U}/3",)], "url string")
+        [row] = sitemap_coverage(declared, crawled).collect()
+        assert row.host == "www.example.com"
+        # declared: /0, /1?x=1&y=2, /2 (deduped across maps)
+        assert (row.n_declared, row.n_crawled, row.n_both) == (3, 2, 1)
+        assert (row.n_missing, row.n_extra) == (2, 1)
+        assert row.coverage_ppm == 1000000 * 1 // 3
+
+    def test_zero_declared_host(self, spark):
+        from cloud_crawler_spark.sources.sitemap import sitemap_coverage
+
+        declared = spark.createDataFrame([], "url string")
+        crawled = spark.createDataFrame([("http://only.crawled/x",)],
+                                        "url string")
+        [row] = sitemap_coverage(declared, crawled).collect()
+        assert (row.n_declared, row.n_crawled, row.coverage_ppm) == (0, 1, 0)
