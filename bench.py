@@ -112,7 +112,21 @@ HEADLINE = [
     "q_key_skew",
     "q_feed_discovery",
     "q_sitemap_coverage",
+    "q_cc_star",
     "q_crawl_bfs",
+]
+
+
+# The round-2 headline set (BENCH_r02.json): the full HEADLINE list has
+# since grown ~6x by composition (more queries, not slower queries), so
+# the bench also reports this fixed subset's subtotal for an
+# apples-to-apples total across rounds.
+R2_HEADLINE = [
+    "q01_pricing_summary", "q03_shipping_priority",
+    "q05_local_supplier_volume", "q_word_count", "q_dedup_exact",
+    "q_minhash_sig", "q_lsh_pairs", "q_simhash", "q_ngram_jaccard",
+    "q_knn_brute", "q_token_stats", "q_lang_id", "q_fingerprint",
+    "q_events_hourly", "q_politeness_topk", "q_crawl_bfs",
 ]
 
 
@@ -281,6 +295,10 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
+        "r2_subset_sec": round(
+            sum(timings[n] for n in R2_HEADLINE if n in timings), 3
+        ),
         "sf": sf,
         "cpus": cpus,
         **crawl_stats,

@@ -288,8 +288,11 @@ def _jaccard(a, b):
 
 
 def connected_components(edges: DataFrame, id_a: str = "doc_a",
-                         id_b: str = "doc_b", max_iter: int = 20) -> DataFrame:
-    """Connected components over an undirected edge list by iterative
+                         id_b: str = "doc_b", max_iter: int = 20,
+                         algorithm: str = "label") -> DataFrame:
+    """Connected components over an undirected edge list.
+
+    algorithm="label" (default): iterative
     min-label propagation: label(x) <- min(label(x), min label among
     neighbors), repeated to fixpoint. Converges in O(graph diameter)
     rounds; near-dup clusters are dense and shallow (diameter ~ 2-4),
@@ -298,9 +301,19 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
     cluster scale AQE reuses the exchange. Per-round localCheckpoint
     keeps the plan flat (no nested-iteration blowup).
 
+    algorithm="star": alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC 2014) — converges in O(log n) rounds regardless of diameter,
+    the right shape for chain-shaped components (URL alias chains,
+    syndication chains) where label propagation's O(diameter) budget
+    runs out (the r2 ADVICE case).
+
     Returns (id, label) where label = min id reachable; rows only for
     ids that appear in `edges` (callers fold isolated ids back in).
     """
+    if algorithm == "star":
+        return connected_components_star(edges, id_a, id_b,
+                                         max_iter=max(max_iter, 50))
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -345,17 +358,95 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
         warnings.warn(
             f"connected_components did not converge in {max_iter} "
             "iterations; components wider than the iteration budget are "
-            "split — raise max_iter",
+            "split — raise max_iter or use algorithm='star' "
+            "(O(log n) rounds, diameter-independent)",
             RuntimeWarning,
             stacklevel=2,
         )
     return labels
 
 
+def connected_components_star(edges: DataFrame, id_a: str = "doc_a",
+                              id_b: str = "doc_b",
+                              max_iter: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., SOCC 2014). Each round is two
+    (groupBy + join) pairs over the current edge set; the edge set
+    contracts toward a star forest in O(log n) rounds INDEPENDENT of
+    component diameter — a 10^6-long alias chain finishes in ~20
+    rounds where min-label propagation needs 10^6. Edge count never
+    grows above the input's, every step is a keyed shuffle (no
+    broadcast state, no driver collect), and per-round localCheckpoint
+    keeps the plan flat, so the operator holds at 10^10 edges.
+
+    large-star(u): every neighbor v > u re-attaches to
+    m = min(neighborhood(u) + u); small-star on hi->lo oriented edges
+    attaches each group's lo side (and the hi node) to the group min.
+    At convergence the edge set IS the component map: (node -> min id
+    of its component). Same contract as connected_components:
+    returns (id, label), rows only for ids appearing in `edges`.
+    """
+    e = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = e.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min over neighborhood(u) + u; neighbors
+        # strictly above u re-attach to m. Emitted rows keep hi->lo
+        # orientation by construction (m <= u < v).
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over hi->lo edges: group by the hi node; its lo
+        # neighbors and the hi node itself attach to the group min.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # star forest test: no edge's parent is itself a child.
+        converged = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+            .isEmpty()
+        )
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; labels may be intermediate — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("label"))
+    roots = (
+        e.select(F.col("v").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    return labels.unionAll(roots)
+
+
 def dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    k: int = 8, bands: int = 4,
                    max_bucket: int | None = None,
-                   max_iter: int = 20) -> DataFrame:
+                   max_iter: int = 20,
+                   cc_algorithm: str = "label") -> DataFrame:
     """Near-duplicate CLUSTERS: LSH candidate pairs -> connected
     components -> every document labeled with its cluster id (min doc
     id in the component; docs in no pair are singleton clusters). The
@@ -366,7 +457,8 @@ def dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         .select("doc_a", "doc_b")
         .distinct()
     )
-    comp = connected_components(pairs, max_iter=max_iter)
+    comp = connected_components(pairs, max_iter=max_iter,
+                                algorithm=cc_algorithm)
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")

@@ -375,6 +375,51 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @_register(
+    "q_cc_star",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 97 <> 0),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(lab) AS label FROM reach GROUP BY id)
+    SELECT d.doc_id, coalesce(c.label, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def q_cc_star(spark, sf_dir):
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., SOCC 2014) over a deliberately
+    CHAIN-shaped edge set — consecutive doc ids linked except at every
+    97th, i.e. ~97-node path components whose diameter exceeds
+    min-label propagation's default round budget. Star contraction
+    converges in O(log n) rounds regardless of diameter (the 10^10-
+    frontier shape for URL alias chains). Oracle: DuckDB recursive CTE
+    computing min reachable id."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    edges = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .where(F.col("doc_a") % 97 != 0)
+        .join(
+            ids.select(F.col("doc_id").alias("doc_b")),
+            F.col("doc_b") == F.col("doc_a") + 1,
+        )
+    )
+    comp = DD.connected_components(edges, algorithm="star")
+    return docs.select("doc_id").join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("component_id"),
+    )
+
+
+@_register(
     "q_token_jaccard",
     """
     WITH toks AS (

@@ -195,6 +195,55 @@ def test_connected_components_multi(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_star_matches_label(spark):
+    # star contraction and label propagation agree on a random graph
+    # (both label every node with its component's min id)
+    import random
+
+    rnd = random.Random(7)
+    raw = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(80)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in raw if a != b], "doc_a long, doc_b long"
+    )
+    lab = {r["id"]: r["label"] for r in DD.connected_components(edges).collect()}
+    star = {
+        r["id"]: r["label"]
+        for r in DD.connected_components(edges, algorithm="star").collect()
+    }
+    assert star == lab
+
+
+def test_connected_components_star_long_chain(spark):
+    # a 200-node path (diameter 199): label propagation's default
+    # 20-round budget splits it; star contraction finishes in O(log n)
+    # rounds — assert convergence (no RuntimeWarning) inside 15 rounds
+    # and every node labeled with the global min
+    import warnings
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = {
+            r["id"]: r["label"]
+            for r in DD.connected_components_star(edges, max_iter=15).collect()
+        }
+    assert out == {i: 0 for i in range(200)}
+
+
+def test_connected_components_star_empty_strings_selfloops(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert DD.connected_components_star(empty).count() == 0
+    # string ids (lexicographic min), duplicate edges, self-loops
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("c", "a"), ("x", "y"), ("y", "y")],
+        "doc_a string, doc_b string",
+    )
+    out = {r["id"]: r["label"] for r in DD.connected_components_star(edges).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_dedup_clusters_singletons_and_canonicals(spark, docs):
     out = DD.dedup_clusters(docs, k=8, bands=4).collect()
     by_id = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out}
