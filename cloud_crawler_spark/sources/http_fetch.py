@@ -81,6 +81,9 @@ class FetchResponse:
     # Net::HTTPResponse#to_hash shape the reference stores whole,
     # page.rb:255-268). None => reconstructed from content_type.
     headers: Optional[dict] = None
+    # body was cut at a byte budget (transport-side cap) — recorded in
+    # the stored headers map as WARC-Truncated: length (ISO 28500)
+    truncated: bool = False
 
 
 def _headers_to_hash(msg) -> dict:
@@ -94,18 +97,34 @@ def _headers_to_hash(msg) -> dict:
     return out
 
 
-def _maybe_gunzip(body: Optional[bytes], encoding: Optional[str]) -> Optional[bytes]:
-    """Transparently decompress a gzip response body. The stored page
-    bytes are ALWAYS the decoded document (the byte-identical
-    extracted-text contract applies to content, not transfer coding);
-    the headers hash keeps Content-Encoding as received. A corrupt
-    gzip stream raises — surfaced as a fetch error into the retry
-    loop, like any truncated read."""
-    if body and encoding and encoding.strip().lower() == "gzip":
-        import gzip
+def _maybe_gunzip(body: Optional[bytes], encoding: Optional[str],
+                  max_bytes: Optional[int] = None) -> tuple[Optional[bytes], bool]:
+    """Transparently decompress a gzip response body; returns
+    (decoded_body, truncated). The stored page bytes are ALWAYS the
+    decoded document (the byte-identical extracted-text contract
+    applies to content, not transfer coding); the headers hash keeps
+    Content-Encoding as received. A corrupt gzip stream raises —
+    surfaced as a fetch error into the retry loop, like any truncated
+    read.
 
-        return gzip.decompress(body)
-    return body
+    max_bytes bounds the DECODED size (zlib streaming decompress with
+    max_length) — the decompression-bomb guard: a 10 MB transfer that
+    inflates to 10 GB stops at the cap inside the python worker
+    instead of taking the executor down."""
+    if body and encoding and encoding.strip().lower() == "gzip":
+        import zlib
+
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip wrapper
+        if max_bytes is not None:
+            out = d.decompress(body, max_bytes + 1)
+            if len(out) > max_bytes:
+                return out[:max_bytes], True
+            out += d.flush()
+            return out, False
+        return d.decompress(body) + d.flush(), False
+    if max_bytes is not None and body and len(body) > max_bytes:
+        return body[:max_bytes], True
+    return body, False
 
 
 class UrllibTransport:
@@ -117,11 +136,17 @@ class UrllibTransport:
     ``timeout`` is the reference's ``:read_timeout`` knob and
     ``proxy_host``/``proxy_port`` its ``:proxy_host``/``:proxy_port``
     (dsl_front_end.rb:55-60); with no proxy configured, urllib's
-    default env-based proxy resolution applies."""
+    default env-based proxy resolution applies.
+
+    ``max_body_bytes`` caps both the socket read AND the gzip-decoded
+    size (streaming zlib) — the per-response memory bound a worker
+    needs against multi-GB bodies and decompression bombs. An
+    over-cap body comes back truncated with ``FetchResponse.
+    truncated=True`` (stored as WARC-Truncated: length, ISO 28500)."""
 
     def __init__(self, timeout: float = 30.0, user_agent: str = "cloud-crawler-spark",
                  proxy_host: Optional[str] = None, proxy_port: Optional[int] = None,
-                 accept_gzip: bool = True):
+                 accept_gzip: bool = True, max_body_bytes: Optional[int] = None):
         import urllib.request
 
         class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -131,6 +156,7 @@ class UrllibTransport:
         self.timeout = timeout
         self.user_agent = user_agent
         self.accept_gzip = accept_gzip
+        self.max_body_bytes = max_body_bytes
         handlers: list = [_NoRedirect()]
         if proxy_host:
             proxy = f"http://{proxy_host}:{proxy_port or 8080}"
@@ -155,10 +181,16 @@ class UrllibTransport:
             hdrs.update(headers)  # fetcher-provided UA/Cookie win
         req = urllib.request.Request(url, headers=hdrs)
         t0 = time.monotonic()
+        cap = self.max_body_bytes
         try:
             resp = self.opener.open(req, timeout=self.timeout)
-            body = _maybe_gunzip(resp.read(),
-                                 resp.headers.get("Content-Encoding"))
+            raw = resp.read(cap + 1) if cap is not None else resp.read()
+            body, truncated = _maybe_gunzip(
+                raw, resp.headers.get("Content-Encoding"), max_bytes=cap
+            )
+            # capped COMPRESSED read: the gzip stream is incomplete, so
+            # the decode is partial even when it lands under the cap
+            truncated = truncated or (cap is not None and len(raw) > cap)
             ms = int((time.monotonic() - t0) * 1000)
             return FetchResponse(
                 code=resp.getcode(),
@@ -167,18 +199,26 @@ class UrllibTransport:
                 response_time=ms,
                 set_cookie=resp.headers.get("Set-Cookie"),
                 headers=_headers_to_hash(resp.headers),
+                truncated=truncated,
             )
         except urllib.error.HTTPError as e:  # non-2xx WITH a response
             ms = int((time.monotonic() - t0) * 1000)
+            if e.code not in range(300, 400):
+                raw = e.read(cap + 1) if cap is not None else e.read()
+                body, truncated = _maybe_gunzip(
+                    raw, e.headers.get("Content-Encoding"), max_bytes=cap
+                )
+            else:
+                body, truncated = None, False
             return FetchResponse(
                 code=e.code,
-                body=_maybe_gunzip(e.read(), e.headers.get("Content-Encoding"))
-                if e.code not in range(300, 400) else None,
+                body=body,
                 content_type=(e.headers.get("Content-Type") or "").split(";")[0] or None,
                 redirect_to=e.headers.get("Location"),
                 response_time=ms,
                 set_cookie=e.headers.get("Set-Cookie"),
                 headers=_headers_to_hash(e.headers),
+                truncated=truncated,
             )
 
 
@@ -330,15 +370,17 @@ class HttpFetcher:
         read_timeout: Optional[float] = None,   # dsl_front_end.rb :read_timeout
         proxy_host: Optional[str] = None,       # dsl_front_end.rb :proxy_host
         proxy_port: Optional[int] = None,       # dsl_front_end.rb :proxy_port
+        max_content_bytes: Optional[int] = None,  # per-response body budget
     ):
         if transport_factory is UrllibTransport and (
-            read_timeout is not None or proxy_host
+            read_timeout is not None or proxy_host or max_content_bytes is not None
         ):
             transport_factory = functools.partial(
                 UrllibTransport,
                 timeout=read_timeout if read_timeout is not None else 30.0,
                 proxy_host=proxy_host,
                 proxy_port=proxy_port,
+                max_body_bytes=max_content_bytes,
             )
         self.transport_factory = transport_factory
         self.retries = retries
@@ -349,6 +391,7 @@ class HttpFetcher:
         self.user_agent = user_agent
         self.agent_seed = agent_seed
         self.credentials = credentials
+        self.max_content_bytes = max_content_bytes
 
     def __call__(self, selected: DataFrame, config) -> DataFrame:
         in_schema = selected.schema
@@ -365,6 +408,7 @@ class HttpFetcher:
         user_agent = self.user_agent
         agent_seed = self.agent_seed
         credentials = self.credentials or {}
+        max_content_bytes = self.max_content_bytes
 
         def fetch_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from cloud_crawler_spark.functions.cookies import CookieStore, agent_for
@@ -395,6 +439,7 @@ class HttpFetcher:
                             transport, row, retries, redirect_limit, keep_redirects,
                             jar=jar, accept_cookies=accept_cookies, user_agent=ua,
                             credentials=credentials.get(host),
+                            max_content_bytes=max_content_bytes,
                         )
                     )
                 # dtype=object: mixed int/None (error rows' code) must
@@ -445,7 +490,8 @@ def _resp_headers(resp: FetchResponse) -> Optional[dict]:
 def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
                keep_redirects: bool, jar=None, accept_cookies: bool = False,
                user_agent: Optional[str] = None,
-               credentials: Optional[tuple] = None) -> list[dict]:
+               credentials: Optional[tuple] = None,
+               max_content_bytes: Optional[int] = None) -> list[dict]:
     """Fetch one frontier row, following its redirect chain (≤ limit,
     same-host or relative only). Returns the stored page rows.
 
@@ -516,15 +562,25 @@ def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
 
         is_redirect = 300 <= resp.code < 400 and resp.redirect_to
         if not is_redirect:
+            body, truncated = resp.body, resp.truncated
+            if (max_content_bytes is not None and body is not None
+                    and len(body) > max_content_bytes):
+                # fetcher-level backstop for injected transports that
+                # don't enforce their own cap
+                body, truncated = body[:max_content_bytes], True
+            headers = _resp_headers(resp)
+            if truncated:
+                # ISO 28500 (WARC) truncation record: reason "length"
+                headers = {**(headers or {}), "warc-truncated": ["length"]}
             out.append(
                 {
                     **cur,
                     "code": resp.code,
                     "redirect_to": None,
-                    "html": resp.body,
+                    "html": body,
                     "fetched": True,
                     "content_type": resp.content_type,
-                    "headers": _resp_headers(resp),
+                    "headers": headers,
                     "response_time": resp.response_time,
                     "error": None,
                     "hop": hop,

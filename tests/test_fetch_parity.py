@@ -117,6 +117,34 @@ class TestHttpFetcher:
         r = res.crawled.collect()[0]
         assert r["fetched"] is False and "ConnectionError" in r["error"]
 
+    def test_max_content_bytes_truncates_and_records(self, spark):
+        """Per-response body budget (the 100 TB memory guard): an
+        over-cap body is stored cut at the cap with the ISO 28500
+        WARC-Truncated: length record in the stored headers map; pages
+        under the cap are untouched."""
+        big = b"<html><body>" + b"x" * 5000 + b"</body></html>"
+        site = {
+            _u("0"): {"code": 200, "body": big, "content_type": "text/html",
+                      "response_time": 1},
+            _u("small"): {"code": 200, "body": b"<html>ok</html>",
+                          "content_type": "text/html", "response_time": 1},
+        }
+        corpus = make_corpus(spark, {"0": {}, "small": {}})
+        fetcher = HttpFetcher(
+            transport_factory=functools.partial(DictTransport, site),
+            max_content_bytes=1000,
+        )
+        res = crawl(spark, corpus, make_seeds(spark, [_u("0"), _u("small")]),
+                    CrawlConfig(fetcher=fetcher))
+        rows = {r["url"]: r for r in res.crawled.collect()}
+        r0 = rows[_u("0")]
+        assert r0["fetched"] is True and len(r0["html"]) == 1000
+        assert bytes(r0["html"]) == big[:1000]
+        assert r0["headers"]["warc-truncated"] == ["length"]
+        rs = rows[_u("small")]
+        assert bytes(rs["html"]) == b"<html>ok</html>"
+        assert "warc-truncated" not in (rs["headers"] or {})
+
     def test_redirect_chain_followed_same_host_only(self, spark):
         """0 -> r(301 to 1) -> 1; off-domain redirect not followed
         (http.rb:245-247; spec/crawl_job_spec.rb:106-123)."""

@@ -713,14 +713,31 @@ class TestGzipTransfer:
 
         raw = b"<html>hello compressed world</html>"
         gz = gzip.compress(raw)
-        assert _maybe_gunzip(gz, "gzip") == raw
-        assert _maybe_gunzip(gz, " GZIP ") == raw   # header case/space
-        assert _maybe_gunzip(raw, None) == raw      # identity untouched
-        assert _maybe_gunzip(raw, "identity") == raw
-        assert _maybe_gunzip(None, "gzip") is None
+        assert _maybe_gunzip(gz, "gzip") == (raw, False)
+        assert _maybe_gunzip(gz, " GZIP ") == (raw, False)  # header case/space
+        assert _maybe_gunzip(raw, None) == (raw, False)     # identity untouched
+        assert _maybe_gunzip(raw, "identity") == (raw, False)
+        assert _maybe_gunzip(None, "gzip") == (None, False)
         import pytest as _pt
         with _pt.raises(Exception):
             _maybe_gunzip(b"not gzip at all", "gzip")
+
+    def test_maybe_gunzip_decoded_cap(self):
+        """Decompression-bomb guard: the cap bounds the DECODED size
+        via streaming zlib, so a tiny transfer inflating huge stops at
+        max_bytes instead of materializing in the python worker."""
+        import gzip
+
+        from cloud_crawler_spark.sources.http_fetch import _maybe_gunzip
+
+        bomb = gzip.compress(b"\x00" * 4_000_000)   # ~4 KB transfer
+        body, truncated = _maybe_gunzip(bomb, "gzip", max_bytes=1000)
+        assert truncated and body == b"\x00" * 1000
+        # under the cap: untouched
+        small = gzip.compress(b"abc" * 10)
+        assert _maybe_gunzip(small, "gzip", max_bytes=1000) == (b"abc" * 10, False)
+        # identity body over the cap
+        assert _maybe_gunzip(b"x" * 50, None, max_bytes=10) == (b"x" * 10, True)
 
     def test_live_roundtrip_via_local_server(self):
         """A localhost server negotiating gzip: the transport must
