@@ -244,6 +244,18 @@ def test_connected_components_star_empty_strings_selfloops(spark):
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_dedup_clusters_star_algorithm_same_result(spark, docs):
+    base = sorted(
+        tuple(r) for r in DD.dedup_clusters(docs, k=8, bands=4).collect()
+    )
+    star = sorted(
+        tuple(r)
+        for r in DD.dedup_clusters(docs, k=8, bands=4,
+                                   cc_algorithm="star").collect()
+    )
+    assert star == base
+
+
 def test_dedup_clusters_singletons_and_canonicals(spark, docs):
     out = DD.dedup_clusters(docs, k=8, bands=4).collect()
     by_id = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out}
