@@ -802,6 +802,40 @@ def robots_directives(html_col: str = "html",
     return F.lower(F.concat_ws(",", *parts))
 
 
+def dom_skeleton(html_col: str = "html", max_tags: int = 200):
+    """Column: a structural fingerprint of the page — md5 over the
+    comma-joined sequence of the first `max_tags` opening-tag names
+    (lowercased, attributes and text ignored). Pages generated from
+    the same site template share a skeleton even when their text
+    differs entirely, which is what URL- or line-based chrome
+    detection can't see. Whole-stage-codegen regexp + md5, no Python;
+    the `max_tags` prefix cap bounds per-row work on pathological
+    markup, so the expression is flat-cost at any corpus scale."""
+    tags = F.regexp_extract_all(
+        F.lower(F.col(html_col).cast("string")),
+        F.lit("<([a-z][a-z0-9]*)"), F.lit(1),
+    )
+    return F.md5(F.array_join(F.slice(tags, 1, max_tags), ","))
+
+
+def template_clusters(df, html_col: str = "html", host_col: str = "host",
+                      min_pages: int = 2):
+    """Site-template clusters: group pages by (host, dom_skeleton) and
+    keep groups of >= min_pages — the candidate sets for template-level
+    boilerplate stripping (host_chrome's structural twin). One keyed
+    groupBy with map-side partial aggregation; the skeleton is a
+    32-char key, so nothing html-width shuffles."""
+    return (
+        df.select(
+            F.col(host_col).alias("host"),
+            dom_skeleton(html_col).alias("skeleton"),
+        )
+        .groupBy("host", "skeleton")
+        .agg(F.count("*").alias("n_pages"))
+        .where(F.col("n_pages") >= min_pages)
+    )
+
+
 def robots_directive_match(directives, token: str):
     """Column: True iff `token` (e.g. "noindex", "nofollow") is declared
     in a robots_directives string — token-boundary match on [,:;\\s] so

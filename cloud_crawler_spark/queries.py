@@ -1163,6 +1163,55 @@ def q_page_metadata(spark, sf_dir):
 
 
 @_register(
+    "q_dom_templates",
+    """
+    WITH pages AS (
+      SELECT doc_id, source,
+             '<html><head><title>t</title></head><body>'
+             || repeat('<div><p></p></div>', (doc_id % 7)::INT + 1)
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN '<aside><ul><li></li></ul></aside>' ELSE '' END)
+             || '<p>' || text || '</p></body></html>' AS html
+      FROM documents),
+    sk AS (
+      SELECT source,
+             md5(array_to_string(
+                 (regexp_extract_all(lower(html), '<([a-z][a-z0-9]*)', 1))[1:200],
+                 ',')) AS skeleton
+      FROM pages)
+    SELECT source AS host, skeleton, count(*)::BIGINT AS n_pages
+    FROM sk GROUP BY source, skeleton HAVING count(*) >= 2
+    """,
+)
+def q_dom_templates(spark, sf_dir):
+    """Site-template clusters by DOM skeleton (functions/parse.
+    dom_skeleton): pages sharing the same opening-tag sequence — the
+    structural fingerprint URL- and line-based chrome detection can't
+    see — grouped per host (the `source` column stands in). The html
+    is synthesized with a doc_id-derived structure (7 div depths x
+    aside-or-not = 14 templates per source); the oracle rebuilds the
+    same skeleton in DuckDB, so the hash match pins the tag-extraction
+    regex and prefix cap byte-exactly. Codegen regexp + md5, 32-char
+    shuffle key, map-side partial agg — no Python, no html-width
+    shuffle."""
+    from cloud_crawler_spark.functions.parse import template_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body>"),
+        F.repeat(F.lit("<div><p></p></div>"), (i % 7 + 1).cast("int")),
+        F.when(i % 2 == 0,
+               F.lit("<aside><ul><li></li></ul></aside>")).otherwise(F.lit("")),
+        F.lit("<p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    pages = docs.select(
+        F.col("source").alias("host"), F.encode(html, "utf-8").alias("html")
+    )
+    return template_clusters(pages, min_pages=2)
+
+
+@_register(
     "q_fetch_schedule",
     """
     WITH u AS (

@@ -73,3 +73,66 @@ class TestLinkExtraction:
 
     def test_title(self):
         assert parse_page("<title> Hi there </title>")["title"] == "Hi there"
+
+
+class TestDomSkeleton:
+    """Structural template fingerprint (functions/parse.dom_skeleton /
+    template_clusters): tag-sequence identity, text/attr invariance,
+    prefix cap, and the (host, skeleton) grouping."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, html binary")
+
+    def test_same_template_same_skeleton(self, spark):
+        from cloud_crawler_spark.functions.parse import dom_skeleton
+
+        a = b"<html><body><div class='x'><p>alpha text</p></div></body></html>"
+        b = b'<html><body><div id="y"><p>completely different</p></div></body></html>'
+        c = b"<html><body><ul><li>other shape</li></ul></body></html>"
+        out = (
+            self._df(spark, [("h", a), ("h", b), ("h", c)])
+            .select(dom_skeleton().alias("sk"))
+            .collect()
+        )
+        sks = [r["sk"] for r in out]
+        assert sks[0] == sks[1] != sks[2]  # attrs/text ignored, tags matter
+
+    def test_end_tags_and_case_ignored(self, spark):
+        from cloud_crawler_spark.functions.parse import dom_skeleton
+
+        a = b"<HTML><BODY><P>x</P></BODY></HTML>"
+        b = b"<html><body><p>y"
+        out = (
+            self._df(spark, [("h", a), ("h", b)])
+            .select(dom_skeleton().alias("sk"))
+            .collect()
+        )
+        assert out[0]["sk"] == out[1]["sk"]
+
+    def test_prefix_cap(self, spark):
+        from cloud_crawler_spark.functions.parse import dom_skeleton
+
+        long_a = b"<html>" + b"<div></div>" * 300 + b"<p></p>"
+        long_b = b"<html>" + b"<div></div>" * 300 + b"<span></span>"
+        out = (
+            self._df(spark, [("h", long_a), ("h", long_b)])
+            .select(dom_skeleton(max_tags=200).alias("sk"))
+            .collect()
+        )
+        assert out[0]["sk"] == out[1]["sk"]  # divergence past the cap invisible
+
+    def test_template_clusters_grouping(self, spark):
+        from cloud_crawler_spark.functions.parse import template_clusters
+
+        t1 = b"<html><body><div><p>a</p></div></body></html>"
+        t1b = b"<html><body><div><p>bbb</p></div></body></html>"
+        t2 = b"<html><body><table><tr><td>c</td></tr></table></body></html>"
+        df = self._df(
+            spark,
+            [("h1", t1), ("h1", t1b), ("h1", t2), ("h2", t1)],
+        )
+        rows = template_clusters(df, min_pages=2).collect()
+        # only h1's t1-shaped pair survives min_pages=2; h2's singleton
+        # and h1's lone table page drop
+        assert len(rows) == 1
+        assert rows[0]["host"] == "h1" and rows[0]["n_pages"] == 2
