@@ -371,6 +371,7 @@ class HttpFetcher:
         proxy_host: Optional[str] = None,       # dsl_front_end.rb :proxy_host
         proxy_port: Optional[int] = None,       # dsl_front_end.rb :proxy_port
         max_content_bytes: Optional[int] = None,  # per-response body budget
+        circuit_break_after: Optional[int] = None,  # per-host failure trip wire
     ):
         if transport_factory is UrllibTransport and (
             read_timeout is not None or proxy_host or max_content_bytes is not None
@@ -392,6 +393,7 @@ class HttpFetcher:
         self.agent_seed = agent_seed
         self.credentials = credentials
         self.max_content_bytes = max_content_bytes
+        self.circuit_break_after = circuit_break_after
 
     def __call__(self, selected: DataFrame, config) -> DataFrame:
         in_schema = selected.schema
@@ -409,6 +411,7 @@ class HttpFetcher:
         agent_seed = self.agent_seed
         credentials = self.credentials or {}
         max_content_bytes = self.max_content_bytes
+        circuit_break_after = self.circuit_break_after
 
         def fetch_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from cloud_crawler_spark.functions.cookies import CookieStore, agent_for
@@ -416,6 +419,16 @@ class HttpFetcher:
             transport = factory()  # one session per partition (S6)
             jars: dict = {}        # host -> CookieStore (per-client jar analog)
             agents: dict = {}      # host -> UA (one per client, P8)
+            # per-host circuit breaker: consecutive TRANSPORT failures
+            # (exceptions after retries — a real 4xx/5xx is a fetched
+            # page and resets). Once a host trips, its remaining rows
+            # in this partition short-circuit to error rows without
+            # touching the network: a dead host's 10k frontier URLs
+            # cost N timeouts, not 10k x (retries+1) x read_timeout.
+            # The round-level budget clamp (CrawlConfig.error_backoff)
+            # then throttles the host on the NEXT round; this guards
+            # the round in progress.
+            fails: dict = {}       # host -> consecutive failure count
             first = True
             for pdf in pdfs:
                 out_rows = []
@@ -434,14 +447,26 @@ class HttpFetcher:
                             if agent_seed is not None
                             else user_agent
                         )
-                    out_rows.extend(
-                        _fetch_one(
-                            transport, row, retries, redirect_limit, keep_redirects,
-                            jar=jar, accept_cookies=accept_cookies, user_agent=ua,
-                            credentials=credentials.get(host),
-                            max_content_bytes=max_content_bytes,
-                        )
+                    if (circuit_break_after is not None
+                            and fails.get(host, 0) >= circuit_break_after):
+                        out_rows.append(_error_row(
+                            row,
+                            f"CircuitOpen: {fails[host]} consecutive "
+                            f"transport failures on {host}",
+                        ))
+                        continue
+                    rows_out = _fetch_one(
+                        transport, row, retries, redirect_limit, keep_redirects,
+                        jar=jar, accept_cookies=accept_cookies, user_agent=ua,
+                        credentials=credentials.get(host),
+                        max_content_bytes=max_content_bytes,
                     )
+                    if circuit_break_after is not None:
+                        if rows_out and rows_out[-1].get("error"):
+                            fails[host] = fails.get(host, 0) + 1
+                        else:
+                            fails[host] = 0
+                    out_rows.extend(rows_out)
                 # dtype=object: mixed int/None (error rows' code) must
                 # not collapse to float64 NaN before Arrow conversion
                 yield pd.DataFrame(
@@ -485,6 +510,23 @@ def _resp_headers(resp: FetchResponse) -> Optional[dict]:
     if resp.content_type is not None:
         return {"content-type": [resp.content_type]}
     return None
+
+
+def _error_row(cur: dict, msg: str, hop: int = 0) -> dict:
+    """A stored fetch-failure row (http.rb:89 semantics: error set,
+    code NULL, fetched=false)."""
+    return {
+        **cur,
+        "code": None,
+        "redirect_to": None,
+        "html": None,
+        "fetched": False,
+        "content_type": None,
+        "headers": None,
+        "response_time": None,
+        "error": msg,
+        "hop": hop,
+    }
 
 
 def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
@@ -541,20 +583,8 @@ def _fetch_one(transport, row: dict, retries: int, redirect_limit: int,
                 ).decode()
                 resp = _attempt(transport, cur["url"], referer, retries, h)
         except Exception as e:  # noqa: BLE001
-            out.append(
-                {
-                    **cur,
-                    "code": None,
-                    "redirect_to": None,
-                    "html": None,
-                    "fetched": False,  # fetched = !code.nil? (page.rb:78)
-                    "content_type": None,
-                    "headers": None,
-                    "response_time": None,
-                    "error": f"{type(e).__name__}: {e}",
-                    "hop": hop,
-                }
-            )
+            # fetched = !code.nil? (page.rb:78)
+            out.append(_error_row(cur, f"{type(e).__name__}: {e}", hop))
             return out
 
         if accept_cookies and jar is not None and resp.set_cookie:

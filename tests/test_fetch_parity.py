@@ -145,6 +145,44 @@ class TestHttpFetcher:
         assert bytes(rs["html"]) == b"<html>ok</html>"
         assert "warc-truncated" not in (rs["headers"] or {})
 
+    def test_circuit_breaker_short_circuits_dead_host(self, spark):
+        """After `circuit_break_after` consecutive transport failures
+        on a host, its remaining rows in the partition become
+        CircuitOpen error rows WITHOUT touching the network — a dead
+        host's 10k frontier URLs cost N timeouts, not 10k timeouts."""
+        names = [str(i) for i in range(6)]
+        corpus = make_corpus(spark, {n: {} for n in names})
+        fetcher = HttpFetcher(
+            transport_factory=FailingTransport, retries=0,
+            n_partitions=1, circuit_break_after=2,
+        )
+        res = crawl(spark, corpus, make_seeds(spark, [_u(n) for n in names]),
+                    CrawlConfig(fetcher=fetcher))
+        errs = [r["error"] for r in res.crawled.collect()]
+        assert len(errs) == 6 and all(e for e in errs)
+        assert sum("TimeoutError" in e for e in errs) == 2
+        assert sum(e.startswith("CircuitOpen") for e in errs) == 4
+
+    def test_circuit_breaker_resets_on_success(self, spark):
+        """A fetched page (even one isolated failure earlier) resets
+        the consecutive-failure count: the circuit never opens when
+        failures don't streak."""
+        names = [str(i) for i in range(6)]
+        site = _site_from_graph({n: {} for n in names})
+        corpus = make_corpus(spark, {n: {} for n in names})
+        fetcher = HttpFetcher(
+            transport_factory=functools.partial(DictTransport, site, 1),
+            retries=0, n_partitions=1, circuit_break_after=2,
+        )
+        res = crawl(spark, corpus, make_seeds(spark, [_u(n) for n in names]),
+                    CrawlConfig(fetcher=fetcher))
+        rows = res.crawled.collect()
+        errs = [r["error"] for r in rows if r["error"]]
+        assert len(errs) == 1 and "ConnectionError" in errs[0]
+        assert sum(r["fetched"] for r in rows) == 5
+        assert not any((r["error"] or "").startswith("CircuitOpen")
+                       for r in rows)
+
     def test_redirect_chain_followed_same_host_only(self, spark):
         """0 -> r(301 to 1) -> 1; off-domain redirect not followed
         (http.rb:245-247; spec/crawl_job_spec.rb:106-123)."""
