@@ -114,6 +114,7 @@ HEADLINE = [
     "q_sitemap_coverage",
     "q_cc_star",
     "q_dom_templates",
+    "q_pagerank_delta",
     "q_crawl_bfs",
 ]
 

@@ -2285,6 +2285,82 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+_PR_WARM_ITER_SQL = """
+    wc{t} AS (
+      SELECT l.dst AS id, sum(w{p}.r / deg2.d) AS c
+      FROM w{p} JOIN links2 l ON l.src = w{p}.id
+      JOIN deg2 ON deg2.src = l.src
+      GROUP BY l.dst),
+    w{t} AS (
+      SELECT w{p}.id, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(wc{t}.c, 0.0) AS r
+      FROM w{p} LEFT JOIN wc{t} ON wc{t}.id = w{p}.id)"""
+
+
+@_register(
+    "q_pagerank_delta",
+    """
+    WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    mod_n AS (SELECT count(*) AS m FROM documents),
+    links AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT m FROM mod_n) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT m FROM mod_n) FROM documents)),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM links GROUP BY src),
+    r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS r FROM documents),"""
+    + ",".join(_PR_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2, 3))
+    + """,
+    links2 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM links
+        UNION ALL
+        SELECT doc_id, (doc_id * 11 + 5) % (SELECT m FROM mod_n)
+        FROM documents WHERE doc_id % 5 = 0)),
+    deg2 AS (SELECT src, count(*)::DOUBLE AS d FROM links2 GROUP BY src),
+    w0 AS (SELECT id, r FROM r3),"""
+    + ",".join(_PR_WARM_ITER_SQL.format(t=t, p=t - 1) for t in (1, 2))
+    + """
+    SELECT 'http://ex.com/p' || id AS canon_url,
+           round(r * 1e6)::BIGINT AS rank_ppm
+    FROM w2
+    """,
+)
+def q_pagerank_delta(spark, sf_dir):
+    """INCREMENTAL PageRank (operators/graph.pagerank_on_edges
+    init_ranks): a delta crawl adds one new out-link on 20% of pages;
+    instead of a cold 5-iteration ladder over the merged graph, the
+    refresh warm-starts from the previous snapshot's 3-iteration ranks
+    and runs 2 iterations on the new edge set — the nightly-refresh
+    shape for a 10^10-page store, where rank recompute cost must track
+    the delta, not the corpus. Oracle: the same 3-cold + 2-warm
+    fixed-point arithmetic as recursive DuckDB CTEs, ppm-rounded."""
+    from cloud_crawler_spark.operators.graph import pagerank_on_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("id"))
+
+    def _edges(mult, add, where=None):
+        d = docs.where(where) if where is not None else docs
+        return d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % n).alias("dst"),
+        )
+
+    g0 = _edges(3, 1).unionAll(_edges(7, 3))
+    base = pagerank_on_edges(ids, g0, iterations=3, damping=0.85)
+    delta = _edges(11, 5, where=F.col("doc_id") % 5 == 0)
+    warm = pagerank_on_edges(
+        ids, g0.unionAll(delta), iterations=2, damping=0.85, init_ranks=base
+    )
+    return warm.select(
+        F.concat(F.lit("http://ex.com/p"),
+                 F.col("canon_url").cast("string")).alias("canon_url"),
+        F.round(F.col("rank") * 1e6).cast("long").alias("rank_ppm"),
+    )
+
+
 def _synthetic_hosted_web_from_documents(spark, sf_dir, n_hosts: int = 16):
     """Multi-host variant of the arithmetic web: page i lives on host
     h{i % n_hosts}.ex.com and links (absolute hrefs, correct target

@@ -557,3 +557,65 @@ def test_bowtie_classification(spark):
            bowtie(_edges_df(spark, edges), seed=0, radius=5).collect()}
     assert got == {0: "CORE", 1: "CORE", 2: "IN", 3: "OUT",
                    4: "OTHER", 5: "OTHER", 6: "OTHER"}  # 4 = tendril off IN
+
+
+class TestPagerankWarmStart:
+    """pagerank_on_edges(init_ranks=...) — the incremental
+    (delta-crawl) recompute path."""
+
+    def _ids(self, spark, ids):
+        return spark.createDataFrame([(i,) for i in ids], "id long")
+
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def test_fixpoint_is_stable_under_warm_start(self, spark):
+        from cloud_crawler_spark.operators.graph import pagerank_on_edges
+
+        # symmetric 2-cycle: the PageRank fixpoint is exactly uniform
+        ids = self._ids(spark, [0, 1])
+        edges = self._edges(spark, [(0, 1), (1, 0)])
+        init = spark.createDataFrame(
+            [(0, 0.5), (1, 0.5)], "canon_url long, rank double"
+        )
+        out = {
+            r["canon_url"]: r["rank"]
+            for r in pagerank_on_edges(ids, edges, iterations=1,
+                                       init_ranks=init).collect()
+        }
+        assert out == {0: 0.5, 1: 0.5}
+
+    def test_uniform_warm_start_equals_cold(self, spark):
+        from cloud_crawler_spark.operators.graph import pagerank_on_edges
+
+        ids = self._ids(spark, range(6))
+        edges = self._edges(
+            spark, [(i, (3 * i + 1) % 6) for i in range(6)]
+            + [(i, (i + 2) % 6) for i in range(6)]
+        )
+        cold = {
+            r["canon_url"]: round(r["rank"], 12)
+            for r in pagerank_on_edges(ids, edges, iterations=2).collect()
+        }
+        init = spark.createDataFrame(
+            [(i, 1.0 / 6) for i in range(6)], "canon_url long, rank double"
+        )
+        warm = {
+            r["canon_url"]: round(r["rank"], 12)
+            for r in pagerank_on_edges(ids, edges, iterations=2,
+                                       init_ranks=init).collect()
+        }
+        assert warm == cold
+
+    def test_stale_vector_renormalized_and_missing_ids_filled(self, spark):
+        from cloud_crawler_spark.operators.graph import pagerank_on_edges
+
+        ids = self._ids(spark, [0, 1, 2])
+        edges = self._edges(spark, [(0, 1), (1, 2), (2, 0)])
+        # stale vector: wrong scale (sums to 30), node 2 missing
+        init = spark.createDataFrame(
+            [(0, 20.0), (1, 10.0)], "canon_url long, rank double"
+        )
+        out = pagerank_on_edges(ids, edges, iterations=1, init_ranks=init)
+        total = sum(r["rank"] for r in out.collect())
+        assert abs(total - 1.0) < 1e-9  # mass invariant restored
