@@ -113,6 +113,7 @@ HEADLINE = [
     "q_feed_discovery",
     "q_sitemap_coverage",
     "q_cc_star",
+    "q_cc_incremental",
     "q_dom_templates",
     "q_pagerank_delta",
     "q_crawl_bfs",

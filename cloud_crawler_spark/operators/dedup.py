@@ -442,6 +442,65 @@ def connected_components_star(edges: DataFrame, id_a: str = "doc_a",
     return labels.unionAll(roots)
 
 
+def connected_components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    algorithm: str = "star",
+) -> DataFrame:
+    """Merge a DELTA edge set into an existing component labeling
+    without re-clustering the corpus: map each new edge's endpoints
+    through the old labels (unseen ids pass through as themselves),
+    run connected components over that QUOTIENT graph — whose size is
+    O(|delta|), not O(|corpus|) — and compose the relabeling back onto
+    the full label table. Because both the old and the quotient
+    labelings pick the MIN id of their component, the composition
+    equals a from-scratch CC over old ∪ new edges — the nightly
+    dedup-index refresh shape for a 10^10-doc store, where merge cost
+    must track the delta crawl, not the corpus.
+
+    labels: (id, label) from a previous connected_components run.
+    Returns the updated (id, label) covering old ids plus any new ids
+    appearing in `new_edges`.
+    """
+    e = new_edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("_lb"))
+    quotient = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("_la", F.col("a")).alias("doc_a"),
+            F.coalesce("_lb", F.col("b")).alias("doc_b"),
+        )
+    )
+    relabel = connected_components(quotient, algorithm=algorithm)
+    # compose over the old table...
+    remap = relabel.select(
+        F.col("id").alias("label"), F.col("label").alias("_newlab")
+    )
+    upd = (
+        labels.join(remap, "label", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("_newlab"), F.col("label")).alias("label"),
+        )
+    )
+    # ...and cover ids first seen in the delta (quotient node = itself)
+    new_ids = (
+        quotient.select(F.col("doc_a").alias("id"))
+        .unionAll(quotient.select(F.col("doc_b").alias("id")))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+    )
+    new_rows = (
+        new_ids.join(relabel, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("label"))
+    )
+    return upd.unionAll(new_rows)
+
+
 def dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    k: int = 8, bands: int = 4,
                    max_bucket: int | None = None,

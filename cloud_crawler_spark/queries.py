@@ -420,6 +420,68 @@ def q_cc_star(spark, sf_dir):
 
 
 @_register(
+    "q_cc_incremental",
+    """
+    WITH RECURSIVE mod_n AS (SELECT count(*) AS m FROM documents),
+    e0 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 97 <> 0
+      UNION
+      SELECT doc_id, (doc_id * 13 + 7) % (SELECT m FROM mod_n)
+      FROM documents
+      WHERE doc_id % 50 = 0 AND doc_id <> (doc_id * 13 + 7) % (SELECT m FROM mod_n)),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    reach(id, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(lab) AS label FROM reach GROUP BY id)
+    SELECT d.doc_id, coalesce(c.label, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def q_cc_incremental(spark, sf_dir):
+    """INCREMENTAL connected components (operators/dedup.
+    connected_components_incremental): the chain components of
+    q_cc_star are the EXISTING labeling; a delta crawl adds one
+    long-range alias edge per 50th doc, merging chains. The merge maps
+    delta endpoints through the old labels and clusters the QUOTIENT
+    graph — O(|delta|) work, not O(|corpus|) — then composes the
+    relabeling back, provably equal to a from-scratch CC over old ∪
+    delta (both pick min-id labels). The nightly dedup-index refresh
+    shape at 10^10 docs. Oracle: recursive CTE over the full merged
+    edge set."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select("doc_id")
+    old_edges = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .where(F.col("doc_a") % 97 != 0)
+        .join(
+            ids.select(F.col("doc_id").alias("doc_b")),
+            F.col("doc_b") == F.col("doc_a") + 1,
+        )
+    )
+    labels0 = DD.connected_components(old_edges, algorithm="star")
+    delta = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            ((F.col("doc_id") * 13 + 7) % n).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    merged = DD.connected_components_incremental(labels0, delta)
+    return docs.select("doc_id").join(
+        merged.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("component_id"),
+    )
+
+
+@_register(
     "q_token_jaccard",
     """
     WITH toks AS (

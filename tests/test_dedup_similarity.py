@@ -244,6 +244,49 @@ def test_connected_components_star_empty_strings_selfloops(spark):
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_incremental_matches_full(spark):
+    # incremental(CC(old), delta) == CC(old ∪ delta), including ids
+    # first seen in the delta
+    import random
+
+    rnd = random.Random(11)
+    old = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(50)]
+    new = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(25)]
+    old_df = spark.createDataFrame(
+        [(a, b) for a, b in old if a != b], "doc_a long, doc_b long"
+    )
+    new_df = spark.createDataFrame(
+        [(a, b) for a, b in new if a != b], "doc_a long, doc_b long"
+    )
+    labels0 = DD.connected_components(old_df)
+    inc = {
+        r["id"]: r["label"]
+        for r in DD.connected_components_incremental(labels0, new_df).collect()
+    }
+    full = {
+        r["id"]: r["label"]
+        for r in DD.connected_components(
+            old_df.unionAll(new_df), algorithm="star"
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_connected_components_incremental_merges_chains(spark):
+    # two long chains whose labels merge through ONE delta edge: the
+    # quotient graph the incremental pass clusters has 2 nodes, not 80
+    chain = [(i, i + 1) for i in range(39)] + [(i, i + 1) for i in range(50, 89)]
+    old_df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    labels0 = DD.connected_components(old_df, algorithm="star")
+    delta = spark.createDataFrame([(25, 70)], "doc_a long, doc_b long")
+    out = {
+        r["id"]: r["label"]
+        for r in DD.connected_components_incremental(labels0, delta).collect()
+    }
+    assert set(out.values()) == {0}
+    assert len(out) == 80  # 2 chains x 40 nodes, every id labeled
+
+
 def test_dedup_clusters_star_algorithm_same_result(spark, docs):
     base = sorted(
         tuple(r) for r in DD.dedup_clusters(docs, k=8, bands=4).collect()
