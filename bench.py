@@ -115,6 +115,7 @@ HEADLINE = [
     "q_cc_star",
     "q_cc_incremental",
     "q_dom_templates",
+    "q_shard_bytes",
     "q_pagerank_delta",
     "q_crawl_bfs",
 ]

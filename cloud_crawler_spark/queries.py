@@ -1225,6 +1225,35 @@ def q_page_metadata(spark, sf_dir):
 
 
 @_register(
+    "q_shard_bytes",
+    """
+    SELECT doc_id,
+           strlen(text)::BIGINT AS n_bytes,
+           (coalesce(sum(strlen(text))
+                       OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)
+            // 16384)::BIGINT AS shard
+    FROM documents
+    """,
+)
+def q_shard_bytes(spark, sf_dir):
+    """Size-targeted output sharding (operators/packing.
+    shard_by_bytes): shard = exact byte prefix-sum // 16 KiB in doc_id
+    order — the file-layout primitive for writing uniformly-sized
+    training shards from a length-skewed corpus. Distributed via the
+    with_global_rank trick on a WEIGHTED sum (range partition +
+    per-partition byte totals + broadcast prefix offsets); no
+    single-partition window. Oracle: one cumulative window in DuckDB."""
+    from cloud_crawler_spark.operators.packing import shard_by_bytes
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_by_bytes(
+        docs, target_bytes=16384, order_cols=[F.col("doc_id")]
+    ).select("doc_id", "n_bytes", "shard")
+
+
+@_register(
     "q_dom_templates",
     """
     WITH pages AS (

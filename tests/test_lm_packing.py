@@ -6,6 +6,7 @@ operator SEMANTICS on hand-built corpora where the right answer is
 checkable by eye."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from cloud_crawler_spark.operators.lm import bigram_lm_score, vocab_coverage
 from cloud_crawler_spark.operators.packing import pack_sequences, packing_stats
@@ -204,3 +205,76 @@ class TestUnigramKL:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
+
+
+class TestShardByBytes:
+    def test_boundaries_and_totals(self, spark):
+        from cloud_crawler_spark.operators.packing import shard_by_bytes
+
+        # sizes 4,4,4,4 with target 8: shards split at prefix 0,4,8,12
+        # -> shards 0,0,1,1
+        rows = [(i, "x" * 4) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["shard"]
+            for r in shard_by_bytes(df, 8, [F.col("doc_id")]).collect()
+        }
+        assert out == {0: 0, 1: 0, 2: 1, 3: 1}
+
+    def test_oversized_row_owns_one_shard(self, spark):
+        from cloud_crawler_spark.operators.packing import shard_by_bytes
+
+        rows = [(0, "a" * 2), (1, "b" * 50), (2, "c" * 2)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["shard"]
+            for r in shard_by_bytes(df, 10, [F.col("doc_id")]).collect()
+        }
+        # prefix-before: 0, 2, 52 -> shards 0, 0, 5 (the giant row
+        # spans past several boundaries but is ONE row in ONE shard)
+        assert out == {0: 0, 1: 0, 2: 5}
+
+    def test_matches_single_window_on_random_sizes(self, spark):
+        import random
+
+        from pyspark.sql import Window
+
+        from cloud_crawler_spark.operators.packing import shard_by_bytes
+
+        rnd = random.Random(3)
+        rows = [(i, "x" * rnd.randrange(1, 40)) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in shard_by_bytes(
+                df, 256, [F.col("doc_id")], num_partitions=7
+            ).collect()
+        }
+        w = (
+            Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        want = {
+            r["doc_id"]: r["shard"]
+            for r in df.select(
+                "doc_id",
+                F.floor(
+                    F.coalesce(
+                        F.sum(F.octet_length("text")).over(w), F.lit(0)
+                    ) / 256
+                ).alias("shard"),
+            ).collect()
+        }
+        assert got == want
+
+    def test_empty_and_validation(self, spark):
+        import pytest as _pt
+
+        from cloud_crawler_spark.operators.packing import shard_by_bytes
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert shard_by_bytes(empty, 8, [F.col("doc_id")]).count() == 0
+        with _pt.raises(ValueError):
+            shard_by_bytes(empty, 0, [F.col("doc_id")])
+        with _pt.raises(ValueError):
+            shard_by_bytes(empty, 8, [])
