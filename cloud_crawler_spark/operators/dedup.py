@@ -312,8 +312,9 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
     ids that appear in `edges` (callers fold isolated ids back in).
     """
     if algorithm == "star":
+        # O(log n) rounds: the default 20 covers diameters up to ~2^18
         return connected_components_star(edges, id_a, id_b,
-                                         max_iter=max(max_iter, 50))
+                                         max_iter=max_iter)
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -386,13 +387,44 @@ def connected_components_star(edges: DataFrame, id_a: str = "doc_a",
     of its component). Same contract as connected_components:
     returns (id, label), rows only for ids appearing in `edges`.
     """
+    raw = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # node set INCLUDING ids that only appear in self-loops, so the
+    # "rows for every id appearing in edges" contract matches the
+    # label algorithm's (a self-loop-only id is its own singleton)
+    all_ids = (
+        raw.select(F.col("u").alias("id"))
+        .unionAll(raw.select(F.col("v").alias("id")))
+        .where(F.col("id").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = (
-        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .where(F.col("u") != F.col("v"))
+        raw.where(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _is_star_forest(cur) -> bool:
+        # BOTH conditions are required: (a) no parent is itself a
+        # child, AND (b) every child has exactly one parent. (a)
+        # alone passes states like {(5,1),(5,2)} — a leaf shared by
+        # two stars — where another round would still merge the
+        # components (each round preserves the edge set's components,
+        # so a structural star forest IS the component map).
+        if not (
+            cur.alias("a")
+            .join(cur.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+            .isEmpty()
+        ):
+            return False
+        return (
+            cur.groupBy("u")
+            .agg(F.count_distinct("v").alias("_np"))
+            .where(F.col("_np") > 1)
+            .isEmpty()
+        )
+
     converged = e.isEmpty()
     for _ in range(max_iter):
         if converged:
@@ -419,12 +451,7 @@ def connected_components_star(edges: DataFrame, id_a: str = "doc_a",
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # star forest test: no edge's parent is itself a child.
-        converged = (
-            e.alias("a")
-            .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
-            .isEmpty()
-        )
+        converged = _is_star_forest(e)
     if not converged:
         import warnings
 
@@ -439,7 +466,13 @@ def connected_components_star(edges: DataFrame, id_a: str = "doc_a",
         e.select(F.col("v").alias("id")).distinct()
         .withColumn("label", F.col("id"))
     )
-    return labels.unionAll(roots)
+    covered = labels.unionAll(roots)
+    # ids touched only by self-loops: singleton components
+    singles = (
+        all_ids.join(covered.select("id"), "id", "left_anti")
+        .withColumn("label", F.col("id"))
+    )
+    return covered.unionAll(singles)
 
 
 def connected_components_incremental(

@@ -135,60 +135,28 @@ def shard_by_bytes(
     readers get predictable file sizes regardless of document-length
     skew, unlike row-count repartitioning.
 
-    Scale shape (the with_global_rank trick, rank.py, applied to a
-    WEIGHTED prefix sum): range-repartition + sort on the order keys,
-    collect ONE byte-total per partition (tiny), broadcast the prefix
-    offsets back, and finish with a per-partition cumulative-sum
-    window — no single-partition window, no driver data. order_cols
-    must end in a per-row tiebreaker (e.g. doc_id) so ties never
-    straddle partitions.
-
-    Returns df + (n_bytes, shard). A row larger than target_bytes
-    still gets exactly one shard (shards are split points, not caps).
+    The prefix sum is operators/rank.with_prefix_sum — the
+    with_global_rank machinery generalized to weighted sums (no
+    single-partition window; one byte-total per partition to the
+    driver). order_cols must end in a per-row tiebreaker (e.g.
+    doc_id). A row larger than target_bytes still gets exactly one
+    shard (shards are split points, not caps).
     """
-    if not order_cols:
-        raise ValueError("order_cols must be non-empty")
+    from cloud_crawler_spark.operators.rank import with_prefix_sum
+
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
     size = (
         F.col(size_col) if size_col
         else F.octet_length(F.col(text_col))
     ).cast("long")
-    df = df.withColumn("_sz", size)
-    if df.isEmpty():
-        return (
-            df.withColumn("n_bytes", F.col("_sz"))
-            .withColumn("shard", F.lit(0).cast("long"))
-            .drop("_sz")
-        )
-    from pyspark.sql import Window
-
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
-    parted = parted.withColumn("_pid", F.spark_partition_id())
-    # tiny: one byte-total per partition
-    sizes = {
-        r["_pid"]: r["b"]
-        for r in parted.groupBy("_pid").agg(F.sum("_sz").alias("b")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    offset_expr = F.create_map(
-        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    out = with_prefix_sum(
+        df.withColumn("n_bytes", size),
+        order_cols,
+        weight=F.col("n_bytes"),
+        out_col="_before",
+        num_partitions=num_partitions,
     )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    before = (
-        F.coalesce(F.sum("_sz").over(w), F.lit(0))
-        + offset_expr[F.col("_pid")]
-    )
-    return (
-        parted.withColumn("n_bytes", F.col("_sz"))
-        .withColumn("shard", F.floor(before / F.lit(target_bytes)).cast("long"))
-        .drop("_sz", "_pid")
-    )
+    return out.withColumn(
+        "shard", F.floor(F.col("_before") / F.lit(target_bytes)).cast("long")
+    ).drop("_before")

@@ -71,3 +71,61 @@ def with_global_rank(
         )
         .drop("_pid")
     )
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    weight,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE weighted prefix sum in a total order, distributed:
+    out_col = sum of `weight` over all rows strictly before this one
+    under order_cols — with_global_rank's machinery generalized from
+    counting rows to summing an arbitrary weight expression (rank =
+    prefix of weight 1, plus start). Same shape: range-repartition +
+    sort, ONE weight-total per partition to the driver, broadcast
+    prefix offsets, per-partition cumulative window. order_cols must
+    end in a per-row tiebreaker so ties never straddle partitions.
+
+    `weight` is a Column (or column name); it is evaluated once into
+    an internal column so expressions are fine.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    w_expr = F.col(weight) if isinstance(weight, str) else weight
+    df = df.withColumn("_w", w_expr.cast("long"))
+    if df.isEmpty():
+        return df.withColumn(out_col, F.lit(0).cast("long")).drop("_w")
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    parted = parted.withColumn("_pid", F.spark_partition_id())
+    # tiny: one weight-total per partition
+    sizes = {
+        r["_pid"]: r["b"]
+        for r in parted.groupBy("_pid").agg(F.sum("_w").alias("b")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parted.withColumn(
+            out_col,
+            (
+                F.coalesce(F.sum("_w").over(w), F.lit(0))
+                + offset_expr[F.col("_pid")]
+            ).cast("long"),
+        )
+        .drop("_w", "_pid")
+    )

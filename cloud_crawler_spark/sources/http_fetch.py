@@ -98,30 +98,56 @@ def _headers_to_hash(msg) -> dict:
 
 
 def _maybe_gunzip(body: Optional[bytes], encoding: Optional[str],
-                  max_bytes: Optional[int] = None) -> tuple[Optional[bytes], bool]:
+                  max_bytes: Optional[int] = None,
+                  raw_truncated: bool = False) -> tuple[Optional[bytes], bool]:
     """Transparently decompress a gzip response body; returns
     (decoded_body, truncated). The stored page bytes are ALWAYS the
     decoded document (the byte-identical extracted-text contract
     applies to content, not transfer coding); the headers hash keeps
-    Content-Encoding as received. A corrupt gzip stream raises —
-    surfaced as a fetch error into the retry loop, like any truncated
-    read.
+    Content-Encoding as received. A corrupt or truncated gzip stream
+    raises (gzip.decompress parity, incl. multi-member streams) —
+    surfaced as a fetch error into the retry loop — UNLESS
+    ``raw_truncated`` says the CALLER cut the compressed read at its
+    own byte cap, in which case the partial decode is returned with
+    truncated=True instead of punishing the fetch with retries.
 
     max_bytes bounds the DECODED size (zlib streaming decompress with
-    max_length) — the decompression-bomb guard: a 10 MB transfer that
-    inflates to 10 GB stops at the cap inside the python worker
-    instead of taking the executor down."""
+    max_length, member by member) — the decompression-bomb guard: a
+    10 MB transfer that inflates to 10 GB stops at the cap inside the
+    python worker instead of taking the executor down."""
     if body and encoding and encoding.strip().lower() == "gzip":
         import zlib
 
-        d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip wrapper
-        if max_bytes is not None:
-            out = d.decompress(body, max_bytes + 1)
-            if len(out) > max_bytes:
-                return out[:max_bytes], True
-            out += d.flush()
-            return out, False
-        return d.decompress(body) + d.flush(), False
+        out = bytearray()
+        data = body
+        while True:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip wrapper
+            if max_bytes is None:
+                out += d.decompress(data)
+            else:
+                chunk = d.decompress(data, max_bytes + 1 - len(out))
+                out += chunk
+                while (len(out) <= max_bytes and d.unconsumed_tail
+                       and not d.eof):
+                    out += d.decompress(
+                        d.unconsumed_tail, max_bytes + 1 - len(out)
+                    )
+                if len(out) > max_bytes:
+                    return bytes(out[:max_bytes]), True
+            if not d.eof:
+                # stream ends mid-member: OUR capped read -> partial
+                # page, flagged; anything else -> error (gzip parity)
+                if raw_truncated:
+                    return bytes(out), True
+                raise EOFError(
+                    "Compressed file ended before the end-of-stream "
+                    "marker was reached"
+                )
+            # RFC 1952 multi-member: keep decoding (gzip.decompress
+            # parity); trailing zero padding is legal and ignored
+            data = d.unused_data.lstrip(b"\x00")
+            if not data:
+                return bytes(out), False
     if max_bytes is not None and body and len(body) > max_bytes:
         return body[:max_bytes], True
     return body, False
@@ -185,12 +211,14 @@ class UrllibTransport:
         try:
             resp = self.opener.open(req, timeout=self.timeout)
             raw = resp.read(cap + 1) if cap is not None else resp.read()
-            body, truncated = _maybe_gunzip(
-                raw, resp.headers.get("Content-Encoding"), max_bytes=cap
-            )
             # capped COMPRESSED read: the gzip stream is incomplete, so
             # the decode is partial even when it lands under the cap
-            truncated = truncated or (cap is not None and len(raw) > cap)
+            raw_over = cap is not None and len(raw) > cap
+            body, truncated = _maybe_gunzip(
+                raw, resp.headers.get("Content-Encoding"), max_bytes=cap,
+                raw_truncated=raw_over,
+            )
+            truncated = truncated or raw_over
             ms = int((time.monotonic() - t0) * 1000)
             return FetchResponse(
                 code=resp.getcode(),
@@ -205,9 +233,12 @@ class UrllibTransport:
             ms = int((time.monotonic() - t0) * 1000)
             if e.code not in range(300, 400):
                 raw = e.read(cap + 1) if cap is not None else e.read()
+                raw_over = cap is not None and len(raw) > cap
                 body, truncated = _maybe_gunzip(
-                    raw, e.headers.get("Content-Encoding"), max_bytes=cap
+                    raw, e.headers.get("Content-Encoding"), max_bytes=cap,
+                    raw_truncated=raw_over,
                 )
+                truncated = truncated or raw_over
             else:
                 body, truncated = None, False
             return FetchResponse(

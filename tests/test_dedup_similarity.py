@@ -244,6 +244,59 @@ def test_connected_components_star_empty_strings_selfloops(spark):
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_star_selfloop_only_id_kept(spark):
+    # an id touched ONLY by a self-loop is a singleton row — the same
+    # contract as the label algorithm (code-review r3 finding)
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7)], "doc_a long, doc_b long"
+    )
+    star = {r["id"]: r["label"] for r in DD.connected_components_star(edges).collect()}
+    lab = {r["id"]: r["label"] for r in DD.connected_components(edges).collect()}
+    assert star == lab == {1: 1, 2: 1, 7: 7}
+
+
+def test_connected_components_star_shared_leaf_counterexample(spark):
+    # Path 1-10-5-11-2 with NON-MONOTONE ids: after round 1 the edge
+    # set is {(5,1),(5,2),(10,1),(11,2)} — parents and children are
+    # disjoint, but leaf 5 has TWO parents. A convergence test that
+    # only checks "no parent is a child" exits here with node 5
+    # double-labeled and {2,11} split off (code-review r3 finding);
+    # the fix also requires single-parent per child.
+    edges = spark.createDataFrame(
+        [(1, 10), (10, 5), (5, 11), (11, 2)], "doc_a long, doc_b long"
+    )
+    out = DD.connected_components_star(edges).collect()
+    as_map = {r["id"]: r["label"] for r in out}
+    assert len(out) == len(as_map) == 5  # no duplicate id rows
+    assert as_map == {i: 1 for i in (1, 2, 5, 10, 11)}
+
+
+def test_connected_components_star_random_nonmonotone_vs_label(spark):
+    # randomized stress with shuffled (non-monotone) id spaces: star
+    # must equal label propagation on every graph
+    import random
+
+    for seed in (3, 5, 9):
+        rnd = random.Random(seed)
+        ids = list(range(1000, 1090))
+        rnd.shuffle(ids)
+        edges = [
+            (ids[rnd.randrange(90)], ids[rnd.randrange(90)]) for _ in range(70)
+        ]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long"
+        )
+        lab = {
+            r["id"]: r["label"]
+            for r in DD.connected_components(df, max_iter=90).collect()
+        }
+        star = {
+            r["id"]: r["label"]
+            for r in DD.connected_components_star(df).collect()
+        }
+        assert star == lab, f"seed {seed}"
+
+
 def test_connected_components_incremental_matches_full(spark):
     # incremental(CC(old), delta) == CC(old ∪ delta), including ids
     # first seen in the delta

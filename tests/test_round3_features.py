@@ -739,6 +739,39 @@ class TestGzipTransfer:
         # identity body over the cap
         assert _maybe_gunzip(b"x" * 50, None, max_bytes=10) == (b"x" * 10, True)
 
+    def test_maybe_gunzip_gzip_parity(self):
+        """gzip.decompress parity pinned (code-review r3 findings): a
+        server-truncated stream RAISES into the retry loop; a stream
+        cut by OUR OWN read cap returns partial+flagged instead;
+        multi-member streams decode fully."""
+        import gzip
+
+        import pytest as _pt
+
+        from cloud_crawler_spark.sources.http_fetch import _maybe_gunzip
+
+        import hashlib
+
+        # incompressible deterministic body so a 40-byte prefix is
+        # genuinely mid-stream (repetitive text gzips to <40 bytes)
+        doc = b"".join(hashlib.sha256(bytes([i])).digest() for i in range(40))
+        cut = gzip.compress(doc)[:40]  # connection dropped mid-body
+        with _pt.raises(EOFError):
+            _maybe_gunzip(cut, "gzip")
+        with _pt.raises(EOFError):
+            _maybe_gunzip(cut, "gzip", max_bytes=10_000)
+        # same cut caused by the transport's OWN capped read: partial
+        # bytes come back flagged, no retry storm
+        body, truncated = _maybe_gunzip(cut, "gzip", raw_truncated=True)
+        assert truncated and doc.startswith(body)
+        # RFC 1952 multi-member (range-assembled caches): all members
+        multi = gzip.compress(b"AAA") + gzip.compress(b"BBB")
+        assert _maybe_gunzip(multi, "gzip") == (b"AAABBB", False)
+        assert _maybe_gunzip(multi, "gzip", max_bytes=1000) == (b"AAABBB", False)
+        assert _maybe_gunzip(multi, "gzip", max_bytes=4) == (b"AAAB", True)
+        # trailing zero padding after the last member is legal
+        assert _maybe_gunzip(gzip.compress(b"Z") + b"\x00" * 8, "gzip") == (b"Z", False)
+
     def test_live_roundtrip_via_local_server(self):
         """A localhost server negotiating gzip: the transport must
         advertise Accept-Encoding: gzip and store DECODED bytes."""
