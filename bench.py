@@ -109,6 +109,7 @@ HEADLINE = [
     "q_url_equivalence",
     "q_compliance_audit",
     "q_lsh_incremental",
+    "q_neardup_incremental",
     "q_key_skew",
     "q_feed_discovery",
     "q_sitemap_coverage",

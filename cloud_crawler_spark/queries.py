@@ -331,9 +331,7 @@ def q_lsh_pairs(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", F.col("band_id").cast("long").alias("band_id"))
 
 
-@_register(
-    "q_dedup_clusters",
-    f"""
+_DEDUP_CLUSTERS_SQL = f"""
     WITH RECURSIVE sig AS (
       SELECT doc_id, {_MH_SQL_COLS}
       FROM (SELECT doc_id,
@@ -361,8 +359,58 @@ def q_lsh_pairs(spark, sf_dir):
            coalesce(c.label, d.doc_id) AS cluster_id,
            (coalesce(c.label, d.doc_id) = d.doc_id)::INT AS is_canonical
     FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-    """,
-)
+    """
+
+
+@_register("q_neardup_incremental", _DEDUP_CLUSTERS_SQL)
+def q_neardup_incremental(spark, sf_dir):
+    """End-to-end INCREMENTAL near-dup clustering: the corpus is split
+    into a stored base (doc_id % 4 != 0, clustered once) and a daily
+    delta; the delta probes the PERSISTED banded MinHash index
+    (lsh_incremental_pairs — history never re-pairs against itself),
+    delta-internal pairs come from one LSH pass over the delta alone,
+    and connected_components_incremental merges both edge sets into
+    the existing labels through an O(|delta|) quotient graph. The
+    ORACLE IS q_dedup_clusters' full-rebuild SQL verbatim: because the
+    banding is partition-independent, base∪cross∪delta pairs equal the
+    full corpus's pair set, so the hash match PROVES incremental ==
+    full rebuild — the refresh a 10^10-doc dedup index actually runs
+    nightly."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+    pairs0 = (
+        DD.lsh_candidate_pairs(base, k=_MINHASH_K, bands=2)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    labels0 = DD.connected_components(pairs0, algorithm="star")
+    index = DD.lsh_banded(base, k=_MINHASH_K, bands=2)
+    cross = DD.lsh_incremental_pairs(index, delta, k=_MINHASH_K, bands=2).select(
+        F.col("base_id").alias("doc_a"), F.col("delta_id").alias("doc_b")
+    )
+    within = (
+        DD.lsh_candidate_pairs(delta, k=_MINHASH_K, bands=2)
+        .select("doc_a", "doc_b")
+    )
+    merged = DD.connected_components_incremental(
+        labels0, cross.unionAll(within).distinct()
+    )
+    return (
+        docs.select("doc_id")
+        .join(merged.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+        )
+    )
+
+
+@_register("q_dedup_clusters", _DEDUP_CLUSTERS_SQL)
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: LSH pairs -> connected components (iterative
     min-label propagation, O(diameter) shuffle rounds) -> per-doc
