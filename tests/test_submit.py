@@ -66,3 +66,56 @@ def test_spark_submit_pyfiles_crawl(tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "crawled"))
     assert os.path.isdir(os.path.join(out_dir, "lineage"))
     assert os.path.isdir(os.path.join(out_dir, "checkpoint"))
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on PATH")
+def test_spark_submit_multi_executor_matches_single_jvm(tmp_path):
+    """TRUE multi-executor run: local-cluster[2,2,2048] launches two
+    SEPARATE executor JVMs (real serialization, netty shuffle,
+    broadcast to remote executors, per-executor python workers — the
+    failure modes local[N] can't surface), fed ONLY by the --py-files
+    zip. The crawl must produce the SAME url count and round count as
+    the single-JVM run on the same deterministic input — the
+    same-input-same-crawl guarantee is topology-independent, which is
+    what lets the N vs 4N executor contrast of the north rule compare
+    like with like."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import make_pyfiles
+
+    zip_path = make_pyfiles.build(str(tmp_path / "cloud_crawler_spark.zip"))
+
+    def run(master: str, out_name: str) -> dict:
+        out_dir = str(tmp_path / out_name)
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)  # imports must come from --py-files
+        env.setdefault("PYSPARK_PYTHON", sys.executable)
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", master,
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.driver.memory=3g",
+                "--py-files", zip_path,
+                os.path.join(REPO, "scripts", "submit_crawl.py"),
+                "--synth", "1500",
+                "--out", out_dir,
+                "--depth", "1",
+                "--host-budget", "200",
+                "--discard-page",
+            ],
+            cwd=str(tmp_path),
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, (master, proc.stderr[-4000:])
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        assert lines, (master, proc.stdout[-2000:])
+        return json.loads(lines[-1])
+
+    single = run("local[4]", "out_single")
+    multi = run("local-cluster[2,2,2048]", "out_multi")
+    assert multi["urls"] == single["urls"] > 0
+    assert multi["rounds"] == single["rounds"] >= 1
