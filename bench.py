@@ -145,8 +145,29 @@ def _sf_of(sf_dir: str) -> float:
 
 def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench",
                 shuffle_partitions: int | None = None,
-                task_cpus: int | None = None):
+                task_cpus: int | None = None,
+                master: str | None = None):
+    """master=None -> local[cpus] (single JVM). The scaling harness's
+    cluster mode passes e.g. 'local-cluster[8,2,3072]' — SEPARATE
+    executor JVMs (real serialization/netty shuffle/remote broadcast),
+    the faithful N-vs-4N-executor topology; `cpus` then only labels
+    parallelism defaults."""
+    import os as _os
+
     from pyspark.sql import SparkSession
+
+    if master and master.startswith("local-cluster"):
+        # executor JVMs are spawned by a local Worker; they need a
+        # SPARK_HOME and their python workers need the repo on path
+        import pyspark as _ps
+
+        _os.environ.setdefault("SPARK_HOME", _ps.__path__[0])
+        repo = _os.path.dirname(_os.path.abspath(__file__))
+        existing = _os.environ.get("PYTHONPATH", "")
+        if repo not in existing.split(_os.pathsep):
+            _os.environ["PYTHONPATH"] = (
+                repo + (_os.pathsep + existing if existing else "")
+            )
 
     # task_cpus=2 is the pandas-UDF-correct accounting on a real
     # cluster: each task runs a JVM thread AND an Arrow python worker
@@ -155,7 +176,7 @@ def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench",
     # N-vs-4N contrast compares true resource grants, not inflated ones.
     task_cpus = task_cpus or int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app)
         .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))

@@ -51,7 +51,9 @@ from cloud_crawler_spark.sources.corpus import prepare_corpus
 from cloud_crawler_spark.sources.webgen import synth_pages, synth_seeds
 
 cpus = int(sys.argv[1]); n_pages = int(sys.argv[2]); shuffle_parts = int(sys.argv[3])
-spark = build_spark(cpus, app=f"scaling_{{cpus}}", shuffle_partitions=shuffle_parts)
+master = sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] != "-" else None
+spark = build_spark(cpus, app=f"scaling_{{cpus}}", shuffle_partitions=shuffle_parts,
+                    master=master)
 spark.sparkContext.setLogLevel("ERROR")
 
 n_hosts = max(n_pages // 200, 16)
@@ -127,19 +129,23 @@ for line in sys.stdin:
 
 class Worker:
     def __init__(self, cpus: int, n_pages: int, shuffle_parts: int,
-                 task_cpus: int = 1):
+                 task_cpus: int = 1, master: str | None = None):
         self.cpus = cpus
         env = dict(os.environ)
         # two JVMs coexist: cap each heap so the pair + python workers
         # fit the box without GC-thrash contaminating the timings
-        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        # (cluster mode: per-EXECUTOR memory rides the master string,
+        # so the driver heap can stay small)
+        env.setdefault(
+            "SPARK_GRAFT_DRIVER_MEM", "6g" if master else "24g"
+        )
         # pandas-UDF-correct scheduling (see bench.build_spark): with
         # task_cpus=2 a local[K] JVM runs K/2 concurrent tasks = K
         # busy threads (JVM+python per task) — nominal K means K
         env["SPARK_GRAFT_TASK_CPUS"] = str(task_cpus)
         self.proc = subprocess.Popen(
             [sys.executable, "-u", "-c", WORKER.format(repo=REPO),
-             str(cpus), str(n_pages), str(shuffle_parts)],
+             str(cpus), str(n_pages), str(shuffle_parts), master or "-"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, env=env,
         )
@@ -301,7 +307,23 @@ def main():
     # measured efficiency is a conservative lower bound. Combined
     # demand (~4+1 task slots = ~6-8 busy threads) stays inside this
     # box's ~8-thread linear region.
+    # "co" / "seq": local[N] threads in one JVM.
+    # "co-cluster": local-cluster[n,2,3072] — n SEPARATE executor JVM
+    # processes with 2 cores each (real serialization, netty shuffle,
+    # remote broadcast, per-executor python workers): the faithful
+    # N-executors-vs-4N-executors topology of the rule. n_small/n_big
+    # are then EXECUTOR counts; nominal cores = 2n. task_cpus=2 still
+    # schedules one (JVM thread + python worker) pair per 2 cores.
     mode = sys.argv[8] if len(sys.argv) > 8 else "seq"
+    cluster = mode.endswith("-cluster")
+    if cluster:
+        mode = mode[: -len("-cluster")]
+    # cluster pairs are a DIFFERENT measured config from thread pairs:
+    # the recorded/aggregated mode label keeps the suffix
+    mode_label = mode + ("-cluster" if cluster else "")
+
+    def _master(n_exec: int) -> str | None:
+        return f"local-cluster[{n_exec},2,3072]" if cluster else None
     # 4 partitions per big-level core: with coarse partitioning (= n_big)
     # the dominant parse stage runs in 2 waves at the big level and its
     # straggler tail caps measured scaling at ~0.74; at 4x granularity the
@@ -315,8 +337,10 @@ def main():
     # pairs=0: report-only mode — regenerate the markdown from the
     # accumulated pair log without running any crawls
     if pairs > 0:
-        wb = Worker(n_big, n_pages, shuffle_parts, task_cpus)
-        ws = Worker(n_small, n_pages, shuffle_parts, task_cpus)
+        wb = Worker(n_big, n_pages, shuffle_parts, task_cpus,
+                    master=_master(n_big))
+        ws = Worker(n_small, n_pages, shuffle_parts, task_cpus,
+                    master=_master(n_small))
         wb.wait_ready()
         ws.wait_ready()
 
@@ -462,7 +486,7 @@ def main():
                 "parse_ceiling": hw_parse,
                 "parse_norm_eff": parse_norm_effs[-1],
                 "cpu_attrib": "tree",
-                "mode": mode,
+                "mode": mode_label,
             }) + "\n")
     if pairs > 0:
         wb.close()
@@ -470,7 +494,7 @@ def main():
 
     # aggregate over all recorded pairs for this config
     cfg = (n_small, n_big, n_pages, shuffle_parts, task_cpus,
-           runs_per_level, mode)
+           runs_per_level, mode_label)
     try:
         with open(PAIRS_LOG) as pf:
             recs = [json.loads(ln) for ln in pf if ln.strip()]
