@@ -25,8 +25,16 @@ count, so physical plans are identical — only executor-thread count
 differs, exactly the N vs 4N executor contrast the rule asks for.
 
 Usage: python scripts/bench_scaling.py [n_pages] [out_md] [n_small]
-       [n_big] [pairs] [task_cpus] [runs_per_level]
+       [n_big] [pairs] [task_cpus] [runs_per_level] [mode]
 (pairs=0: regenerate the report from the accumulated pair log only)
+
+mode "co-cluster" runs each level as a REAL local-cluster
+(n executors x 2 cores, separate JVM processes — serialization,
+netty shuffle, remote broadcast, per-executor python workers), the
+faithful N-vs-4N-executor topology. On this box use n_small=1
+n_big=4 there: one task (JVM thread + python worker) per executor
+puts the big level at ~8 busy threads — inside the machine's linear
+region, same operating point as the thread-mode 2-vs-8 contrast.
 """
 
 from __future__ import annotations
