@@ -104,12 +104,15 @@ def lsh_banded(df: DataFrame, text_col: str = "text",
 
 
 def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
-                 k: int, bands: int) -> DataFrame:
+                 k: int, bands: int,
+                 banded: DataFrame | None = None) -> DataFrame:
     """(band_id, band_key) -> sorted id array. ONE shuffle on a 2-col
     key and one computation of the signatures, where a self equi-join
     would execute the whole MinHash pipeline twice (once per join side)
-    and shuffle it both times."""
-    banded = lsh_banded(df, text_col, id_col, k, bands)
+    and shuffle it both times. Pass a precomputed/persisted
+    ``lsh_banded`` frame as `banded` to skip signing entirely."""
+    if banded is None:
+        banded = lsh_banded(df, text_col, id_col, k, bands)
     return banded.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
@@ -150,8 +153,14 @@ def lsh_incremental_pairs(
     else:
         base_b = lsh_banded(base, text_col, id_col, k, bands).select(
             F.col(id_col).alias("base_id"), "band_id", "band_key")
-    delta_b = lsh_banded(delta, text_col, id_col, k, bands).select(
-        F.col(id_col).alias("delta_id"), "band_id", "band_key")
+    if {"band_id", "band_key"}.issubset(set(delta.columns)):
+        # pre-banded delta (signatures computed once by the caller and
+        # shared with its delta-internal pair pass)
+        delta_b = delta.select(
+            F.col(id_col).alias("delta_id"), "band_id", "band_key")
+    else:
+        delta_b = lsh_banded(delta, text_col, id_col, k, bands).select(
+            F.col(id_col).alias("delta_id"), "band_id", "band_key")
     if max_bucket is not None:
         sizes = base_b.groupBy("band_id", "band_key").agg(
             F.count("*").alias("_bn"))
@@ -167,10 +176,46 @@ def lsh_incremental_pairs(
     )
 
 
+def lsh_cluster_edges(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8, bands: int = 4,
+                      max_bucket: int | None = None,
+                      banded: DataFrame | None = None) -> DataFrame:
+    """CONNECTIVITY edges for near-dup clustering: per LSH bucket,
+    consecutive pairs of the sorted id array — a PATH through the
+    bucket (B-1 edges) instead of lsh_candidate_pairs' B^2/2 pair
+    explosion. Connected components over these edges are IDENTICAL to
+    components over all pairs (a path connects exactly what a clique
+    connects), so clustering never pays the quadratic term a
+    mega-bucket of exact duplicates otherwise costs — the 10^10-doc
+    shape for dedup_clusters. Use lsh_candidate_pairs when the PAIRS
+    themselves are the product (Jaccard verification, audit).
+    max_bucket keeps lsh_candidate_pairs' cap semantics (a skipped
+    bucket contributes no edges).
+    """
+    buckets = _lsh_buckets(df, text_col, id_col, k, bands, banded=banded)
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
+    buckets = buckets.where(F.size("ids") >= 2)
+    path = F.transform(
+        F.slice(F.col("ids"), 1, F.size("ids") - 1),
+        lambda x, i: F.struct(
+            x.alias("doc_a"),
+            F.element_at(F.col("ids"), i + 2).alias("doc_b"),
+        ),
+    )
+    return (
+        buckets.select(F.explode(path).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 8, bands: int = 4,
                         max_bucket: int | None = None,
-                        chunk: int = 256) -> DataFrame:
+                        chunk: int = 256,
+                        banded: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH banding: signature split into `bands` bands of k/bands
     rows; docs sharing any band bucket become a candidate pair.
     A doc appears exactly once per band, so pairs are already distinct
@@ -193,7 +238,7 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     Capping DROPS those buckets' pairs — audit what was dropped with
     `lsh_overflow_buckets` (same args), don't let the cap be silent.
     """
-    buckets = _lsh_buckets(df, text_col, id_col, k, bands)
+    buckets = _lsh_buckets(df, text_col, id_col, k, bands, banded=banded)
     if max_bucket is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket)
     buckets = buckets.where(F.size("ids") >= 2)
@@ -544,10 +589,13 @@ def dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     id in the component; docs in no pair are singleton clusters). The
     min-id member is the retained canonical; `is_canonical=1` rows are
     the deduplicated corpus, the rest are the drop set."""
-    pairs = (
-        lsh_candidate_pairs(df, text_col, id_col, k, bands, max_bucket=max_bucket)
-        .select("doc_a", "doc_b")
-        .distinct()
+    # lsh_cluster_edges: per-bucket PATHS (B-1 edges), not all B^2/2
+    # candidate pairs — components are identical (a path connects
+    # exactly what a clique connects) and a mega-bucket of exact
+    # duplicates costs linear edges instead of quadratic (the
+    # 10^10-doc clustering shape)
+    pairs = lsh_cluster_edges(
+        df, text_col, id_col, k, bands, max_bucket=max_bucket
     )
     comp = connected_components(pairs, max_iter=max_iter,
                                 algorithm=cc_algorithm)

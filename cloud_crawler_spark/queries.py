@@ -379,19 +379,31 @@ def q_neardup_incremental(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 4 != 0)
     delta = docs.where(F.col("doc_id") % 4 == 0)
-    pairs0 = (
-        DD.lsh_candidate_pairs(base, k=_MINHASH_K, bands=2)
-        .select("doc_a", "doc_b")
+    # sign each side ONCE: the persisted banded index serves both the
+    # base-internal pair pass and the delta probe; likewise the delta's
+    # banding serves the probe and its delta-internal pass
+    index = DD.lsh_banded(base, k=_MINHASH_K, bands=2).localCheckpoint(eager=True)
+    delta_banded = DD.lsh_banded(
+        delta, k=_MINHASH_K, bands=2
+    ).localCheckpoint(eager=True)
+    # connectivity edges, never cliques: per-bucket PATHS on each side
+    # (lsh_cluster_edges) and, for the probe, each delta member linked
+    # to its bucket's MIN base member — the union connects exactly what
+    # the full per-bucket clique connects, with O(bucket) edges instead
+    # of O(bucket^2), so a mega-bucket of exact dups costs linear work
+    pairs0 = DD.lsh_cluster_edges(base, k=_MINHASH_K, bands=2, banded=index)
+    labels0 = DD.connected_components(pairs0, algorithm="star")
+    bucket_min = index.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    cross = (
+        delta_banded.join(bucket_min, ["band_id", "band_key"])
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .where(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
-    labels0 = DD.connected_components(pairs0, algorithm="star")
-    index = DD.lsh_banded(base, k=_MINHASH_K, bands=2)
-    cross = DD.lsh_incremental_pairs(index, delta, k=_MINHASH_K, bands=2).select(
-        F.col("base_id").alias("doc_a"), F.col("delta_id").alias("doc_b")
-    )
-    within = (
-        DD.lsh_candidate_pairs(delta, k=_MINHASH_K, bands=2)
-        .select("doc_a", "doc_b")
+    within = DD.lsh_cluster_edges(
+        delta, k=_MINHASH_K, bands=2, banded=delta_banded
     )
     merged = DD.connected_components_incremental(
         labels0, cross.unionAll(within).distinct()
