@@ -152,8 +152,6 @@ def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench",
     executor JVMs (real serialization/netty shuffle/remote broadcast),
     the faithful N-vs-4N-executor topology; `cpus` then only labels
     parallelism defaults."""
-    import os as _os
-
     from pyspark.sql import SparkSession
 
     if master and master.startswith("local-cluster"):
@@ -161,12 +159,12 @@ def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench",
         # SPARK_HOME and their python workers need the repo on path
         import pyspark as _ps
 
-        _os.environ.setdefault("SPARK_HOME", _ps.__path__[0])
-        repo = _os.path.dirname(_os.path.abspath(__file__))
-        existing = _os.environ.get("PYTHONPATH", "")
-        if repo not in existing.split(_os.pathsep):
-            _os.environ["PYTHONPATH"] = (
-                repo + (_os.pathsep + existing if existing else "")
+        os.environ.setdefault("SPARK_HOME", _ps.__path__[0])
+        repo = os.path.dirname(os.path.abspath(__file__))
+        existing = os.environ.get("PYTHONPATH", "")
+        if repo not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                repo + (os.pathsep + existing if existing else "")
             )
 
     # task_cpus=2 is the pandas-UDF-correct accounting on a real

@@ -333,7 +333,7 @@ def _jaccard(a, b):
 
 
 def connected_components(edges: DataFrame, id_a: str = "doc_a",
-                         id_b: str = "doc_b", max_iter: int = 20,
+                         id_b: str = "doc_b", max_iter: int | None = None,
                          algorithm: str = "label") -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -357,9 +357,16 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
     ids that appear in `edges` (callers fold isolated ids back in).
     """
     if algorithm == "star":
-        # O(log n) rounds: the default 20 covers diameters up to ~2^18
-        return connected_components_star(edges, id_a, id_b,
-                                         max_iter=max_iter)
+        # each algorithm gets its OWN default budget when the caller
+        # leaves max_iter unset: 50 star rounds cover ~2^48 diameters,
+        # 20 label rounds cover diameter-20 graphs. An explicit value
+        # is honored as given.
+        return connected_components_star(
+            edges, id_a, id_b,
+            max_iter=50 if max_iter is None else max_iter,
+        )
+    if max_iter is None:
+        max_iter = 20
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -582,8 +589,8 @@ def connected_components_incremental(
 def dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    k: int = 8, bands: int = 4,
                    max_bucket: int | None = None,
-                   max_iter: int = 20,
-                   cc_algorithm: str = "label") -> DataFrame:
+                   max_iter: int | None = None,
+                   cc_algorithm: str = "star") -> DataFrame:
     """Near-duplicate CLUSTERS: LSH candidate pairs -> connected
     components -> every document labeled with its cluster id (min doc
     id in the component; docs in no pair are singleton clusters). The
@@ -593,7 +600,10 @@ def dedup_clusters(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     # candidate pairs — components are identical (a path connects
     # exactly what a clique connects) and a mega-bucket of exact
     # duplicates costs linear edges instead of quadratic (the
-    # 10^10-doc clustering shape)
+    # 10^10-doc clustering shape). Path edges make component diameter
+    # O(bucket size), which is WHY star contraction (O(log n) rounds)
+    # is the default here — label propagation's O(diameter) budget
+    # would shatter any bucket wider than its round count.
     pairs = lsh_cluster_edges(
         df, text_col, id_col, k, bands, max_bucket=max_bucket
     )

@@ -95,7 +95,9 @@ def with_prefix_sum(
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
     w_expr = F.col(weight) if isinstance(weight, str) else weight
-    df = df.withColumn("_w", w_expr.cast("long"))
+    # NULL weights count as 0: an all-NULL partition would otherwise
+    # sum to NULL and crash the driver-side offsets loop
+    df = df.withColumn("_w", F.coalesce(w_expr.cast("long"), F.lit(0)))
     if df.isEmpty():
         return df.withColumn(out_col, F.lit(0).cast("long")).drop("_w")
 

@@ -365,17 +365,21 @@ _DEDUP_CLUSTERS_SQL = f"""
 @_register("q_neardup_incremental", _DEDUP_CLUSTERS_SQL)
 def q_neardup_incremental(spark, sf_dir):
     """End-to-end INCREMENTAL near-dup clustering: the corpus is split
-    into a stored base (doc_id % 4 != 0, clustered once) and a daily
-    delta; the delta probes the PERSISTED banded MinHash index
-    (lsh_incremental_pairs — history never re-pairs against itself),
-    delta-internal pairs come from one LSH pass over the delta alone,
+    into a stored base (doc_id % 4 != 0, clustered once over per-bucket
+    PATH edges) and a daily delta; each delta member links to its
+    shared bucket's MIN base member (a star probe of the persisted
+    banded index — history never re-pairs against itself),
+    delta-internal edges come from one path pass over the delta alone,
     and connected_components_incremental merges both edge sets into
     the existing labels through an O(|delta|) quotient graph. The
-    ORACLE IS q_dedup_clusters' full-rebuild SQL verbatim: because the
-    banding is partition-independent, base∪cross∪delta pairs equal the
-    full corpus's pair set, so the hash match PROVES incremental ==
-    full rebuild — the refresh a 10^10-doc dedup index actually runs
-    nightly."""
+    edge sets are CONNECTIVITY-equivalent (not equal) to the full
+    per-bucket cliques: within any bucket, base members form a path,
+    delta members form a path, and the min-base star joins the two —
+    together they connect exactly the bucket's member set, so
+    components (and min-id labels) match the full rebuild. The ORACLE
+    IS q_dedup_clusters' full-rebuild SQL verbatim; the hash match
+    PROVES incremental == full — the refresh a 10^10-doc dedup index
+    actually runs nightly, at O(|delta| + bucket sizes) edge cost."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 4 != 0)
     delta = docs.where(F.col("doc_id") % 4 == 0)

@@ -297,6 +297,45 @@ def test_connected_components_star_random_nonmonotone_vs_label(spark):
         assert star == lab, f"seed {seed}"
 
 
+def test_lsh_incremental_pairs_prebanded_delta_equal(spark, docs):
+    # the pre-banded fast path (signatures computed once by a caller
+    # and shared) must produce exactly the raw-corpus result on BOTH
+    # sides of the probe join
+    base = docs.where("doc_id % 2 = 0")
+    delta = docs.where("doc_id % 2 = 1")
+    raw = sorted(
+        tuple(r)
+        for r in DD.lsh_incremental_pairs(base, delta, k=8, bands=4).collect()
+    )
+    pre = sorted(
+        tuple(r)
+        for r in DD.lsh_incremental_pairs(
+            DD.lsh_banded(base, k=8, bands=4),
+            DD.lsh_banded(delta, k=8, bands=4),
+            k=8, bands=4,
+        ).collect()
+    )
+    assert pre == raw
+
+
+def test_lsh_cluster_edges_components_match_candidate_pairs(spark, docs):
+    # path edges connect exactly what the clique edges connect
+    lab_pairs = {
+        r["id"]: r["label"]
+        for r in DD.connected_components(
+            DD.lsh_candidate_pairs(docs, k=8, bands=4)
+            .select("doc_a", "doc_b").distinct()
+        ).collect()
+    }
+    lab_path = {
+        r["id"]: r["label"]
+        for r in DD.connected_components(
+            DD.lsh_cluster_edges(docs, k=8, bands=4), algorithm="star"
+        ).collect()
+    }
+    assert lab_path == lab_pairs
+
+
 def test_connected_components_incremental_matches_full(spark):
     # incremental(CC(old), delta) == CC(old ∪ delta), including ids
     # first seen in the delta
@@ -338,6 +377,19 @@ def test_connected_components_incremental_merges_chains(spark):
     }
     assert set(out.values()) == {0}
     assert len(out) == 80  # 2 chains x 40 nodes, every id labeled
+
+
+def test_dedup_clusters_megabucket_single_cluster(spark):
+    # 100 exact duplicates = one LSH bucket = a 99-edge PATH under
+    # lsh_cluster_edges: the default star CC must collapse it to ONE
+    # cluster with one canonical (code-review r3: label propagation's
+    # 20-round budget would shatter this into ~80 wrong clusters)
+    rows = [(i, "the same exact duplicated text body") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.dedup_clusters(df, k=8, bands=4).collect()
+    assert len(out) == 100
+    assert {r["cluster_id"] for r in out} == {0}
+    assert sum(r["is_canonical"] for r in out) == 1
 
 
 def test_dedup_clusters_star_algorithm_same_result(spark, docs):
