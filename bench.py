@@ -279,7 +279,12 @@ def main():
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    # the FULL registry: every oracled operator gets a recorded cost
+    # (VERDICT r3 task #4 — bench/registry unification). HEADLINE
+    # members run first in their historical order so cross-round
+    # per-query comparisons line up; the rest follow in registry order.
     names = [n for n in HEADLINE if n in qs]
+    names += [n for n in qs if n not in set(names)]
     if only:
         names = [n for n in only.split(",") if n in qs]
 

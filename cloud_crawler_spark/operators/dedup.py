@@ -126,6 +126,8 @@ def lsh_incremental_pairs(
     k: int = 8,
     bands: int = 4,
     max_bucket: int | None = None,
+    base_banded: bool | None = None,
+    delta_banded: bool | None = None,
 ) -> DataFrame:
     """Near-dup candidates BETWEEN a stored base corpus and a delta
     crawl — the daily-ingest shape: history is NEVER re-paired against
@@ -133,10 +135,15 @@ def lsh_incremental_pairs(
     new documents probe the index.
 
     `base` is either a corpus (text column -> banded here) or an
-    ALREADY-PERSISTED lsh_banded index (detected by its band_id/
-    band_key columns) — the 100 TB path, where the index is written
-    once, partitioned by (band_id, band_key), and each day's probe
-    join prunes to the delta's buckets.
+    ALREADY-PERSISTED lsh_banded index — the 100 TB path, where the
+    index is written once, partitioned by (band_id, band_key), and
+    each day's probe join prunes to the delta's buckets. Pass
+    base_banded/delta_banded=True to declare a pre-banded side (the
+    caller then owns k/bands consistency with whatever signed it);
+    when left None, a side is treated as pre-banded only if its
+    columns are EXACTLY (id_col, band_id, band_key) — a frame that
+    merely happens to carry band columns alongside others raises
+    instead of silently skipping signing.
 
     Returns (base_id, delta_id, band_id) — band_id = the lowest band
     where the pair collided. A document present on both sides (a
@@ -147,20 +154,28 @@ def lsh_incremental_pairs(
     cheaper (same audit reasoning as lsh_candidate_pairs; count the
     skips via the returned plan's complement if needed).
     """
-    if {"band_id", "band_key"}.issubset(set(base.columns)):
-        base_b = base.select(
-            F.col(id_col).alias("base_id"), "band_id", "band_key")
-    else:
-        base_b = lsh_banded(base, text_col, id_col, k, bands).select(
-            F.col(id_col).alias("base_id"), "band_id", "band_key")
-    if {"band_id", "band_key"}.issubset(set(delta.columns)):
-        # pre-banded delta (signatures computed once by the caller and
-        # shared with its delta-internal pair pass)
-        delta_b = delta.select(
-            F.col(id_col).alias("delta_id"), "band_id", "band_key")
-    else:
-        delta_b = lsh_banded(delta, text_col, id_col, k, bands).select(
-            F.col(id_col).alias("delta_id"), "band_id", "band_key")
+    def _side(df, flag, out_id, side_name):
+        if flag is None:
+            has_band = {"band_id", "band_key"}.issubset(set(df.columns))
+            exact = sorted(df.columns) == sorted([id_col, "band_id", "band_key"])
+            if has_band and not exact:
+                raise ValueError(
+                    f"{side_name} carries band_id/band_key among other "
+                    f"columns ({df.columns}); pass {side_name}_banded="
+                    "True/False explicitly instead of relying on "
+                    "column-name detection"
+                )
+            flag = exact
+        if flag:
+            return df.select(
+                F.col(id_col).alias(out_id), "band_id", "band_key")
+        return lsh_banded(df, text_col, id_col, k, bands).select(
+            F.col(id_col).alias(out_id), "band_id", "band_key")
+
+    base_b = _side(base, base_banded, "base_id", "base")
+    # pre-banded delta: signatures computed once by the caller and
+    # shared with its delta-internal pair pass
+    delta_b = _side(delta, delta_banded, "delta_id", "delta")
     if max_bucket is not None:
         sizes = base_b.groupBy("band_id", "band_key").agg(
             F.count("*").alias("_bn"))

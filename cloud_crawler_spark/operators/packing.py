@@ -141,22 +141,31 @@ def shard_by_bytes(
     driver). order_cols must end in a per-row tiebreaker (e.g.
     doc_id). A row larger than target_bytes still gets exactly one
     shard (shards are split points, not caps).
+
+    Adds two columns: ``shard`` and ``n_bytes`` (the measured row
+    size). A pre-existing caller column named ``n_bytes`` is left
+    untouched (the size is then carried in a private column and only
+    ``shard`` is added); a pre-existing ``shard`` column raises.
     """
     from cloud_crawler_spark.operators.rank import with_prefix_sum
 
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
+    if "shard" in df.columns:
+        raise ValueError("input already has a 'shard' column")
     size = (
         F.col(size_col) if size_col
         else F.octet_length(F.col(text_col))
     ).cast("long")
+    bytes_col = "_cc_n_bytes" if "n_bytes" in df.columns else "n_bytes"
     out = with_prefix_sum(
-        df.withColumn("n_bytes", size),
+        df.withColumn(bytes_col, size),
         order_cols,
-        weight=F.col("n_bytes"),
+        weight=F.col(bytes_col),
         out_col="_before",
         num_partitions=num_partitions,
     )
-    return out.withColumn(
+    out = out.withColumn(
         "shard", F.floor(F.col("_before") / F.lit(target_bytes)).cast("long")
     ).drop("_before")
+    return out.drop("_cc_n_bytes") if bytes_col == "_cc_n_bytes" else out

@@ -52,6 +52,11 @@ def with_global_rank(
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     parted = parted.withColumn("_pid", F.spark_partition_id())
+    # materialize ONCE: the offsets collect and the ranking window are
+    # two separate jobs over this lineage — a nondeterministic upstream
+    # (sample/limit/non-deterministic UDF) could otherwise shift rows
+    # between partitions across the two jobs and corrupt the offsets
+    parted = parted.localCheckpoint(eager=True)
 
     # tiny: one row per partition
     sizes = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
@@ -104,6 +109,8 @@ def with_prefix_sum(
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
     parted = parted.withColumn("_pid", F.spark_partition_id())
+    # same two-job hazard as with_global_rank: pin the partitioning
+    parted = parted.localCheckpoint(eager=True)
     # tiny: one weight-total per partition
     sizes = {
         r["_pid"]: r["b"]

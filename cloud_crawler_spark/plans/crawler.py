@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from cloud_crawler_spark.config import CrawlConfig
 from cloud_crawler_spark.functions.canon import with_canon
+from cloud_crawler_spark.operators import rank as rank_ops
 from cloud_crawler_spark.operators import robots as robots_ops
 from cloud_crawler_spark.plans.round import run_round
 from cloud_crawler_spark.sources.corpus import Corpus
@@ -41,12 +42,24 @@ def seed_frontier(spark: SparkSession, seeds: DataFrame) -> DataFrame:
     if "priority" not in seeds.columns:
         seeds = seeds.withColumn("priority", F.lit(0.0))
     s = with_canon(seeds, "url").where(F.col("canon_url").isNotNull())
-    # first occurrence per canon_url, by seed-list position
-    # seed lists are driver-provided and small; a global window is fine here
-    s = s.withColumn(
-        "link_pos",
-        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
-    )
+    # first occurrence per canon_url, by seed-list position. Hand-fed
+    # seed lists are small and take a single-partition window, but
+    # sitemap/feed-driven re-seeding (S13, G87, G89 -> crawl) can feed
+    # 10^8-row seed frames — above the rank operator's threshold the
+    # ranking goes through the range-partitioned prefix-sum path so no
+    # single partition ever holds the whole seed list.
+    s = s.withColumn("_seed_pos", F.monotonically_increasing_id())
+    n_seeds = s.count()
+    if n_seeds <= rank_ops.SMALL_INPUT_ROWS:
+        s = s.withColumn(
+            "link_pos",
+            F.row_number().over(Window.orderBy(F.col("_seed_pos"))),
+        )
+    else:
+        s = rank_ops.with_global_rank(
+            s, [F.col("_seed_pos")], rank_col="link_pos", known_count=n_seeds
+        )
+    s = s.drop("_seed_pos")
     s = (
         s.groupBy("canon_url")
         .agg(F.min(F.struct("link_pos", "url", "host", "priority")).alias("f"))
