@@ -12,10 +12,18 @@ the stdlib parser, and the caller falls back to `_PageParser`.
 Goldens stay pinned to the stdlib semantics either way
 (page.rb:109-136 byte-identical contract; see parse.py).
 
+Documents carrying comments / doctype / bogus comments / PIs /
+``<script>`` / ``<style>`` route to a position-tracking scanner
+(_fast_scan) that replicates the stdlib handling of those constructs
+(comments end at ``--\\s*>`` and emit nothing; decls/PIs skip to the
+first ``>``; script/style content is RAW data to the first full
+``</\\s*elem\\s*>`` — the stdlib's own CDATA `interesting` pattern);
+the finditer hot loop keeps the clean-page fast path.
+
 Bail triggers (conservative by construction):
-* ``<!`` / ``<?`` anywhere — comments, doctype, CDATA, PIs
-* ``<script`` / ``<style`` (any case) — CDATA content mode
-* a ``<`` in a text span — bogus tags, unterminated quotes, bare '<'
+* ``<![`` — marked sections (parse_marked_section)
+* a ``<`` in a text span — bogus tags, unterminated quotes/comments/
+  declarations, bare '<'
 * start-tag attr area that the stdlib attr scan does not consume
   cleanly up to ``>`` or ``/>`` (stdlib turns the whole tag into text)
 * end tags carrying quotes (stdlib's ``find('>')`` ignores quoting
@@ -46,8 +54,12 @@ except (ImportError, re.error):  # pragma: no cover — version-dependent
     attrfind_tolerant = tagfind_tolerant = None
     _FAST_AVAILABLE = False
 
-# comments/decls/PIs/CDATA and script/style content-mode: bail fast
-_BAIL_RE = re.compile(r"<!|<\?|<[sS][cC][rR][iI][pP][tT]|<[sS][tT][yY][lL][eE]")
+# comments/decls/PIs and script/style content-mode: these need the
+# position-tracking scanner (_fast_scan) instead of the finditer hot
+# loop — finditer cannot jump over a CDATA span, and a comment match
+# could straddle one. The hot loop stays measurably faster (~40%) on
+# the no-construct common case, so dispatch keeps both.
+_COMPLEX_RE = re.compile(r"<!|<\?|<[sS][cC][rR][iI][pP][tT]|<[sS][tT][yY][lL][eE]")
 
 # One tag per match. Branch 1 captures the dominant anchor shape
 # <a href="...">(quoted, no entities/quotes/angles in the value, no
@@ -81,12 +93,167 @@ _TAG_RE = (
 )
 
 
+# _fast_scan's tag regex: the hot-loop branches PLUS skip tokens for
+# comments (to the first `-->`, parse_comment), doctype/bogus comments
+# (quote-blind to the first `>`, parse_html_declaration /
+# parse_bogus_comment) and PIs (to the first `>`, parse_pi) — all
+# constructs the stdlib parser consumes without emitting data, so a
+# single non-capturing match (lastindex None) skips them byte-
+# identically. `<![` (marked sections) matches nothing and bails via
+# the '<'-in-text check. Unterminated constructs also fail to match
+# and bail the same way (their stdlib EOF salvage paths are not worth
+# replicating).
+_SCAN_TAG_RE = (
+    re.compile(
+        r"<(?:"
+        r"[aA]\s+[hH][rR][eE][fF]\s*=\s*\"([^\"'<>&]*)\"\s*>"
+        r"|/([a-zA-Z][^\t\n\r\f />\x00]*+)>"
+        r"|(/?)([a-zA-Z][^\t\n\r\f />\x00]*+)"
+        r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>"
+        r"|!--[\s\S]*?--\s*>"
+        r"|!(?!--|\[)[^>]*>"
+        r"|\?[^>]*>"
+        r")"
+    )
+    if _FAST_AVAILABLE
+    else None
+)
+
+# CDATA content mode (script/style): the stdlib's set_cdata_mode
+# switches `interesting` to exactly this end-tag pattern, so content
+# runs to the first full `</\s*elem\s*>` and the end tag then always
+# parses cleanly (endtagfind is a superset of this shape)
+_CDATA_END = (
+    {t: re.compile(r"</\s*%s\s*>" % t, re.I) for t in ("script", "style")}
+    if _FAST_AVAILABLE
+    else {}
+)
+
+
+def _fast_scan(s: str):
+    """Position-tracking variant of the hot loop for documents carrying
+    comments/declarations/PIs/script/style. Replicates the stdlib
+    semantics for those constructs: comments/decls/PIs emit nothing;
+    script/style switch to CDATA content mode (content is handle_data
+    RAW — no charref conversion — until the first full
+    `</\\s*elem\\s*>`; unterminated CDATA content is silently dropped,
+    goahead's wait-for-more-data break). Returns the fast_parse tuple
+    or None to bail."""
+    links: list[str] = []
+    base_href: str | None = None
+    title_parts: list[str] = []
+    text_parts: list[str] = []
+    in_title = False
+    pos = 0
+    while True:
+        m = _SCAN_TAG_RE.search(s, pos)
+        if m is None:
+            break
+        start, end = m.span()
+        if start > pos:
+            chunk = s[pos:start]
+            if "<" in chunk:
+                return None  # stray '<': stdlib quirk territory
+            if "&" in chunk:
+                chunk = unescape(chunk)
+            text_parts.append(chunk)
+            if in_title:
+                title_parts.append(chunk)
+        pos = end
+        li = m.lastindex
+        if li is None:  # comment / doctype / bogus comment / PI
+            continue
+        if li == 1:  # simple <a href="...">
+            href = m.group(1)
+            if href:
+                links.append(href)
+            continue
+        if li == 2:  # simple end tag
+            if m.group(2).lower() == "title":
+                in_title = False
+            continue
+        attrs_s = m.group(5)
+        if m.group(3):  # end tag (parse_endtag tolerant path)
+            if attrs_s and ('"' in attrs_s or "'" in attrs_s):
+                return None  # stdlib find('>') is quote-blind here
+            if m.group(4).lower() == "title":
+                in_title = False
+            continue
+        tag = m.group(4).lower()
+        startend = False
+        href = None
+        has_href = False
+        if attrs_s:
+            want = tag == "a" or tag == "base"
+            k = tagfind_tolerant.match(s, start + 1).end()
+            endpos = pos  # index just past '>'
+            while k < endpos:
+                am = attrfind_tolerant.match(s, k)
+                if am is None:
+                    break
+                if am.end() > endpos:
+                    return None  # scan disagreement on the tag end
+                if want:
+                    name, rest, value = am.group(1, 2, 3)
+                    if name.lower() == "href":
+                        if not rest:
+                            value = None
+                        elif (
+                            value[:1] == "'" == value[-1:]
+                            or value[:1] == '"' == value[-1:]
+                        ):
+                            value = value[1:-1]
+                        if value:
+                            value = unescape(value)
+                        href = value  # dict(attrs): last duplicate wins
+                        has_href = True
+                k = am.end()
+            tag_end = s[k:endpos].strip()
+            if tag_end == "/>":
+                startend = True
+            elif tag_end != ">":
+                return None  # stdlib emits the whole tag as data
+        if tag == "a":
+            if has_href and href:
+                links.append(href)
+        elif tag == "base":
+            if base_href is None and has_href and href:
+                base_href = href
+        elif tag == "title":
+            in_title = not startend
+        elif (tag == "script" or tag == "style") and not startend:
+            em = _CDATA_END[tag].search(s, pos)
+            if em is None:
+                # unterminated CDATA: stdlib drops the content and
+                # emits nothing further (goahead breaks, close()'s
+                # trailing handle_data is gated on `not cdata_elem`)
+                return links, base_href, title_parts, text_parts
+            content = s[pos:em.start()]
+            if content:
+                text_parts.append(content)  # RAW: no charrefs in CDATA
+                if in_title:
+                    title_parts.append(content)
+            pos = em.end()  # clean </elem>: handle_endtag only
+    if pos < len(s):
+        tail = s[pos:]
+        if "<" in tail:
+            return None
+        if "&" in tail:
+            tail = unescape(tail)
+        text_parts.append(tail)
+        if in_title:
+            title_parts.append(tail)
+    return links, base_href, title_parts, text_parts
+
+
 def fast_parse(s: str):
     """Tokenize `s`; return (links, base_href, title_parts, text_parts)
     exactly as _PageParser would produce them, or None to request the
     stdlib fallback."""
-    if not _FAST_AVAILABLE or _BAIL_RE.search(s):
+    if not _FAST_AVAILABLE:
         return None
+    if _COMPLEX_RE.search(s):
+        return _fast_scan(s)
     links: list[str] = []
     base_href: str | None = None
     title_parts: list[str] = []

@@ -140,35 +140,81 @@ def extract_features(media: DataFrame, decode_stub=True,
     return media.mapInPandas(gen, FEATURES_SCHEMA)
 
 
+def _pyav_available() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _real_frames(data: bytes, max_frames: int) -> list:
+    """Keyframe sampling via pyav: decode up to max_frames KEYFRAMES
+    (skip_frame=NONKEY — the demuxer skips inter frames, so cost
+    scales with keyframe count, not stream length) as raw RGB24 byte
+    planes. Corrupt/streamless containers yield no frames (corrupt
+    media is data, not a bug)."""
+    import io
+
+    import av
+
+    try:
+        with av.open(io.BytesIO(data or b"")) as container:
+            stream = next(
+                (s for s in container.streams if s.type == "video"), None
+            )
+            if stream is None:
+                return []
+            stream.codec_context.skip_frame = "NONKEY"
+            out = []
+            for frame in container.decode(stream):
+                if len(out) >= max_frames:
+                    break
+                out.append(frame.to_ndarray(format="rgb24").tobytes())
+            return out
+    except Exception:  # noqa: BLE001 — corrupt media is data, not a bug
+        return []
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4,
                   decode_stub=True) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled frame.
 
-    The stub slices the raw bytes at fixed offsets (deterministic); a
-    real implementation decodes the container and samples keyframes.
-    decode_stub: True = stub; False = real (requires pyav, which no
-    environment here ships — raises); "auto" = real if pyav is
-    importable, else the stub.
-    """
+    The stub slices the raw bytes at fixed offsets (deterministic); the
+    real path decodes the container with pyav and samples up to
+    max_frames keyframes as RGB24 bytes. decode_stub: True = stub;
+    False = real (raises NotImplementedError when pyav is absent);
+    "auto" = real if pyav is importable, else the stub — keeps a
+    lib-less sandbox green while making the operator real on any
+    cluster that ships pyav (same pattern as extract_features' PIL
+    auto path)."""
     if decode_stub == "auto":
-        try:
-            import av  # noqa: F401
-
-            decode_stub = False
-        except ImportError:
-            decode_stub = True
+        decode_stub = not _pyav_available()
+    if not decode_stub and not _pyav_available():
+        raise NotImplementedError(
+            "real frame decode requires pyav — install it or pass "
+            "decode_stub=True/'auto'"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real frame decode requires pyav")
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["bytes"]):
                 data = data or b""
-                for i in range(min(max_frames, max(len(data) // every_n_bytes, 1))):
-                    rows.append(
-                        (mid, i, data[i * every_n_bytes : (i + 1) * every_n_bytes])
-                    )
+                if decode_stub:
+                    frames = [
+                        data[i * every_n_bytes:(i + 1) * every_n_bytes]
+                        for i in range(
+                            min(max_frames,
+                                max(len(data) // every_n_bytes, 1))
+                        )
+                    ]
+                else:
+                    frames = _real_frames(data, max_frames)
+                rows.extend(
+                    (mid, i, fb) for i, fb in enumerate(frames)
+                )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
 
     return media.where(F.col("kind") == "video").mapInPandas(gen, FRAME_SCHEMA)

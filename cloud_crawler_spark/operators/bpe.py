@@ -232,39 +232,151 @@ def unigram_seed_vocab(
 
 
 def _viterbi_segment_udf(logp: dict, max_piece_len: int):
-    """Arrow-batched Viterbi segmentation under a broadcast unigram
-    vocab: per word, the max-log-prob split into known pieces (ties
-    prefer the shorter final piece — deterministic). Runs on the
-    vocabulary-sized word table, never the corpus."""
+    """Vectorized Viterbi segmentation under a broadcast unigram vocab:
+    per word, the max-log-prob split into known pieces (ties prefer the
+    shorter final piece — deterministic). Runs on the vocabulary-sized
+    word table, never the corpus.
+
+    The hot path is numpy across the whole Arrow batch: words become a
+    (k, W) byte matrix, piece log-probs are looked up for every
+    (start, piece_len) slot at once via searchsorted over the
+    byte-encoded per-length vocab arrays, and the DP runs in lockstep
+    over positions (W * max_piece_len vectorized ops per batch instead
+    of per-word Python loops). Byte positions == char positions only
+    for ASCII, so non-ASCII words (and any non-ASCII vocab) fall back
+    to the per-word reference implementation — bit-identical scores
+    either way (one double add + strict > compare per transition in
+    both)."""
+    import numpy as np
+
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
     NEG = float("-inf")
+    # NUL-free so no piece key can alias a padded-zero substring key
+    ascii_vocab = all(p.isascii() and "\x00" not in p for p in logp)
+    # per-length piece tables as sorted little-endian uint32 keys
+    # (max_piece_len <= 4 bytes of ascii fit); integer searchsorted is
+    # ~3x cheaper than 'S'-dtype comparisons in the lookup loop
+    by_len: dict[int, tuple] = {}
+    if ascii_vocab and max_piece_len <= 4:
+        for ln in range(1, max_piece_len + 1):
+            ps = [p for p in logp if len(p) == ln]
+            if ps:
+                keys = np.array(
+                    [int.from_bytes(p.encode(), "little") for p in ps],
+                    dtype=np.uint32,
+                )
+                order = np.argsort(keys)
+                by_len[ln] = (
+                    keys[order],
+                    np.array([logp[p] for p in ps], dtype=np.float64)[order],
+                )
+    else:
+        ascii_vocab = False
 
     # no type hints: `from __future__ import annotations` turns them
     # into strings pyspark can't resolve against this module's globals
-    def seg(words):
-        def one(w):
-            n = len(w)
-            score = [NEG] * (n + 1)
-            back = [0] * (n + 1)
-            score[0] = 0.0
-            for i in range(1, n + 1):
-                for ln in range(1, min(max_piece_len, i) + 1):
-                    lp = logp.get(w[i - ln:i])
-                    if lp is None or score[i - ln] == NEG:
-                        continue
-                    cand = score[i - ln] + lp
-                    if cand > score[i]:
-                        score[i], back[i] = cand, ln
-            if score[n] == NEG:
-                return []
-            out, i = [], n
+    def one(w):
+        n = len(w)
+        score = [NEG] * (n + 1)
+        back = [0] * (n + 1)
+        score[0] = 0.0
+        for i in range(1, n + 1):
+            for ln in range(1, min(max_piece_len, i) + 1):
+                lp = logp.get(w[i - ln:i])
+                if lp is None or score[i - ln] == NEG:
+                    continue
+                cand = score[i - ln] + lp
+                if cand > score[i]:
+                    score[i], back[i] = cand, ln
+        if score[n] == NEG:
+            return []
+        out, i = [], n
+        while i > 0:
+            out.append(w[i - back[i]:i])
+            i -= back[i]
+        return out[::-1]
+
+    def seg_batch(ws):
+        k = len(ws)
+        if k == 0:
+            return []
+        lens = np.array([len(w) for w in ws], dtype=np.int64)
+        W = max(1, int(lens.max()))
+        bmat = (
+            np.array([w.encode() for w in ws], dtype=f"S{W}")
+            .view(np.uint8)
+            .reshape(k, W)
+            .astype(np.uint32)
+        )
+        # lp[ln][s] = logp of the piece at byte s, length ln (-inf
+        # when absent; padding zero-bytes build keys no [a-z]-byte
+        # piece key can equal). Position-major layout keeps every DP
+        # row access contiguous.
+        lp = {}
+        for ln, (pieces, vals) in by_len.items():
+            if ln > W:
+                continue
+            m = np.full((W - ln + 1, k), NEG)
+            for s in range(W - ln + 1):
+                key = bmat[:, s].copy()
+                for j in range(1, ln):
+                    key |= bmat[:, s + j] << (8 * j)
+                idx = np.minimum(
+                    np.searchsorted(pieces, key), len(pieces) - 1
+                )
+                ok = pieces[idx] == key
+                m[s, ok] = vals[idx[ok]]
+            lp[ln] = m
+        score = np.full((W + 1, k), NEG)
+        score[0] = 0.0
+        back = np.zeros((W + 1, k), dtype=np.int8)
+        lns = sorted(lp)
+        for i in range(1, W + 1):
+            si, bi = score[i], back[i]
+            for ln in lns:  # ascending: ties keep the shortest piece
+                if ln > i:
+                    continue
+                s = i - ln
+                cand = score[s] + lp[ln][s]
+                better = cand > si
+                si[better] = cand[better]
+                bi[better] = ln
+        out = []
+        finite = np.isfinite(score)
+        for r in range(k):
+            n = int(lens[r])
+            if not finite[n, r]:
+                out.append([])
+                continue
+            w, res, i = ws[r], [], n
             while i > 0:
-                out.append(w[i - back[i]:i])
-                i -= back[i]
-            return out[::-1]
-        return words.map(one)
+                ln = int(back[i, r])
+                res.append(w[i - ln:i])
+                i -= ln
+            out.append(res[::-1])
+        return out
+
+    def seg(words):
+        if not ascii_vocab:
+            return words.map(one)
+        arr = words.tolist()
+        fast_rows = [
+            j for j, w in enumerate(arr)
+            if isinstance(w, str) and w.isascii()
+        ]
+        out: list = [None] * len(arr)
+        if fast_rows:
+            segged = seg_batch([arr[j] for j in fast_rows])
+            for j, pieces in zip(fast_rows, segged):
+                out[j] = pieces
+        for j, w in enumerate(arr):
+            if out[j] is None:
+                out[j] = one(w)
+        import pandas as pd
+
+        return pd.Series(out, index=words.index)
 
     return pandas_udf(seg, T.ArrayType(T.StringType()))
 

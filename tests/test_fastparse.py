@@ -76,15 +76,26 @@ ACCEPT_CASES = [
     # fuzz-found: <title/> INSIDE an open title fires start+end in the
     # stdlib parser, so title mode must END (not "cancel out")
     '<title>a<title/>b</title>c',
-]
-
-BAIL_CASES = [
+    # constructs the _fast_scan path now accepts (previously bails):
     '<!DOCTYPE html><p>x</p>',
     '<!-- comment --><p>x</p>',
     '<script>var a = 1 < 2;</script>',
     '<SCRIPT src=x></SCRIPT>',
     '<STYLE>.x{}</STYLE>',
     '<?pi data?>',
+    '<!-- x --!> still comment --><p>y</p>',
+    '<!bogus comment><p>x</p>',
+    '<!doctype html PUBLIC "quote > blind"<p>swallowed</p>',
+    '<script>a</scripty></script>b',  # </scripty> stays CDATA content
+    '<script>unterminated cdata is dropped',
+    '<title>t<script>s</script>u</title>',  # data inside title+cdata
+    '<script>&amp; stays raw</script>',
+    '<p>a</p><!--c--><a href="http://x/">l</a><?pi?><!DOCTYPE html>t',
+    '<script >attr-space</script  >',
+    '<style>.a{content:"</st"}</style>',  # quote does NOT hide the end
+]
+
+BAIL_CASES = [
     'a < b',
     '<3 hearts',
     '<a href="unterminated>',

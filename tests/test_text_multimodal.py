@@ -102,6 +102,47 @@ def test_multimodal_stub_gate(spark):
         MM.extract_features(media, decode_stub=False).collect()
 
 
+def test_frame_stub_gate(spark):
+    """decode_stub=False must raise eagerly when pyav is absent (and
+    'auto' must silently take the stub) — mirror of the PIL gate."""
+    media = MM.synth_media(spark, 3)
+    if MM._pyav_available():
+        pytest.skip("pyav present: the real path is exercised below")
+    with pytest.raises(NotImplementedError):
+        MM.sample_frames(media, decode_stub=False)
+    assert MM.sample_frames(media, decode_stub="auto").collect()
+
+
+@pytest.mark.skipif(not MM._pyav_available(), reason="pyav not installed")
+def test_frame_sampling_real_decode(spark):
+    """With pyav installed, the real path decodes keyframes: encode a
+    tiny synthetic video in-process and expect RGB24 frame bytes."""
+    import io
+
+    import av
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        vs = out.add_stream("h264", rate=4)
+        vs.width, vs.height, vs.pix_fmt = 32, 24, "yuv420p"
+        for i in range(8):
+            arr = np.full((24, 32, 3), i * 16, dtype=np.uint8)
+            for pkt in vs.encode(
+                av.VideoFrame.from_ndarray(arr, format="rgb24")
+            ):
+                out.mux(pkt)
+        for pkt in vs.encode():
+            out.mux(pkt)
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(buf.getvalue()), "video/mp4",
+          None, None, 2000)],
+        MM.MEDIA_SCHEMA,
+    )
+    rows = MM.sample_frames(media, max_frames=2, decode_stub=False).collect()
+    assert rows and all(len(r["frame_bytes"]) == 24 * 32 * 3 for r in rows)
+
+
 def test_frame_sampling_plumbing(spark):
     media = MM.synth_media(spark, 30)
     frames = MM.sample_frames(media, every_n_bytes=16, max_frames=3)
