@@ -318,6 +318,29 @@ def test_lsh_incremental_pairs_prebanded_delta_equal(spark, docs):
     assert pre == raw
 
 
+def test_lsh_incremental_pairs_ambiguous_frame_raises(spark, docs):
+    # a frame that merely CARRIES band columns among others must not
+    # silently skip signing: auto-detection only accepts the exact
+    # (id_col, band_id, band_key) schema, else demands an explicit flag
+    import pytest as _pytest
+
+    base = docs.where("doc_id % 2 = 0")
+    delta = docs.where("doc_id % 2 = 1")
+    ambiguous = DD.lsh_banded(base, k=8, bands=4).join(
+        base.select("doc_id", "text"), "doc_id"
+    )
+    with _pytest.raises(ValueError, match="base_banded"):
+        DD.lsh_incremental_pairs(ambiguous, delta, k=8, bands=4)
+    # the explicit flag resolves it (extra columns are projected away)
+    ok = DD.lsh_incremental_pairs(
+        ambiguous, delta, k=8, bands=4, base_banded=True
+    )
+    raw = DD.lsh_incremental_pairs(base, delta, k=8, bands=4)
+    assert sorted(map(tuple, ok.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
+
+
 def test_lsh_cluster_edges_components_match_candidate_pairs(spark, docs):
     # path edges connect exactly what the clique edges connect
     lab_pairs = {
