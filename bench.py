@@ -154,6 +154,7 @@ def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench",
     parallelism defaults."""
     from pyspark.sql import SparkSession
 
+    executor_mem = None
     if master and master.startswith("local-cluster"):
         # executor JVMs are spawned by a local Worker; they need a
         # SPARK_HOME and their python workers need the repo on path
@@ -166,6 +167,16 @@ def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench",
             os.environ["PYTHONPATH"] = (
                 repo + (os.pathsep + existing if existing else "")
             )
+        # local-cluster[n,cores,mem]: mem is only the WORKER's capacity
+        # — executors still default to spark.executor.memory=1g and a
+        # corpus-build task can OOM the JVM (observed: executor exit 52
+        # aborting the 2-vs-8 scaling pair). Grant each executor most
+        # of its worker's capacity (worker launches 1 executor here).
+        try:
+            worker_mb = int(master.rstrip("]").split(",")[2])
+            executor_mem = f"{max(worker_mb - 512, 1024)}m"
+        except (IndexError, ValueError):
+            pass
 
     # task_cpus=2 is the pandas-UDF-correct accounting on a real
     # cluster: each task runs a JVM thread AND an Arrow python worker
@@ -173,9 +184,14 @@ def build_spark(cpus: int, app: str = "cloud_crawler_spark_bench",
     # executor 2x on UDF stages. The scaling harness sets it so the
     # N-vs-4N contrast compares true resource grants, not inflated ones.
     task_cpus = task_cpus or int(os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
-    return (
+    builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app)
+    )
+    if executor_mem:
+        builder = builder.config("spark.executor.memory", executor_mem)
+    return (
+        builder
         .config("spark.task.cpus", str(task_cpus))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         .config("spark.default.parallelism", str(cpus))

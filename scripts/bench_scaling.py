@@ -155,7 +155,10 @@ class Worker:
             [sys.executable, "-u", "-c", WORKER.format(repo=REPO),
              str(cpus), str(n_pages), str(shuffle_parts), master or "-"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, env=env,
+            # keep the JVM's stderr (stage spam AND crash causes): a
+            # worker that dies with DEVNULL'd stderr is undiagnosable
+            stderr=open(f"/tmp/scaling_worker_{cpus}.err", "w"),
+            text=True, env=env,
         )
 
     def _read_until(self, prefix: str, timeout_s: float) -> str:
