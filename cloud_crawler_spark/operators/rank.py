@@ -36,7 +36,13 @@ def with_global_rank(
     start: int = 1,
     num_partitions: int | None = None,
     known_count: int | None = None,
+    stable_input: bool = False,
 ) -> DataFrame:
+    """stable_input=True skips the localCheckpoint that pins the
+    partitioning between the offsets job and the ranking job — pass it
+    ONLY when df is already materialized deterministic state (cached
+    and counted, or checkpointed): re-evaluation then cannot move rows
+    between range partitions, and the hot path saves one job."""
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
     if known_count is not None and known_count <= SMALL_INPUT_ROWS:
@@ -56,7 +62,8 @@ def with_global_rank(
     # two separate jobs over this lineage — a nondeterministic upstream
     # (sample/limit/non-deterministic UDF) could otherwise shift rows
     # between partitions across the two jobs and corrupt the offsets
-    parted = parted.localCheckpoint(eager=True)
+    if not stable_input:
+        parted = parted.localCheckpoint(eager=True)
 
     # tiny: one row per partition
     sizes = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}

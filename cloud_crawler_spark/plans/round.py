@@ -407,6 +407,10 @@ def run_round(
         rank_col="rank",
         start=next_rank,
         known_count=n_selected,
+        # `selected` is cached AND already counted (materialized
+        # deterministic state), so the rank's two jobs cannot see
+        # different row placements — skip the pinning checkpoint
+        stable_input=True,
     ).cache()
 
     # fetch strategy: the driver knows the exact round size — small
