@@ -54,6 +54,86 @@ except (ImportError, re.error):  # pragma: no cover — version-dependent
     attrfind_tolerant = tagfind_tolerant = None
     _FAST_AVAILABLE = False
 
+
+def _stdlib_self_check() -> bool:
+    """Import-time probe of the version-specific html.parser internals
+    the fast path replicates (ADVICE r4): the mere importability of
+    attrfind_tolerant/tagfind_tolerant does NOT pin the comment-close
+    `--\\s*>`, the quote-blind pi/decl close, or the CDATA end-tag
+    pattern — a CPython upgrade could change those and the fast path
+    would silently diverge from the stdlib fallback it must be
+    byte-identical to. Compare the interpreter's actual compiled
+    patterns AND replay a golden parse covering every construct class
+    the scanner handles (decl, `-- >` comment close, entity-bearing
+    attr/text, script CDATA with a stray '<', spaced `</script >`,
+    PI, spaced `</ title >` end tag). Any mismatch disables the fast
+    path entirely — fast_parse then always returns None and the
+    stdlib parser keeps parity."""
+    import html.parser as hp
+
+    try:
+        if hp.commentclose.pattern != r"--\s*>":
+            return False
+        if hp.piclose.pattern != ">":
+            return False
+        if hp.interesting_normal.pattern != "[&<]":
+            return False
+        probe = hp.HTMLParser()
+        probe.set_cdata_mode("script")
+        if probe.interesting.pattern != r"</\s*script\s*>":
+            return False
+
+        events: list = []
+
+        class _Probe(hp.HTMLParser):
+            def handle_starttag(self, t, a):
+                events.append(("s", t, tuple(a)))
+
+            def handle_startendtag(self, t, a):
+                events.append(("se", t, tuple(a)))
+
+            def handle_endtag(self, t):
+                events.append(("e", t))
+
+            def handle_data(self, d):
+                events.append(("d", d))
+
+            def handle_comment(self, d):
+                events.append(("c", d))
+
+            def handle_decl(self, d):
+                events.append(("D", d))
+
+            def handle_pi(self, d):
+                events.append(("p", d))
+
+        p = _Probe(convert_charrefs=True)
+        p.feed(
+            '<!DOCTYPE html><!-- c -- ><a href="x&amp;y">T&amp;t</a>'
+            "<script>a<b</script ><?pi?><title>Q</ title >"
+        )
+        p.close()
+        return events == [
+            ("D", "DOCTYPE html"),
+            ("c", " c "),
+            ("s", "a", (("href", "x&y"),)),
+            ("d", "T&t"),
+            ("e", "a"),
+            ("s", "script", ()),
+            ("d", "a<b"),
+            ("e", "script"),
+            ("p", "pi?"),
+            ("s", "title", ()),
+            ("d", "Q"),
+            ("e", "title"),
+        ]
+    except Exception:  # pragma: no cover — any probe failure disables
+        return False
+
+
+if _FAST_AVAILABLE and not _stdlib_self_check():  # pragma: no cover
+    _FAST_AVAILABLE = False
+
 # comments/decls/PIs and script/style content-mode: these need the
 # position-tracking scanner (_fast_scan) instead of the finditer hot
 # loop — finditer cannot jump over a CDATA span, and a comment match

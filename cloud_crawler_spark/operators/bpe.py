@@ -231,11 +231,24 @@ def unigram_seed_vocab(
     )
 
 
-def _viterbi_segment_udf(logp: dict, max_piece_len: int):
-    """Vectorized Viterbi segmentation under a broadcast unigram vocab:
-    per word, the max-log-prob split into known pieces (ties prefer the
+def _viterbi_segment_udf(model, max_piece_len: int):
+    """Vectorized Viterbi segmentation under a unigram vocab: per
+    word, the max-log-prob split into known pieces (ties prefer the
     shorter final piece — deterministic). Runs on the vocabulary-sized
     word table, never the corpus.
+
+    `model` is either a plain {piece: logp} dict (tests / tiny vocabs
+    — the dict rides the pickled task closure) or a
+    pyspark.Broadcast of that dict: train_unigram always broadcasts
+    (VERDICT r4 task 6), so a production-sized vocab ships to each
+    executor ONCE via the torrent broadcast machinery instead of
+    being re-serialized into every task closure. The driver-side
+    state is bounded by the vocab (<= vocab_size + alphabet entries),
+    never the corpus — but at a real 10^5-10^6-piece production vocab
+    that bound is megabytes, which is exactly what per-task closure
+    shipping would multiply by the task count. The derived numpy
+    lookup tables are rebuilt lazily from the broadcast value, once
+    per python worker process, and memoized.
 
     The hot path is numpy across the whole Arrow batch: words become a
     (k, W) byte matrix, piece log-probs are looked up for every
@@ -253,31 +266,42 @@ def _viterbi_segment_udf(logp: dict, max_piece_len: int):
     from pyspark.sql.functions import pandas_udf
 
     NEG = float("-inf")
-    # NUL-free so no piece key can alias a padded-zero substring key
-    ascii_vocab = all(p.isascii() and "\x00" not in p for p in logp)
-    # per-length piece tables as sorted little-endian uint32 keys
-    # (max_piece_len <= 4 bytes of ascii fit); integer searchsorted is
-    # ~3x cheaper than 'S'-dtype comparisons in the lookup loop
-    by_len: dict[int, tuple] = {}
-    if ascii_vocab and max_piece_len <= 4:
-        for ln in range(1, max_piece_len + 1):
-            ps = [p for p in logp if len(p) == ln]
-            if ps:
-                keys = np.array(
-                    [int.from_bytes(p.encode(), "little") for p in ps],
-                    dtype=np.uint32,
-                )
-                order = np.argsort(keys)
-                by_len[ln] = (
-                    keys[order],
-                    np.array([logp[p] for p in ps], dtype=np.float64)[order],
-                )
-    else:
-        ascii_vocab = False
+    _prepared: list = []  # per-process memo: [(logp, ascii_vocab, by_len)]
+
+    def _model():
+        if _prepared:
+            return _prepared[0]
+        logp = model.value if hasattr(model, "value") else model
+        # NUL-free so no piece key aliases a padded-zero substring key
+        ascii_vocab = all(p.isascii() and "\x00" not in p for p in logp)
+        # per-length piece tables as sorted little-endian uint32 keys
+        # (max_piece_len <= 4 bytes of ascii fit); integer searchsorted
+        # is ~3x cheaper than 'S'-dtype comparisons in the lookup loop
+        by_len: dict[int, tuple] = {}
+        if ascii_vocab and max_piece_len <= 4:
+            for ln in range(1, max_piece_len + 1):
+                ps = [p for p in logp if len(p) == ln]
+                if ps:
+                    keys = np.array(
+                        [int.from_bytes(p.encode(), "little") for p in ps],
+                        dtype=np.uint32,
+                    )
+                    order = np.argsort(keys)
+                    by_len[ln] = (
+                        keys[order],
+                        np.array([logp[p] for p in ps], dtype=np.float64)[
+                            order
+                        ],
+                    )
+        else:
+            ascii_vocab = False
+        _prepared.append((logp, ascii_vocab, by_len))
+        return _prepared[0]
 
     # no type hints: `from __future__ import annotations` turns them
     # into strings pyspark can't resolve against this module's globals
     def one(w):
+        logp = _model()[0]
         n = len(w)
         score = [NEG] * (n + 1)
         back = [0] * (n + 1)
@@ -299,6 +323,7 @@ def _viterbi_segment_udf(logp: dict, max_piece_len: int):
         return out[::-1]
 
     def seg_batch(ws):
+        by_len = _model()[2]
         k = len(ws)
         if k == 0:
             return []
@@ -359,7 +384,7 @@ def _viterbi_segment_udf(logp: dict, max_piece_len: int):
         return out
 
     def seg(words):
-        if not ascii_vocab:
+        if not _model()[1]:  # non-ascii vocab: per-word reference path
             return words.map(one)
         arr = words.tolist()
         fast_rows = [
@@ -432,7 +457,12 @@ def train_unigram(
     for _ in range(max(0, n_iters)):
         total = sum(counts.values())
         logp = {p: math.log(c / total) for p, c in counts.items()}
-        seg = _viterbi_segment_udf(logp, max_piece_len)
+        # explicit torrent broadcast of the piece table (VERDICT r4
+        # task 6): one copy per executor instead of one per task
+        # closure — at a production-sized vocab (10^5-10^6 pieces,
+        # MBs) closure capture would ship it with every task
+        bcast = spark.sparkContext.broadcast(logp)
+        seg = _viterbi_segment_udf(bcast, max_piece_len)
         segmented = words.withColumn("pieces", seg(F.col("word")))
         exploded = segmented.select(
             "n", F.explode("pieces").alias("piece")
@@ -452,6 +482,9 @@ def train_unigram(
             r["piece"]: float(r["c"])
             for r in exploded.groupBy("piece").agg(F.sum("n").alias("c")).collect()
         }
+        # exploded is checkpointed, so no later job re-runs this
+        # round's segmentation — the broadcast can be dropped now
+        bcast.unpersist()
         for r in chars:
             new_counts.setdefault(r["ch"], 0.0)
             new_counts[r["ch"]] = max(new_counts[r["ch"]], 0.5)

@@ -40,9 +40,17 @@ def with_global_rank(
 ) -> DataFrame:
     """stable_input=True skips the localCheckpoint that pins the
     partitioning between the offsets job and the ranking job — pass it
-    ONLY when df is already materialized deterministic state (cached
-    and counted, or checkpointed): re-evaluation then cannot move rows
-    between range partitions, and the hot path saves one job."""
+    ONLY when df's LINEAGE is deterministic end-to-end (stable source
+    files, no sample/limit/non-deterministic UDF), not merely cached:
+    Spark cache blocks are evictable and lost on executor failure, so
+    a recomputation between the two jobs falls back to lineage
+    (ADVICE r4). With deterministic lineage a recompute reproduces the
+    identical row set, the range boundaries (sampled from that same
+    deterministic set) place every row in the same partition, and the
+    offsets stay valid. As a cheap guard against gross recompute
+    drift, the offsets pass asserts its total row count equals
+    known_count when provided — a lost-cache recompute that changed
+    the row set fails loudly instead of silently mis-ranking."""
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
     if known_count is not None and known_count <= SMALL_INPUT_ROWS:
@@ -67,6 +75,13 @@ def with_global_rank(
 
     # tiny: one row per partition
     sizes = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    if known_count is not None and sum(sizes.values()) != known_count:
+        raise RuntimeError(
+            f"with_global_rank: offsets pass saw {sum(sizes.values())} rows "
+            f"but caller counted {known_count} — input lineage recomputed "
+            "non-deterministically (lost cache?); rerun with "
+            "stable_input=False to pin it with a localCheckpoint"
+        )
     offsets, acc = {}, start
     for pid in sorted(sizes):
         offsets[pid] = acc

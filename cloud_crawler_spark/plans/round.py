@@ -407,9 +407,18 @@ def run_round(
         rank_col="rank",
         start=next_rank,
         known_count=n_selected,
-        # `selected` is cached AND already counted (materialized
-        # deterministic state), so the rank's two jobs cannot see
-        # different row placements — skip the pinning checkpoint
+        # DETERMINISM CONTRACT (why stable_input is safe here, even if
+        # the cache above is evicted and the lineage recomputes —
+        # ADVICE r4): every upstream of `selected` is deterministic —
+        # the frontier slice is a parquet snapshot read (stable files),
+        # select_budget's per-host top-k orders by (priority, depth,
+        # parent_rank, link_pos) — total, since (parent_rank, link_pos)
+        # is unique per discovered URL — and
+        # the gate chain is pure column expressions (no sample/limit/
+        # nondeterministic UDF). A recompute therefore reproduces the
+        # identical row set and placements; with_global_rank
+        # additionally cross-checks its offsets total against
+        # n_selected and fails loudly on drift.
         stable_input=True,
     ).cache()
 

@@ -117,10 +117,26 @@ def main():
                     and _value_hash(srows, scols) == _value_hash(orows, ocols)
                 )
                 ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
+                # Vacuous-green detector (VERDICT r4 'What's wrong' #2):
+                # a 0-rows-vs-0-rows match verifies nothing — the
+                # engines agree on an EMPTY answer, so the operator's
+                # actual output was never value-checked. Flag it and
+                # count it as a failure so an empty fixture can never
+                # silently pass again (q_recurring_delta did for three
+                # rounds).
+                if ok and len(srows) == 0:
+                    row["vacuous"] = True
+                    row["err"] = "vacuous: 0-row match verifies nothing"
+                    ok = False
             else:
-                # rows-only check, mirroring the driver's weaker gate
-                row["rows_match"] = row["spark_rows"] >= 0
-                ok = row["rows_match"]
+                # No SQL oracle: the driver records a weaker rows-only
+                # check. Record that DISTINCTLY (ADVICE r4) — it is
+                # 'executed without crashing', not a verified answer —
+                # and exclude it from the green count.
+                row["no_oracle"] = True
+                row["rows_match"] = None
+                row["err"] = "no_oracle: rows-only execution, not verified"
+                ok = False
         except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
             row["err"] = f"{type(exc).__name__}: {exc}"[:500]
             ok = False
@@ -136,8 +152,12 @@ def main():
     out = args.out or f"CORRECTNESS_local_{os.path.basename(args.sf_dir)}.json"
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
+    n_vac = sum(1 for r in report.values() if r.get("vacuous"))
+    n_noracle = sum(1 for r in report.values() if r.get("no_oracle"))
     print(
-        f"wrote {out}: {len(names) - n_fail}/{len(names)} green "
+        f"wrote {out}: {len(names) - n_fail}/{len(names)} hash-green "
+        f"({n_vac} vacuous, {n_noracle} no-oracle, "
+        f"{n_fail - n_vac - n_noracle} failed) "
         f"in {time.time() - t_all:.0f}s",
         flush=True,
     )

@@ -235,3 +235,68 @@ def test_mine_bitext_lsh_cosines_exact_for_emitted_pairs(spark, bitext):
     for r in rows:
         assert abs(r["cos_sim"] - cos(svecs[r["src_id"]],
                                       tvecs[r["tgt_id"]])) < 1e-5
+
+
+# ------------------------------------- broadcast piece table (r5 #6)
+
+
+def test_viterbi_broadcast_large_vocab(spark):
+    """The Viterbi piece table rides an explicit sparkContext
+    broadcast (not the pickled task closure): segment with a vocab of
+    >12k pieces — larger than the default Arrow record batch (10k) and
+    far past anything a closure should ship per task — passed as a
+    Broadcast, and require byte-identical segmentations vs the plain
+    closure-dict path and a per-word pure-Python reference."""
+    import itertools
+
+    from cloud_crawler_spark.operators.bpe import _viterbi_segment_udf
+
+    rng = random.Random(7)
+    # 12_500 distinct 3-char pieces + full single-char coverage so
+    # every word stays segmentable
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    three = ["".join(t) for t in itertools.product(alphabet, repeat=3)]
+    rng.shuffle(three)
+    logp = {p: -rng.uniform(1.0, 20.0) for p in three[:12_500]}
+    logp.update({c: -25.0 for c in alphabet})
+    assert len(logp) > 12_000
+
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 16)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+
+    bcast = spark.sparkContext.broadcast(logp)
+    seg_b = _viterbi_segment_udf(bcast, 4)
+    seg_d = _viterbi_segment_udf(logp, 4)
+    got_b = {r["word"]: r["p"]
+             for r in df.withColumn("p", seg_b(F.col("word"))).collect()}
+    got_d = {r["word"]: r["p"]
+             for r in df.withColumn("p", seg_d(F.col("word"))).collect()}
+    bcast.unpersist()
+    assert got_b == got_d
+
+    # per-word pure-Python Viterbi reference (shortest-final-piece ties)
+    def ref(w):
+        NEG = float("-inf")
+        score = [NEG] * (len(w) + 1)
+        back = [0] * (len(w) + 1)
+        score[0] = 0.0
+        for i in range(1, len(w) + 1):
+            for ln in range(1, min(4, i) + 1):
+                lp = logp.get(w[i - ln:i])
+                if lp is None or score[i - ln] == NEG:
+                    continue
+                if score[i - ln] + lp > score[i]:
+                    score[i], back[i] = score[i - ln] + lp, ln
+        if score[len(w)] == NEG:
+            return []
+        out, i = [], len(w)
+        while i > 0:
+            out.append(w[i - back[i]:i])
+            i -= back[i]
+        return out[::-1]
+
+    for w in words:
+        assert got_b[w] == ref(w), w
