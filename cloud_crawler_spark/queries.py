@@ -1720,7 +1720,9 @@ def q_link_selector(spark, sf_dir):
     dsl_core.rb:195): the corpus pages carry the 3i+1 edge inside
     <div class="nav"> and the 7i+3 edge bare; crawling with
     link_selector='.nav a' must reach exactly the single-edge BFS
-    closure (oracle: recursive CTE over the l1 edges only), proving
+    closure from BOTH seeds — p0 and the corpus-size-dependent
+    p(n//2+1) (r5 de-vacuation) — (oracle: recursive CTE over the l1
+    edges only), proving
     the selector gates frontier expansion, not just extraction."""
     from cloud_crawler_spark import CrawlConfig, crawl
     from cloud_crawler_spark.sources.corpus import prepare_corpus
@@ -1765,7 +1767,9 @@ def q_robots_nofollow(spark, sf_dir):
     edge carries rel="nofollow" when i%5==1 (that one link never enters
     the frontier). Crawling with honor_robots_meta=True must reach
     exactly the BFS closure of the REP-pruned edge set — the oracle
-    replays both gates arithmetically in a recursive CTE."""
+    replays both gates arithmetically in a recursive CTE. Seeded from
+    p0 AND the corpus-size-dependent p(n//2+1) so the closure varies
+    with the corpus (r5 de-vacuation, same as q_crawl_bfs)."""
     from cloud_crawler_spark import CrawlConfig, crawl
     from cloud_crawler_spark.sources.corpus import prepare_corpus
 

@@ -102,6 +102,19 @@ def main():
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf_dir)
+            # Registry outputs must be scalar-typed: the external
+            # gate's pandas sort_values crashes on array cells
+            # (CORRECTNESS_r04 q_embed_quantize). Queries emit
+            # arrays comma-joined instead (array audit, r5).
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            bad = [f.name for f in sdf.schema.fields
+                   if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+            if bad:
+                raise TypeError(
+                    f"non-scalar output columns {bad}: emit them "
+                    "stringified (array_join) in query AND oracle"
+                )
             scols = list(sdf.columns)
             srows = [tuple(r) for r in sdf.collect()]
             row["spark_rows"] = len(srows)
