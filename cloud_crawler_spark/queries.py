@@ -1604,6 +1604,28 @@ _CRAWL_DEPTH = 5
 # closure from p0 (ids 0,1,3,4,10,13,24,... via 3i+1 / 7i+3) crosses it
 # at every sf, so the run-2 delta is provably nonempty.
 _RECUR_KEEP = 25
+# Crawl-closure seed family (r5 de-vacuation): one seed per 97 pages,
+# so the seed COUNT — and with it the closure size — scales with the
+# corpus. A single fixed seed's 3i+1/7i+3 closure has the same ~21 ids
+# at every sf (the reachable set is {a*s+b mod n} over depth-bounded
+# multiplier compositions — translation-invariant), which made the
+# crawl oracles sf-independent.
+_SEED_MOD = 97
+
+
+def _mod_seeds(spark, sf_dir, extra_filter=None):
+    """Batch seed list p_i for i % _SEED_MOD == 0 (S3 batch seed load;
+    includes p0). extra_filter: additional Column predicate on doc_id
+    (e.g. robots-allowed for q_robots_wildcard)."""
+    docs = _t(spark, sf_dir, "documents")
+    cond = F.col("doc_id") % _SEED_MOD == 0
+    if extra_filter is not None:
+        cond = cond & extra_filter
+    return docs.where(cond).select(
+        F.concat(F.lit("http://ex.com/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0.0).alias("priority"),
+    )
 
 
 def _synthetic_web_from_documents(spark, sf_dir, keep_below: int | None = None,
@@ -1667,7 +1689,8 @@ def _synthetic_web_from_documents(spark, sf_dir, keep_below: int | None = None,
       UNION ALL
       SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
     reach(id, depth) AS (
-      SELECT unnest([0, (SELECT n FROM nn) // 2 + 1])::BIGINT AS id, 0 AS depth
+      SELECT doc_id::BIGINT AS id, 0 AS depth FROM documents
+      WHERE doc_id % {_SEED_MOD} = 0
       UNION
       SELECT l.dst, r.depth + 1
       FROM reach r JOIN links l ON l.src = r.id
@@ -1680,21 +1703,20 @@ def q_crawl_bfs(spark, sf_dir):
     """THE flagship: full BFS crawl (frontier rounds, seen set, parse,
     gates) against an arithmetic link graph; the oracle is a recursive
     CTE computing min-depth reachability — crawl first-discovery depth
-    must equal BFS depth for every reached URL. TWO seeds: p0 (whose
-    closure is small fixed ids) plus the corpus-size-dependent
-    mid-range page p(n//2+1), so the checked closure's membership —
-    and its row count — varies with the corpus size instead of being
-    the same 21 rows at every sf (VERDICT r4 task 7)."""
+    must equal BFS depth for every reached URL. Seeded from the
+    MODULAR SEED FAMILY (every p_i with i % 97 == 0, batch seed load
+    S3): the seed count — hence the checked closure's membership AND
+    row count — scales with the corpus (the single-seed 3i+1/7i+3
+    closure is 21 ids at EVERY sf, which left the sf0.1 crawl's
+    dedup/politeness uninfluential on the checked output; VERDICT r4
+    task 7)."""
     from cloud_crawler_spark import CrawlConfig, crawl
     from cloud_crawler_spark.sources.corpus import prepare_corpus
 
     pages = _synthetic_web_from_documents(spark, sf_dir)
     corpus = prepare_corpus(pages)
-    n = _t(spark, sf_dir, "documents").count()
-    seeds = spark.createDataFrame(
-        [("http://ex.com/p0", 0.0), (f"http://ex.com/p{n // 2 + 1}", 0.0)],
-        "url string, priority double")
-    res = crawl(spark, corpus, seeds, CrawlConfig(depth_limit=_CRAWL_DEPTH))
+    res = crawl(spark, corpus, _mod_seeds(spark, sf_dir),
+                CrawlConfig(depth_limit=_CRAWL_DEPTH))
     return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
 
 
@@ -1706,7 +1728,8 @@ def q_crawl_bfs(spark, sf_dir):
       SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn) AS dst
       FROM documents),
     reach(id, depth) AS (
-      SELECT unnest([0, (SELECT n FROM nn) // 2 + 1])::BIGINT AS id, 0 AS depth
+      SELECT doc_id::BIGINT AS id, 0 AS depth FROM documents
+      WHERE doc_id % {_SEED_MOD} = 0
       UNION
       SELECT l.dst, r.depth + 1
       FROM reach r JOIN links l ON l.src = r.id
@@ -1720,20 +1743,17 @@ def q_link_selector(spark, sf_dir):
     dsl_core.rb:195): the corpus pages carry the 3i+1 edge inside
     <div class="nav"> and the 7i+3 edge bare; crawling with
     link_selector='.nav a' must reach exactly the single-edge BFS
-    closure from BOTH seeds — p0 and the corpus-size-dependent
-    p(n//2+1) (r5 de-vacuation) — (oracle: recursive CTE over the l1
-    edges only), proving
+    closure from the modular seed family (every 97th page — seed
+    count, hence closure size, scales with the corpus; r5
+    de-vacuation) (oracle: recursive CTE over the l1 edges only),
+    proving
     the selector gates frontier expansion, not just extraction."""
     from cloud_crawler_spark import CrawlConfig, crawl
     from cloud_crawler_spark.sources.corpus import prepare_corpus
 
     pages = _synthetic_web_from_documents(spark, sf_dir)
     corpus = prepare_corpus(pages)
-    n = _t(spark, sf_dir, "documents").count()
-    seeds = spark.createDataFrame(
-        [("http://ex.com/p0", 0.0), (f"http://ex.com/p{n // 2 + 1}", 0.0)],
-        "url string, priority double")
-    res = crawl(spark, corpus, seeds,
+    res = crawl(spark, corpus, _mod_seeds(spark, sf_dir),
                 CrawlConfig(depth_limit=_CRAWL_DEPTH, link_selector=".nav a"))
     return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
 
@@ -1751,7 +1771,8 @@ def q_link_selector(spark, sf_dir):
       FROM documents
       WHERE NOT (doc_id % 7 = 3 AND doc_id % 2 = 1) AND doc_id % 5 <> 1),
     reach(id, depth) AS (
-      SELECT unnest([0, (SELECT n FROM nn) // 2 + 1])::BIGINT AS id, 0 AS depth
+      SELECT doc_id::BIGINT AS id, 0 AS depth FROM documents
+      WHERE doc_id % {_SEED_MOD} = 0
       UNION
       SELECT l.dst, r.depth + 1
       FROM reach r JOIN links l ON l.src = r.id
@@ -1768,18 +1789,14 @@ def q_robots_nofollow(spark, sf_dir):
     the frontier). Crawling with honor_robots_meta=True must reach
     exactly the BFS closure of the REP-pruned edge set — the oracle
     replays both gates arithmetically in a recursive CTE. Seeded from
-    p0 AND the corpus-size-dependent p(n//2+1) so the closure varies
+    the modular seed family (every 97th page) so the closure scales
     with the corpus (r5 de-vacuation, same as q_crawl_bfs)."""
     from cloud_crawler_spark import CrawlConfig, crawl
     from cloud_crawler_spark.sources.corpus import prepare_corpus
 
     pages = _synthetic_web_from_documents(spark, sf_dir, robots_meta=True)
     corpus = prepare_corpus(pages)
-    n = _t(spark, sf_dir, "documents").count()
-    seeds = spark.createDataFrame(
-        [("http://ex.com/p0", 0.0), (f"http://ex.com/p{n // 2 + 1}", 0.0)],
-        "url string, priority double")
-    res = crawl(spark, corpus, seeds,
+    res = crawl(spark, corpus, _mod_seeds(spark, sf_dir),
                 CrawlConfig(depth_limit=_CRAWL_DEPTH, honor_robots_meta=True))
     return res.crawled.select("canon_url", F.col("depth").cast("long").alias("depth"))
 
@@ -2026,10 +2043,9 @@ def q_recurring_delta(spark, sf_dir):
       FROM documents
       UNION ALL
       SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents),
-    md AS (SELECT CASE WHEN (n // 2 + 1) % 10 = 3 THEN n // 2 + 2
-                       ELSE n // 2 + 1 END AS mid FROM nn),
     reach(id, depth) AS (
-      SELECT unnest([0, (SELECT mid FROM md)])::BIGINT AS id, 0 AS depth
+      SELECT doc_id::BIGINT AS id, 0 AS depth FROM documents
+      WHERE doc_id % {_SEED_MOD} = 0 AND doc_id % 10 <> 3
       UNION
       SELECT l.dst, r.depth + 1
       FROM reach r JOIN links l ON l.src = r.id
@@ -2055,14 +2071,9 @@ def q_robots_wildcard(spark, sf_dir):
         "host string, body string",
     )
     corpus = prepare_corpus(pages, robots=robots)
-    n = _t(spark, sf_dir, "documents").count()
-    mid = n // 2 + 1
-    if mid % 10 == 3:  # keep the second seed itself robots-allowed
-        mid += 1
-    seeds = spark.createDataFrame(
-        [("http://ex.com/p0", 0.0), (f"http://ex.com/p{mid}", 0.0)],
-        "url string, priority double"
-    )
+    # seeds restricted to robots-ALLOWED pages (ids not ending in 3)
+    seeds = _mod_seeds(spark, sf_dir,
+                       extra_filter=F.col("doc_id") % 10 != 3)
     res = crawl(spark, corpus, seeds, CrawlConfig(depth_limit=_CRAWL_DEPTH))
     return res.crawled.select(
         "canon_url", F.col("depth").cast("long").alias("depth")
