@@ -1613,7 +1613,12 @@ _RECUR_KEEP = 25
 _SEED_MOD = 97
 
 
-_CORPUS_CACHE: dict = {}
+import weakref
+
+# WeakKeyDictionary keyed by the live SparkSession: entries die with
+# their session, so a recycled id() can never serve DataFrames bound
+# to a stopped session.
+_CORPUS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _crawl_corpus(spark, sf_dir, robots_meta=False, robots=None,
@@ -1628,14 +1633,15 @@ def _crawl_corpus(spark, sf_dir, robots_meta=False, robots=None,
     — a handful of entries per session, deterministic contents, so
     correctness is untouched; it only reflects how a real analysis
     session reuses one corpus across queries."""
-    key = (id(spark), sf_dir, robots_meta, variant)
-    if key not in _CORPUS_CACHE:
+    per_session = _CORPUS_CACHE.setdefault(spark, {})
+    key = (sf_dir, robots_meta, variant)
+    if key not in per_session:
         from cloud_crawler_spark.sources.corpus import prepare_corpus
 
         pages = _synthetic_web_from_documents(
             spark, sf_dir, robots_meta=robots_meta)
-        _CORPUS_CACHE[key] = prepare_corpus(pages, robots=robots)
-    return _CORPUS_CACHE[key]
+        per_session[key] = prepare_corpus(pages, robots=robots)
+    return per_session[key]
 
 
 def _mod_seeds(spark, sf_dir, extra_filter=None):
