@@ -26,12 +26,15 @@ deterministic).
 
 Training is deterministic: pair argmax breaks ties by (count desc,
 left asc, right asc). The merge sequence is pinned exactly against a
-pure-Python reference in tests/test_bpe.py. Genuinely iterative ->
-no SQL oracle (the driver records the weaker rows-only check for
-q_bpe_merges).
+pure-Python reference in tests/test_bpe.py, and — since a fixed
+n_merges unrolls into one statement — against a full DuckDB oracle
+(queries._bpe_oracle_sql, q_bpe_merges).
 """
 
 from __future__ import annotations
+
+import itertools
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -231,7 +234,23 @@ def unigram_seed_vocab(
     )
 
 
-def _viterbi_segment_udf(model, max_piece_len: int):
+# Per python-WORKER-PROCESS memo of built Viterbi lookup tables,
+# keyed by the caller-supplied cache token: the closure-local memo
+# below is reset on every task deserialization (the pickled closure
+# carries a fresh empty list per task), so without this module-level
+# cache each TASK would rebuild the O(V log V) numpy tables. Spark
+# reuses python worker processes across tasks, so entries here
+# persist for the executor's lifetime; bounded to the newest few
+# (an EM loop creates one model per round).
+_VITERBI_TABLES: dict = {}
+_VITERBI_TABLES_MAX = 4
+# monotonic token source: unique per driver process for the app's
+# lifetime (id()-based tokens could recycle after GC and serve a
+# previous model's tables)
+_token_counter = itertools.count()
+
+
+def _viterbi_segment_udf(model, max_piece_len: int, cache_token=None):
     """Vectorized Viterbi segmentation under a unigram vocab: per
     word, the max-log-prob split into known pieces (ties prefer the
     shorter final piece — deterministic). Runs on the vocabulary-sized
@@ -247,8 +266,12 @@ def _viterbi_segment_udf(model, max_piece_len: int):
     never the corpus — but at a real 10^5-10^6-piece production vocab
     that bound is megabytes, which is exactly what per-task closure
     shipping would multiply by the task count. The derived numpy
-    lookup tables are rebuilt lazily from the broadcast value, once
-    per python worker process, and memoized.
+    lookup tables are rebuilt lazily from the broadcast value and
+    memoized: per task via the closure-local memo, and — when the
+    caller supplies a unique `cache_token` (train_unigram does, one
+    per EM round) — per python WORKER PROCESS via _VITERBI_TABLES,
+    since the pickled closure's own memo resets on every task
+    deserialization.
 
     The hot path is numpy across the whole Arrow batch: words become a
     (k, W) byte matrix, piece log-probs are looked up for every
@@ -266,11 +289,18 @@ def _viterbi_segment_udf(model, max_piece_len: int):
     from pyspark.sql.functions import pandas_udf
 
     NEG = float("-inf")
-    _prepared: list = []  # per-process memo: [(logp, ascii_vocab, by_len)]
+    # per-TASK memo (the closure unpickles fresh per task); the
+    # cross-task memo is _VITERBI_TABLES keyed by cache_token
+    _prepared: list = []
 
     def _model():
         if _prepared:
             return _prepared[0]
+        if cache_token is not None:
+            hit = _VITERBI_TABLES.get((cache_token, max_piece_len))
+            if hit is not None:
+                _prepared.append(hit)
+                return hit
         logp = model.value if hasattr(model, "value") else model
         # NUL-free so no piece key aliases a padded-zero substring key
         ascii_vocab = all(p.isascii() and "\x00" not in p for p in logp)
@@ -295,7 +325,12 @@ def _viterbi_segment_udf(model, max_piece_len: int):
                     )
         else:
             ascii_vocab = False
-        _prepared.append((logp, ascii_vocab, by_len))
+        built = (logp, ascii_vocab, by_len)
+        _prepared.append(built)
+        if cache_token is not None:
+            _VITERBI_TABLES[(cache_token, max_piece_len)] = built
+            while len(_VITERBI_TABLES) > _VITERBI_TABLES_MAX:
+                _VITERBI_TABLES.pop(next(iter(_VITERBI_TABLES)))
         return _prepared[0]
 
     # no type hints: `from __future__ import annotations` turns them
@@ -460,9 +495,14 @@ def train_unigram(
         # explicit torrent broadcast of the piece table (VERDICT r4
         # task 6): one copy per executor instead of one per task
         # closure — at a production-sized vocab (10^5-10^6 pieces,
-        # MBs) closure capture would ship it with every task
+        # MBs) closure capture would ship it with every task. The
+        # cache token (unique per driver pid + round) lets worker
+        # processes reuse the built numpy tables across tasks.
         bcast = spark.sparkContext.broadcast(logp)
-        seg = _viterbi_segment_udf(bcast, max_piece_len)
+        seg = _viterbi_segment_udf(
+            bcast, max_piece_len,
+            cache_token=f"unigram-{os.getpid()}-{next(_token_counter)}",
+        )
         segmented = words.withColumn("pieces", seg(F.col("word")))
         exploded = segmented.select(
             "n", F.explode("pieces").alias("piece")

@@ -47,10 +47,13 @@ def with_global_rank(
     (ADVICE r4). With deterministic lineage a recompute reproduces the
     identical row set, the range boundaries (sampled from that same
     deterministic set) place every row in the same partition, and the
-    offsets stay valid. As a cheap guard against gross recompute
-    drift, the offsets pass asserts its total row count equals
-    known_count when provided — a lost-cache recompute that changed
-    the row set fails loudly instead of silently mis-ranking."""
+    offsets stay valid. The offsets pass additionally asserts its
+    total row count equals known_count when provided — a cheap
+    tripwire that catches COUNT-CHANGING recompute drift (dropped or
+    duplicated rows). It cannot catch count-preserving drift (e.g. a
+    nondeterministic tie-break that only moves rows between
+    partitions); determinism of the lineage is the load-bearing
+    requirement, the guard is defense in depth."""
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
     if known_count is not None and known_count <= SMALL_INPUT_ROWS:
@@ -78,9 +81,12 @@ def with_global_rank(
     if known_count is not None and sum(sizes.values()) != known_count:
         raise RuntimeError(
             f"with_global_rank: offsets pass saw {sum(sizes.values())} rows "
-            f"but caller counted {known_count} — input lineage recomputed "
-            "non-deterministically (lost cache?); rerun with "
-            "stable_input=False to pin it with a localCheckpoint"
+            f"but caller counted {known_count} — the input lineage "
+            "recomputed non-deterministically (evicted cache over a "
+            "nondeterministic upstream). The caller that passed "
+            "stable_input=True must make its lineage deterministic or "
+            "stop passing stable_input=True (which restores the pinning "
+            "localCheckpoint)."
         )
     offsets, acc = {}, start
     for pid in sorted(sizes):

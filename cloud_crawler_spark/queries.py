@@ -1633,6 +1633,11 @@ def _crawl_corpus(spark, sf_dir, robots_meta=False, robots=None,
     — a handful of entries per session, deterministic contents, so
     correctness is untouched; it only reflects how a real analysis
     session reuses one corpus across queries."""
+    if robots is not None and not variant:
+        # robots DataFrames are not hashable cache keys; a caller
+        # supplying one MUST name a distinct variant or it would be
+        # served another variant's robots-less corpus
+        raise ValueError("_crawl_corpus: robots= requires a unique variant=")
     per_session = _CORPUS_CACHE.setdefault(spark, {})
     key = (sf_dir, robots_meta, variant)
     if key not in per_session:
@@ -1742,7 +1747,6 @@ def q_crawl_bfs(spark, sf_dir):
     dedup/politeness uninfluential on the checked output; VERDICT r4
     task 7)."""
     from cloud_crawler_spark import CrawlConfig, crawl
-    from cloud_crawler_spark.sources.corpus import prepare_corpus
 
     corpus = _crawl_corpus(spark, sf_dir)
     res = crawl(spark, corpus, _mod_seeds(spark, sf_dir),
@@ -1779,7 +1783,6 @@ def q_link_selector(spark, sf_dir):
     proving
     the selector gates frontier expansion, not just extraction."""
     from cloud_crawler_spark import CrawlConfig, crawl
-    from cloud_crawler_spark.sources.corpus import prepare_corpus
 
     corpus = _crawl_corpus(spark, sf_dir)
     res = crawl(spark, corpus, _mod_seeds(spark, sf_dir),
@@ -1821,7 +1824,6 @@ def q_robots_nofollow(spark, sf_dir):
     the modular seed family (every 97th page) so the closure scales
     with the corpus (r5 de-vacuation, same as q_crawl_bfs)."""
     from cloud_crawler_spark import CrawlConfig, crawl
-    from cloud_crawler_spark.sources.corpus import prepare_corpus
 
     corpus = _crawl_corpus(spark, sf_dir, robots_meta=True)
     res = crawl(spark, corpus, _mod_seeds(spark, sf_dir),
@@ -5789,9 +5791,10 @@ def q_aimd_rate(spark, sf_dir):
 # order, r4 front-loaded 50 of the never-sampled remainder (VERDICT r3
 # task), and r5 — this list — holds (a) the 10 queries whose OUTPUT
 # CHANGED this round (the three r4 reds after their fixes, the four
-# de-vacuated 0-row checks, and the three re-seeded crawl closures),
-# which need fresh independent evidence, then (b) the final 40
-# never-sampled entries, completing full 145/145 driver coverage
+# de-vacuated 0-row checks — q_mirror_hosts among them — and the
+# re-seeded crawl closures), one re-check slot, then (b) the 39
+# remaining never-sampled entries (the 40th, q_mirror_hosts, already
+# sits in group (a)), completing full 145/145 driver coverage
 # across rounds r03-r05. It is exactly 50 names: after this round
 # there is nothing left to rotate, and the list should be DELETED so
 # queries() returns plain registration order (the r4 ADVICE concern —
@@ -5804,10 +5807,10 @@ _SAMPLE_FRONT = [
     "q_recurring_delta", "q_seen_anti_join", "q_mirror_hosts",
     "q_crawl_bfs", "q_link_selector", "q_robots_nofollow",
     "q_robots_wildcard",
-    # re-check slot: the multimodal plumbing query (sampled r01-r03,
-    # high-value, schema-heavy)
+    # the re-check slot: the multimodal plumbing query (sampled
+    # r01-r03, high-value, schema-heavy)
     "q_multimodal_features",
-    # (b) the last 40 never-driver-sampled entries
+    # (b) the 39 remaining never-driver-sampled entries
     "q_revisit_schedule", "q_trap_detection", "q_index_delta",
     "q_content_diff", "q_url_strip_tracking", "q_surt_keys",
     "q_token_kl", "q_soft404",

@@ -401,23 +401,41 @@ class IcebergFrontierStore(FrontierStore):
         }
 
     def commit_round(self, rnd, crawled, newly_seen, frontier, lineage, stats=None):
+        """REPLACE round `rnd`'s partition in every table, then flip
+        the manifest — `overwritePartitions()` (Iceberg dynamic
+        partition overwrite, atomic per table) instead of `append()`,
+        so the crash-retry idempotence the contract suite pins
+        (tests/test_store_contract.py test_recommit_round_replaces)
+        holds: a resumed driver redoing the round that never flipped
+        the manifest cannot double that round's rows."""
         stats = stats or {}
         crawled_r = crawled.withColumn("round", F.lit(rnd))
         if self.spark.catalog.tableExists(self._t("crawled")):
-            crawled_r.writeTo(self._t("crawled")).append()
+            crawled_r.writeTo(self._t("crawled")).overwritePartitions()
         else:  # crawled schema is config-dependent: create from first append
             crawled_r.writeTo(self._t("crawled")).using("iceberg").partitionedBy(
                 F.col("round")
             ).create()
-        newly_seen.withColumn("round", F.lit(rnd)).writeTo(self._t("seen")).append()
-        frontier.withColumn("round", F.lit(rnd)).writeTo(self._t("frontier")).append()
-        lineage.writeTo(self._t("lineage")).append()
+        newly_seen.withColumn("round", F.lit(rnd)).writeTo(
+            self._t("seen")).overwritePartitions()
+        frontier.withColumn("round", F.lit(rnd)).writeTo(
+            self._t("frontier")).overwritePartitions()
+        # lineage rows carry their own `round` column (the partition
+        # key), so dynamic overwrite replaces exactly round `rnd`
+        lineage.writeTo(self._t("lineage")).overwritePartitions()
         self.spark.sql(
             f"INSERT OVERWRITE {self._t('manifest')} "
             f"VALUES ({rnd}, {int(stats.get('next_rank', 1))}, {int(stats.get('crawled', 0))})"
         )
 
     def commit_seed(self, frontier, seen):
+        """Re-seeding starts a FRESH crawl (same contract as the local
+        backend): clear every table of the previous crawl's rounds,
+        then write the round -1 snapshot and flip the manifest."""
+        for t in ("frontier", "seen", "lineage"):
+            self.spark.sql(f"DELETE FROM {self._t(t)}")
+        if self.spark.catalog.tableExists(self._t("crawled")):
+            self.spark.sql(f"DELETE FROM {self._t('crawled')}")
         frontier.withColumn("round", F.lit(-1)).writeTo(self._t("frontier")).append()
         seen.withColumn("round", F.lit(-1)).writeTo(self._t("seen")).append()
         self.spark.sql(f"INSERT OVERWRITE {self._t('manifest')} VALUES (-1, 1, 0)")
@@ -436,6 +454,11 @@ class IcebergFrontierStore(FrontierStore):
 
     def crawled(self, upto=None):
         upto = self.committed_round() if upto is None else upto
+        # parity with the local backend's reader contract: before any
+        # crawl round is committed (fresh seed / re-seed) this raises
+        # rather than returning an empty frame
+        if upto < 0 or not self.spark.catalog.tableExists(self._t("crawled")):
+            raise FileNotFoundError("no crawled rounds committed")
         return self.spark.table(self._t("crawled")).where(F.col("round") <= upto)
 
     def lineage(self):
