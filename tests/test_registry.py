@@ -55,3 +55,14 @@ def test_rotation_completes_driver_coverage():
     covered = sampled | set(order[:50])
     missing = set(order) - covered
     assert not missing, f"never driver-sampled even after r5: {missing}"
+
+
+def test_crawl_corpus_requires_variant_for_robots():
+    """A robots DataFrame is not part of the memo key, so supplying
+    one without a unique variant would silently serve another
+    variant's robots-less corpus — the guard must reject it before
+    touching the cache."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="variant"):
+        qmod._crawl_corpus(object(), "/tmp/nowhere", robots=object())
