@@ -98,27 +98,42 @@ def select_budget(
             )
         else:
             cap = default_cap
-        # cap NULL = this host has no per-host limit this round; the
-        # two-stage top-k stays valid per host because each host's cap
-        # is a single value on all its rows
+        # cap NULL = this host has no per-host limit this round. Such
+        # rows can NEVER be deferred, so they bypass the windows
+        # entirely (r5 review): under honor_crawl_delay with
+        # host_budget=None, every host WITHOUT a Crawl-delay override
+        # previously paid a full per-host window over its whole pending
+        # set just to compute a rank that was then ignored — an
+        # unbounded hot-host sort for nothing. Only capped hosts (a
+        # single cap value per host by construction) go through the
+        # salted two-stage top-k.
+        salted = salted.withColumn("_cap", cap)
+        uncapped = salted.where(F.col("_cap").isNull())
+        capped = salted.where(F.col("_cap").isNotNull())
         w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols())
-        stage1 = salted.withColumn("_r1", F.row_number().over(w1))
-        over1 = cap.isNotNull() & (F.col("_r1") > cap)
+        stage1 = capped.withColumn("_r1", F.row_number().over(w1))
+        over1 = F.col("_r1") > F.col("_cap")
         deferred_parts.append(stage1.where(over1).select(*cols))
         w2 = Window.partitionBy("host").orderBy(*order_cols())
-        # over1/over2 are never NULL: FALSE AND NULL = FALSE, so a
-        # null cap (uncapped host) always lands in `selected`
         stage2 = stage1.where(~over1).withColumn("_r2", F.row_number().over(w2))
-        over2 = cap.isNotNull() & (F.col("_r2") > cap)
+        over2 = F.col("_r2") > F.col("_cap")
         deferred_parts.append(stage2.where(over2).select(*cols))
-        selected = stage2.where(~over2).select(*cols)
+        selected = stage2.where(~over2).select(*cols).unionByName(
+            uncapped.select(*cols)
+        )
 
     if batch_size is not None:
-        # global cap: two-stage again — top batch_size per host-bucket,
-        # then a single bounded global window
-        wb = Window.partitionBy(F.pmod(F.xxhash64("host"), F.lit(64))).orderBy(
-            *order_cols()
-        )
+        # global cap: two-stage again — top batch_size per bucket, then
+        # a single bounded global window. The stage-1 grouping can be
+        # ANY disjoint partition of the rows (global top-k is always
+        # contained in the union of per-group top-k), so bucket by the
+        # URL hash, NOT the host: a host-derived key re-creates the
+        # exact hot-host window straggler this module exists to prevent
+        # whenever the host stage above is skipped (default config:
+        # host_budget=None, batch_size=1000 — r5 review).
+        wb = Window.partitionBy(
+            F.pmod(F.xxhash64("canon_url"), F.lit(64))
+        ).orderBy(*order_cols())
         b1 = selected.withColumn("_rb", F.row_number().over(wb))
         deferred_parts.append(b1.where(F.col("_rb") > batch_size).select(*cols))
         wg = Window.partitionBy().orderBy(*order_cols())

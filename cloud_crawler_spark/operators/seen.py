@@ -233,6 +233,18 @@ def _cuckoo_partner(i1: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
     return (i1 ^ h) & np.uint64(nb - 1)
 
 
+def _cuckoo_i1(h2: np.ndarray, nb: int) -> np.ndarray:
+    """Primary index from h2's LOW bits (h1 already chose the
+    host-bucket via pmod(h1, n_buckets), so h1-derived low bits are
+    CONSTANT within a bucket's build group — using them for i1
+    constrained the primary index to nb/n_buckets rows, every build
+    failed at the 0.84 design load and doubled to 2x the intended
+    size (~32 bits/key, verified numerically in the r5 review). The
+    bloom builder avoids the same degeneracy the same way: h2 as the
+    index base. fp uses h2's high 16 bits — disjoint bit range."""
+    return h2 & np.uint64(nb - 1)
+
+
 def _cuckoo_table_size(n: int, slots: int = _CUCKOO_SLOTS) -> int:
     nb = 1
     while nb * slots * _CUCKOO_LOAD < max(1, n):
@@ -252,8 +264,7 @@ def _cuckoo_build_table(h1: np.ndarray, h2: np.ndarray):
     fps = _cuckoo_fp(h2)
     while True:
         table = np.zeros((nb, _CUCKOO_SLOTS), dtype=np.uint16)
-        mask = np.uint64(nb - 1)
-        i1s = (h1 & mask).astype(np.uint64)
+        i1s = _cuckoo_i1(h2, nb).astype(np.uint64)
         ok = True
         for k in range(n):
             fp = fps[k]
@@ -293,8 +304,7 @@ def _cuckoo_build_table(h1: np.ndarray, h2: np.ndarray):
 def _cuckoo_probe_table(table: np.ndarray, nb: int, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
     """Vectorized membership: fp present in row i1 or row i2."""
     fps = _cuckoo_fp(h2)
-    mask = np.uint64(nb - 1)
-    i1 = (h1 & mask).astype(np.int64)
+    i1 = _cuckoo_i1(h2, nb).astype(np.int64)
     i2 = _cuckoo_partner(i1.view(np.uint64), fps, nb).astype(np.int64)
     f = fps[:, None]
     return ((table[i1] == f).any(axis=1)) | ((table[i2] == f).any(axis=1))
@@ -417,7 +427,16 @@ def cuckoo_delete(
     the operation Bloom cannot do and the reason the cuckoo variant
     exists: a revisit policy expires URLs from the seen set without
     rebuilding filters over the other ~10^10 keys. Buckets with no
-    deletions pass through untouched (no copy)."""
+    deletions pass through untouched (no copy).
+
+    PRECONDITION: every url in `urls` must be a MEMBER of the filter
+    (i.e. was inserted and not yet deleted). Deleting a non-member can
+    remove a colliding member's fingerprint — a (bucket, index, 16-bit
+    fp) collision is near-certain across large batches at 10^10 keys —
+    creating the false negative the gate contract forbids (a still-seen
+    URL re-crawled). expire_seen enforces this by semi-joining the
+    expiry set against the exact seen table before calling here; any
+    other caller owns the same obligation."""
     import pyspark.sql.types as T
 
     hashed = with_url_hash(urls.select(canon_col).distinct(), canon_col).withColumn(
@@ -444,11 +463,9 @@ def cuckoo_delete(
             .reshape(-1, _CUCKOO_SLOTS)
             .copy()
         )
-        h1 = keys["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
         h2 = keys["url_hash2"].to_numpy(dtype=np.int64).view(np.uint64)
         fps = _cuckoo_fp(h2)
-        mask = np.uint64(nb - 1)
-        i1s = (h1 & mask).astype(np.int64)
+        i1s = _cuckoo_i1(h2, nb).astype(np.int64)
         removed = 0
         for k in range(len(keys)):
             fp = fps[k]
@@ -495,11 +512,20 @@ def expire_seen(
     new_seen = seen.join(
         expired.select(F.col(canon_col)), on=canon_col, how="left_anti"
     )
-    new_filters = (
-        cuckoo_delete(filters, expired, n_buckets, canon_col)
-        if filters is not None
-        else None
-    )
+    new_filters = None
+    if filters is not None:
+        # cuckoo_delete's membership PRECONDITION: deleting a key that
+        # was never inserted can strip a colliding member's fingerprint
+        # and silently break the no-false-negatives contract. Callers
+        # pass arbitrary revisit frames ("or any df with url/canon_url",
+        # plans/crawler.py), so restrict the delete set to actual
+        # members via a semi-join against the exact seen table — the
+        # expiry batch is the small side, so this is one broadcast-ish
+        # semi join, not a scan of the filters.
+        members = expired.select(F.col(canon_col)).join(
+            seen.select(F.col(canon_col)), on=canon_col, how="left_semi"
+        )
+        new_filters = cuckoo_delete(filters, members, n_buckets, canon_col)
     return new_seen, new_filters
 
 

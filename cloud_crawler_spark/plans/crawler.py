@@ -340,13 +340,21 @@ class Crawler:
                 cfg.after_round(rnd, crawled)
 
             next_rank += res.n_selected
+            # lineage is tiny (<= n_host_buckets rows) but its lazy
+            # plan references the round's cached deferred slice —
+            # checkpoint it eagerly so those caches can be RELEASED
+            # now instead of staying pinned for the crawl's lifetime
+            # (r5 review)
+            lineage = res.lineage.localCheckpoint(eager=True)
             if self.store is not None:
                 self.store.commit_round(
-                    rnd, crawled, newly_seen, next_frontier, res.lineage,
+                    rnd, crawled, newly_seen, next_frontier, lineage,
                     stats={"next_rank": next_rank, "crawled": n_crawled},
                 )
+            for _c in res.caches:
+                _c.unpersist()
             crawled_parts.append(crawled)
-            lineage_parts.append(res.lineage)
+            lineage_parts.append(lineage)
             stats.append({"round": rnd, "selected": res.n_selected, "crawled": n_crawled})
 
             # no distinct needed across rounds: `seen` stays
@@ -402,12 +410,17 @@ class Crawler:
 
 
 def _empty_crawled_schema() -> str:
+    """Schema of CrawlResult.crawled for a crawl that ran ZERO rounds —
+    must carry exactly round.CRAWLED_COLS (it was missing meta_robots,
+    so an empty crawl's result could not unionByName with a real one;
+    r5 review). Pinned against a live crawl in tests/test_plans.py."""
     return (
         "url string, canon_url string, host string, code int, depth int, "
         "referer string, redirect_to string, fetched boolean, visited boolean, "
         "error string, response_time int, content_type string, "
         "headers map<string,array<string>>, hop int, "
-        "links array<string>, title string, text string, html binary, "
+        "links array<string>, title string, text string, meta_robots string, "
+        "html binary, "
         "round int, rank long, parent_rank long, link_pos int, priority double"
     )
 

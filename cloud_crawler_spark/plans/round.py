@@ -46,11 +46,14 @@ from cloud_crawler_spark.operators.seen import (
 )
 from cloud_crawler_spark.sources.corpus import Corpus
 
+# The canonical crawled-output column set (single source of truth:
+# run_round's projection and crawler._empty_crawled_schema are both
+# checked against it in tests/test_plans.py).
 CRAWLED_COLS = [
     "url", "canon_url", "host", "code", "depth", "referer", "redirect_to",
     "fetched", "visited", "error", "response_time", "content_type",
-    "headers", "links", "title", "text", "meta_robots", "html", "round", "rank",
-    "parent_rank", "link_pos", "priority",
+    "headers", "hop", "links", "title", "text", "meta_robots", "html",
+    "round", "rank", "parent_rank", "link_pos", "priority",
 ]
 
 # content types the reference parses as HTML (page.rb:185-190 html?)
@@ -64,6 +67,13 @@ class RoundResult:
     next_frontier: DataFrame  # pending rows for round k+1 (deferred + children)
     lineage: DataFrame        # per-host-bucket counters
     n_selected: int           # rows that consumed rank numbers
+    # round-scoped cached DataFrames (deferred slice, expand-gate flag
+    # join) for the driver to unpersist once the round's outputs are
+    # checkpointed/committed — without an explicit release, lineage's
+    # un-checkpointed plan kept every round's deferred cache referenced
+    # for the crawl's lifetime (1000-round default = 1000 pinned
+    # frontier slices in executor storage; r5 review)
+    caches: tuple = ()
 
 
 def _lookup(current: DataFrame, pages: DataFrame, redirects: DataFrame,
@@ -192,14 +202,41 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
             )
         # resolve: follow same-host (or relative) redirects only
         # (http.rb:245-247 allowed?; spec/crawl_job_spec.rb:106-113)
-        nxt = (
+        ext = (
             hops.withColumn(
                 "_next_url",
                 absolutize_udf(F.col("_r_to"), F.col("url"), F.lit(None).cast("string")),
             )
             .withColumn("_next_host", host_udf(F.col("_next_url")))
-            .where(F.col("_next_url").isNotNull() & (F.col("_next_host") == F.col("_orig_host")))
         )
+        followable = F.coalesce(
+            F.col("_next_url").isNotNull()
+            & (F.col("_next_host") == F.col("_orig_host")),
+            F.lit(False),
+        )
+        if not config.keep_redirects:
+            # Dead-end chains (cross-host target or unresolvable
+            # Location) must still be RECORDED: with keep_redirects the
+            # hop row above already stored them, but without it they
+            # previously vanished — not stored, not marked seen — so
+            # the URL consumed budget yet was re-enqueued and
+            # re-fetched on every rediscovery (r5 review). Store the
+            # terminal 301 like the chain-too-long branch does.
+            stored_parts.append(
+                ext.where(~followable).select(
+                    *[F.col(c) for c in current.columns],
+                    F.lit(301).alias("code"),
+                    F.col("_r_to").alias("redirect_to"),
+                    F.lit(None).cast("binary").alias("html"),
+                    F.lit(True).alias("fetched"),
+                    F.lit(None).cast("string").alias("content_type"),
+                    F.lit(None).cast("map<string,array<string>>").alias("headers"),
+                    F.lit(0).alias("response_time"),
+                    F.lit(None).cast("string").alias("error"),
+                    F.lit(hop).alias("hop"),
+                )
+            )
+        nxt = ext.where(followable)
         current = (
             nxt.withColumn("url", F.col("_next_url"))
             .withColumn("canon_url", canon_udf(F.col("_next_url")))
@@ -212,8 +249,22 @@ def _fetch(selected: DataFrame, corpus: Corpus, config: CrawlConfig,
     out = stored_parts[0]
     for part in stored_parts[1:]:
         out = out.unionByName(part)
-    # a redirect chain may land on an already-seen/duplicate canon; keep
-    # first occurrence by crawl order within the round
+    if any_redirects:
+        # two chains may land on the SAME canon within the round (A and
+        # B both 301 -> C): keep the first occurrence by crawl order
+        # (rank, then hop) so crawled/newly_seen stay one-row-per-canon
+        # — previously only promised by this comment, not implemented
+        # (r5 review). Window bounded by the round's stored rows.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("canon_url").orderBy(
+            F.col("rank").asc(), F.col("hop").asc()
+        )
+        out = (
+            out.withColumn("_occ", F.row_number().over(w))
+            .where(F.col("_occ") == 1)
+            .drop("_occ")
+        )
     return out.drop("_orig_host")
 
 
@@ -373,6 +424,7 @@ def run_round(
         host_budgets=host_budgets,
     )
     deferred = deferred.cache()
+    round_caches = [deferred]  # released by the driver post-commit
 
     if dedup_gate and seen_nonempty:
         if config.use_cuckoo:
@@ -407,19 +459,19 @@ def run_round(
         rank_col="rank",
         start=next_rank,
         known_count=n_selected,
-        # DETERMINISM CONTRACT (why stable_input is safe here, even if
-        # the cache above is evicted and the lineage recomputes —
-        # ADVICE r4): every upstream of `selected` is deterministic —
-        # the frontier slice is a parquet snapshot read (stable files),
-        # select_budget's per-host top-k orders by (priority, depth,
-        # parent_rank, link_pos) — total, since (parent_rank, link_pos)
-        # is unique per discovered URL — and
-        # the gate chain is pure column expressions (no sample/limit/
-        # nondeterministic UDF). A recompute therefore reproduces the
-        # identical row set and placements; with_global_rank
-        # additionally cross-checks its offsets total against
-        # n_selected and fails loudly on drift.
-        stable_input=True,
+        # stable_input=False: keep the pinning localCheckpoint for the
+        # >SMALL_INPUT_ROWS range-partition path (small rounds take the
+        # single-window path, which is one job and needs no pin). An
+        # earlier round skipped it arguing the row SET is deterministic
+        # — but repartitionByRange's boundaries come from reservoir
+        # sampling over shuffle ARRIVAL ORDER, and a storeless round-0
+        # frontier carries monotonically_increasing_id lineage
+        # (seed_frontier), so an evicted cache could silently move rows
+        # between range partitions against precomputed offsets —
+        # count-preserving drift the rank guard cannot catch (r5
+        # review). Crawl-order exactness is the north rule's core
+        # criterion; the checkpoint is the guarantee, not the comment.
+        stable_input=False,
     ).cache()
 
     # fetch strategy: the driver knows the exact round size — small
@@ -532,6 +584,7 @@ def run_round(
             gate.dropDuplicates(["canon_url"]).withColumn("_dup", F.lit(True)),
             "canon_url", "left",
         ).cache()
+        round_caches.append(flagged)
         counts = {
             bool(r["dup"]): r["cnt"]
             for r in flagged.groupBy(F.coalesce("_dup", F.lit(False)).alias("dup"))
@@ -574,6 +627,18 @@ def run_round(
         )
 
     newly_seen = crawled.select("canon_url").distinct()
+    if corpus.has_redirects() and seen is not None and seen_nonempty:
+        # a redirect chain can LAND on an already-seen canon (the
+        # frontier's seen gate runs before redirect resolution), and
+        # crawler._loop appends newly_seen without distinct ("duplicate-
+        # free by construction") — keep that construction true by
+        # anti-joining the round's (small) delta against seen. The
+        # re-fetch itself mirrors the reference, whose bloom check also
+        # guards link enqueue, not redirect landings; only the seen SET
+        # must stay exact (r5 review).
+        newly_seen = newly_seen.join(
+            seen.select("canon_url"), "canon_url", "left_anti"
+        )
 
     bucket = F.pmod(F.xxhash64("host"), F.lit(config.n_host_buckets)).cast("int")
     lineage = (
@@ -606,4 +671,5 @@ def run_round(
         next_frontier=next_frontier,
         lineage=lineage,
         n_selected=n_selected,
+        caches=tuple(round_caches),
     )

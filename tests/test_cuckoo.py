@@ -200,3 +200,63 @@ class TestCuckooCrawl:
         b = sorted(map(tuple, cuckoo.crawled.select(*cols).collect()))
         assert a == b and a
         assert crawled_names(exact) == crawled_names(cuckoo)
+
+
+def test_cuckoo_build_at_design_load_for_bucketed_keys():
+    """Regression (r5 review): build groups always hold keys with
+    h1 === bucket (mod n_buckets) — pmod(h1, 64) chose the bucket — so
+    an i1 derived from h1's low bits had only nb/64 distinct values,
+    every build failed at the 0.84 design load, and the table doubled
+    to ~32 bits/key. With i1 from h2, bucket-constrained key groups
+    must build at exactly the intended power-of-two size."""
+    import numpy as np
+
+    from cloud_crawler_spark.operators.seen import (
+        _cuckoo_build_table,
+        _cuckoo_table_size,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (100, 1_000, 20_000):
+        # h1 constrained exactly like a real per-bucket group
+        h1 = (rng.integers(0, 2**58, n, dtype=np.uint64) << np.uint64(6)) | np.uint64(7)
+        h2 = rng.integers(1, 2**63, n, dtype=np.uint64)
+        table, nb = _cuckoo_build_table(h1, h2)
+        assert nb == _cuckoo_table_size(n), (n, nb, _cuckoo_table_size(n))
+        # and everything inserted is findable (no false negatives)
+        from cloud_crawler_spark.operators.seen import _cuckoo_probe_table
+
+        assert _cuckoo_probe_table(table, nb, h1, h2).all()
+
+
+def test_expire_seen_with_nonmembers_keeps_no_false_negatives(spark):
+    """cuckoo_delete's membership precondition, enforced by expire_seen
+    (r5 review): an expiry batch full of URLs that were NEVER crawled
+    must not strip colliding members' fingerprints. After expiring a
+    mixed batch, every REMAINING member still probes maybe_seen=True
+    (the no-false-negatives gate contract)."""
+    from pyspark.sql import functions as F
+
+    from cloud_crawler_spark.operators.seen import (
+        build_cuckoo_filters,
+        cuckoo_maybe_seen,
+        expire_seen,
+    )
+
+    seen = spark.range(3000).select(
+        F.concat(F.lit("http://h.com/s"), F.col("id").cast("string"))
+        .alias("canon_url")
+    )
+    filters = build_cuckoo_filters(seen)
+    # 100 true members + 30k never-seen URLs in one expiry batch
+    expired = seen.limit(100).unionByName(
+        spark.range(30_000).select(
+            F.concat(F.lit("http://h.com/x"), F.col("id").cast("string"))
+            .alias("canon_url")
+        )
+    )
+    new_seen, new_filters = expire_seen(seen, expired, filters)
+    remaining = new_seen.count()
+    assert remaining == 2900
+    probed = cuckoo_maybe_seen(new_seen, new_filters)
+    assert probed.where(~F.col("maybe_seen")).count() == 0

@@ -238,3 +238,26 @@ def test_index_ranking_scale_guards(spark):
     )
     topk_plan = plan_of(tfidf_topk(docs, 2))
     assert "WindowGroupLimit" in topk_plan  # map-side partial top-k
+
+
+def test_crawled_schema_single_source(spark):
+    """round.CRAWLED_COLS is the canonical crawled column set: a live
+    crawl's output and crawler._empty_crawled_schema (the zero-round
+    result) must both carry exactly it — an empty crawl must
+    unionByName cleanly with a real one (r5 review: meta_robots was
+    missing from the empty schema)."""
+    from cloud_crawler_spark import CrawlConfig, crawl
+    from cloud_crawler_spark.plans.crawler import _empty_crawled_schema
+    from cloud_crawler_spark.plans.round import CRAWLED_COLS
+
+    from tests.helpers import make_corpus, make_seeds
+
+    graph = {"0": {"links": ["1"]}, "1": {}}
+    res = crawl(spark, make_corpus(spark, graph),
+                make_seeds(spark, ["http://www.example.com/0"]), CrawlConfig())
+    assert set(res.crawled.columns) == set(CRAWLED_COLS)
+
+    empty = spark.createDataFrame([], _empty_crawled_schema())
+    assert set(empty.columns) == set(CRAWLED_COLS)
+    # and the two really do union
+    res.crawled.unionByName(empty).count()
